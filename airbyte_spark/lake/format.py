@@ -1,0 +1,465 @@
+"""LakeTable — a from-scratch ACID table format on parquet + a JSON snapshot log.
+
+No Iceberg/Delta jars exist in this environment, so the engine carries its
+own minimal lakehouse layer with the four properties the CDC sink needs
+(the same properties the reference gets from its transactional tmp-table
+swap, destination-jdbc JdbcBufferedConsumerFactory.java:153-194, and we'd
+get from Iceberg in deployment):
+
+  1. atomic commits — a snapshot manifest is the unit of visibility,
+     created with O_EXCL so concurrent writers conflict instead of corrupt
+     (optimistic concurrency, Iceberg-style);
+  2. snapshot isolation + time travel — readers resolve the latest (or any
+     historical) manifest and only see files listed there;
+  3. schema evolution — each file records the schema_id it was written
+     with; reads align every schema generation to the current schema
+     (add-column → NULL fill, widen → cast), so evolution never rewrites
+     data;
+  4. idempotent commit bookkeeping — every commit may carry a
+     (checkpoint_id, partition) key; the set of committed keys rides in
+     the manifest, giving exactly-once sinks a transactional dedup check
+     (≡ the reference's pending→flushed→committed state machine,
+     BufferedStreamConsumer.java:158-181).
+
+Scale notes (the design point is a 1000-executor cluster / 100 TB table):
+  - manifests hold per-file partition values + min/max key stats, so MERGE
+    prunes candidate files at the driver without touching data;
+  - data layout is hash-bucketed on the merge key (PartitionSpec bucket
+    transform): a micro-batch only rewrites the buckets its keys hash to;
+  - manifest size grows with file count, not rows; at 100 TB with ~512 MB
+    files that is ~200k entries — the point where this JSON log would be
+    swapped for Iceberg's avro manifest tree, behind the same API.
+
+Everything here is driver-side metadata handling (small JSON); all data
+movement is Spark DataFrame reads/writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from airbyte_spark.schema import evolve
+
+_LAKE_DIR = "_lake"
+_DATA_DIR = "data"
+
+
+# --- partition spec --------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    name: str  # output column, e.g. p_bucket
+    transform: str  # identity | bucket | days
+    source: str  # source column, e.g. url
+    n: int = 0  # bucket count for bucket transform
+
+    def expr(self):
+        c = F.col(self.source)
+        if self.transform == "identity":
+            return c
+        if self.transform == "days":
+            return F.date_format(c, "yyyy-MM-dd")
+        if self.transform == "bucket":
+            # xxhash64 is deterministic across sessions/versions for our
+            # purposes (pinned Spark); pmod keeps it non-negative.
+            return F.pmod(F.xxhash64(c), F.lit(self.n))
+        raise ValueError(f"unknown transform {self.transform}")
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    fields: tuple[PartitionField, ...] = ()
+
+    @staticmethod
+    def bucket(source: str, n: int) -> "PartitionSpec":
+        return PartitionSpec((PartitionField("p_bucket", "bucket", source, n),))
+
+    @staticmethod
+    def days_and_bucket(ts_col: str, key_col: str, n: int) -> "PartitionSpec":
+        return PartitionSpec(
+            (
+                PartitionField("p_day", "days", ts_col),
+                PartitionField("p_bucket", "bucket", key_col, n),
+            )
+        )
+
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def to_json(self) -> list[dict]:
+        return [vars(f) | {} for f in self.fields]
+
+    @staticmethod
+    def from_json(rows: list[dict]) -> "PartitionSpec":
+        return PartitionSpec(tuple(PartitionField(**r) for r in rows))
+
+
+# --- manifest model ---------------------------------------------------------------
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    schema_id: int
+    partition: dict[str, Any] = field(default_factory=dict)
+    stats: dict[str, Any] = field(default_factory=dict)  # {col: {min,max}}
+
+    def to_json(self) -> dict:
+        return vars(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(**d)
+
+
+def _collect_parquet_stats(abs_path: str, stat_cols: list[str]) -> tuple[int, int, dict]:
+    """rows, bytes, {col: {min,max}} from the parquet footer (no data read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    rows = md.num_rows
+    size = os.path.getsize(abs_path)
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, Any] = {}
+    for col in stat_cols:
+        if col not in names:
+            continue
+        mn, mx = None, None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(names[col]).statistics
+            if s is None or not s.has_min_max:
+                mn = mx = None
+                break
+            mn = s.min if mn is None else min(mn, s.min)
+            mx = s.max if mx is None else max(mx, s.max)
+        if mn is not None:
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+            if not isinstance(mn, (str, int, float, bool)):
+                mn, mx = str(mn), str(mx)
+            stats[col] = {"min": mn, "max": mx}
+    return rows, size, stats
+
+
+# --- table ------------------------------------------------------------------------
+
+
+class LakeTable:
+    """Handle to one lake table. Cheap to construct; state lives on disk."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ---- lifecycle ----
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        partition_spec: PartitionSpec | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        t = LakeTable(spark, path)
+        os.makedirs(os.path.join(t.path, _LAKE_DIR), exist_ok=False)
+        os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
+        manifest = {
+            "version": 1,
+            "schema_id": 0,
+            "schemas": {"0": json.loads(schema.json())},
+            "partition_spec": (partition_spec or PartitionSpec()).to_json(),
+            "files": [],
+            "committed": {},  # checkpoint key -> commit summary
+            "properties": properties or {},
+            "parent": None,
+            "operation": "create",
+        }
+        t._write_manifest(manifest)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "LakeTable":
+        t = LakeTable(spark, path)
+        if t.current_version() is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        d = os.path.join(os.path.abspath(path), _LAKE_DIR)
+        return os.path.isdir(d) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(d)
+        )
+
+    # ---- manifest I/O ----
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, _LAKE_DIR, f"v{version:09d}.json")
+
+    def current_version(self) -> int | None:
+        d = os.path.join(self.path, _LAKE_DIR)
+        if not os.path.isdir(d):
+            return None
+        versions = [
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no manifests in {self.path}")
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, manifest: dict) -> int:
+        """O_EXCL create → atomic, optimistic-concurrency commit."""
+        while True:
+            v = manifest["version"]
+            try:
+                with open(self._manifest_path(v), "x") as fh:
+                    json.dump(manifest, fh)
+                return v
+            except FileExistsError:
+                # another writer won this version; retry on top of it
+                manifest["version"] = v + 1
+                manifest["parent"] = v
+
+    # ---- schema ----
+
+    def schema(self, version: int | None = None) -> StructType:
+        m = self.manifest(version)
+        return StructType.fromJson(m["schemas"][str(m["schema_id"])])
+
+    def partition_spec(self) -> PartitionSpec:
+        return PartitionSpec.from_json(self.manifest()["partition_spec"])
+
+    def evolve_schema(self, new_schema: StructType) -> StructType:
+        """Merge-evolve the table schema (add columns / widen types); no-op
+        if nothing changes. ≡ Iceberg UpdateSchema / the reference's
+        catalog-diff incremental run (SURVEY §1.4)."""
+        m = self.manifest()
+        current = StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        merged = evolve(current, new_schema)
+        if merged == current:
+            return current
+        new_id = int(m["schema_id"]) + 1
+        m["schemas"][str(new_id)] = json.loads(merged.json())
+        m["schema_id"] = new_id
+        m["version"] += 1
+        m["parent"] = m["version"] - 1
+        m["operation"] = "evolve-schema"
+        self._write_manifest(m)
+        return merged
+
+    # ---- reads ----
+
+    def files(self, version: int | None = None) -> list[FileEntry]:
+        return [FileEntry.from_json(d) for d in self.manifest(version)["files"]]
+
+    def read(
+        self,
+        version: int | None = None,
+        files: list[FileEntry] | None = None,
+    ) -> DataFrame:
+        """Read the table (or a pruned file subset) aligned to the current
+        schema. Files are grouped by schema_id; each generation is read
+        with its exact written schema then aligned (NULL-fill added
+        columns, cast widened ones) — evolution without rewrites."""
+        m = self.manifest(version)
+        target = StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        entries = files if files is not None else [FileEntry.from_json(d) for d in m["files"]]
+        if not entries:
+            return self.spark.createDataFrame([], target)
+        by_schema: dict[int, list[str]] = {}
+        for e in entries:
+            by_schema.setdefault(e.schema_id, []).append(os.path.join(self.path, e.path))
+        parts = []
+        for sid, paths in by_schema.items():
+            written = StructType.fromJson(m["schemas"][str(sid)])
+            df = self.spark.read.schema(written).parquet(*paths)
+            parts.append(_align(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def committed(self) -> dict[str, dict]:
+        return dict(self.manifest()["committed"])
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in range(1, (self.current_version() or 0) + 1):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                with open(p) as fh:
+                    m = json.load(fh)
+                out.append(
+                    {
+                        "version": m["version"],
+                        "operation": m.get("operation"),
+                        "commit": m.get("commit"),
+                        "n_files": len(m["files"]),
+                    }
+                )
+        return out
+
+    def metrics_df(self) -> DataFrame:
+        """Per-commit lineage/metrics as a DataFrame (rows/bytes/files per
+        (checkpoint_id, partition) — the north_star's metrics table)."""
+        rows = []
+        for key, summary in self.manifest()["committed"].items():
+            rows.append(json.dumps({"checkpoint_key": key, **summary}))
+        if not rows:
+            schema = (
+                "checkpoint_key string, checkpoint_id long, partition string, "
+                "rows_written long, bytes_written long, rows_removed long, "
+                "files_added long, files_removed long, version long"
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.json(self.spark.sparkContext.parallelize(rows))
+
+    # ---- writes ----
+
+    def _stage_write(
+        self, df: DataFrame, stat_cols: list[str], one_file_per_partition: bool
+    ) -> list[FileEntry]:
+        """Write df's data files (partitioned per spec) into data/<uuid>/ and
+        return entries; visibility only happens at manifest commit."""
+        spec = self.partition_spec()
+        commit_id = uuid.uuid4().hex[:12]
+        rel_dir = f"{_DATA_DIR}/{commit_id}"
+        out_dir = os.path.join(self.path, rel_dir)
+        writer_df = df
+        pnames = spec.names()
+        for f in spec.fields:
+            writer_df = writer_df.withColumn(f.name, f.expr())
+        if pnames:
+            if one_file_per_partition:
+                writer_df = writer_df.repartition(*[F.col(n) for n in pnames])
+            writer_df.write.partitionBy(*pnames).mode("overwrite").parquet(out_dir)
+        else:
+            writer_df.write.mode("overwrite").parquet(out_dir)
+        entries: list[FileEntry] = []
+        m = self.manifest()
+        sid = int(m["schema_id"])
+        for root, _dirs, names in os.walk(out_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(root, name)
+                rel_path = os.path.relpath(abs_path, self.path)
+                partition: dict[str, Any] = {}
+                for seg in os.path.relpath(root, out_dir).split(os.sep):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        partition[k] = int(v) if v.lstrip("-").isdigit() else v
+                rows, size, stats = _collect_parquet_stats(abs_path, stat_cols)
+                if rows == 0:
+                    continue
+                entries.append(FileEntry(rel_path, rows, size, sid, partition, stats))
+        return entries
+
+    def commit(
+        self,
+        added: list[FileEntry],
+        removed_paths: set[str] | None = None,
+        operation: str = "append",
+        checkpoint_key: str | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        """Publish a new snapshot: current files − removed + added.
+
+        If checkpoint_key is given and already committed, this is a no-op
+        (idempotent replay guard) and staged files are garbage-collected.
+        """
+        m = self.manifest()
+        if checkpoint_key is not None and checkpoint_key in m["committed"]:
+            for e in added:
+                p = os.path.join(self.path, e.path)
+                if os.path.exists(p):
+                    os.remove(p)
+            return m["version"]
+        removed_paths = removed_paths or set()
+        kept = [f for f in m["files"] if f["path"] not in removed_paths]
+        m["files"] = kept + [e.to_json() for e in added]
+        m["operation"] = operation
+        full_summary = {
+            "rows_written": sum(e.rows for e in added),
+            "bytes_written": sum(e.bytes for e in added),
+            "files_added": len(added),
+            "files_removed": len(removed_paths),
+            **(summary or {}),
+        }
+        m["commit"] = {"key": checkpoint_key, **full_summary}
+        if checkpoint_key is not None:
+            m["committed"][checkpoint_key] = {**full_summary, "version": m["version"] + 1}
+        m["parent"] = m["version"]
+        m["version"] += 1
+        return self._write_manifest(m)
+
+    def append(
+        self,
+        df: DataFrame,
+        checkpoint_key: str | None = None,
+        stat_cols: list[str] | None = None,
+    ) -> int:
+        if checkpoint_key is not None and checkpoint_key in self.manifest()["committed"]:
+            return self.manifest()["version"]
+        entries = self._stage_write(df, stat_cols or [], one_file_per_partition=True)
+        return self.commit(entries, operation="append", checkpoint_key=checkpoint_key)
+
+    def overwrite(self, df: DataFrame, stat_cols: list[str] | None = None) -> int:
+        """Full-refresh/overwrite semantics (≡ DestinationSyncMode.OVERWRITE,
+        reference's transactional TRUNCATE+INSERT swap) — atomic because the
+        snapshot flips in one manifest write."""
+        old_paths = {f.path for f in self.files()}
+        entries = self._stage_write(df, stat_cols or [], one_file_per_partition=True)
+        return self.commit(entries, removed_paths=old_paths, operation="overwrite")
+
+    def truncate(self) -> int:
+        return self.commit([], removed_paths={f.path for f in self.files()}, operation="truncate")
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the current snapshot
+        (time travel to older versions is lost for removed files)."""
+        live = {f.path for f in self.files()}
+        removed = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for root, _dirs, names in os.walk(data_root):
+            for name in names:
+                rel = os.path.relpath(os.path.join(root, name), self.path)
+                if name.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(self.path, rel))
+                    removed += 1
+        return removed
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def _align(df: DataFrame, target: StructType) -> DataFrame:
+    """Project df onto target schema: missing columns → NULL, widened → cast."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name].dataType != f.dataType:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

@@ -1,0 +1,188 @@
+"""CDC ingest pipeline: change stream → dedup → extract → MERGE, checkpointed.
+
+This is the Spark restatement of the reference's whole replication worker
+(SyncWorkflowImpl → DefaultReplicationWorker → BufferedStreamConsumer →
+normalization, SURVEY §3.2): the source/mapper/destination thread-and-
+process choreography collapses into one Structured Streaming query with a
+foreachBatch sink, and the "state message committed after destination
+flush" protocol becomes an idempotent lake commit keyed by checkpoint_id.
+
+Delivery contract (≡ reference, SURVEY §2.9):
+  - at-least-once upstream is fine: replayed batches are skipped via the
+    committed-checkpoint set carried in the table manifest, and MERGE
+    itself is idempotent (same batch → same final state);
+  - bounded replay ("drain to target position then stop",
+    DebeziumRecordIterator.java:102-125) ≡ trigger(availableNow=True);
+  - resume-from-checkpoint: a new run simply skips committed batches.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from airbyte_spark.functions.extract import with_extracted_text
+from airbyte_spark.lake.format import LakeTable, PartitionSpec
+from airbyte_spark.lake.merge import merge_upsert
+from airbyte_spark.operators.dedup import dedup_batch
+from airbyte_spark.protocol import StreamConfig
+from airbyte_spark.schema import CHANGE_SCHEMA, PAGE_SCHEMA, TARGET_META_COLS
+
+
+def default_target_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType([*PAGE_SCHEMA.fields, StructField("_ab_cdc_lsn", LongType(), True)])
+
+
+@dataclass
+class BatchResult:
+    checkpoint_key: str
+    skipped: bool
+    rows_in: int | None
+    max_lsn: int | None
+    seconds: float
+
+
+@dataclass
+class CdcPipeline:
+    table: LakeTable
+    cfg: StreamConfig
+    extract: bool = True
+    collect_batch_metrics: bool = True
+    results: list[BatchResult] = field(default_factory=list)
+
+    # ---- construction helpers ----
+
+    @staticmethod
+    def create_target(
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 16,
+        cfg: StreamConfig | None = None,
+    ) -> "CdcPipeline":
+        cfg = cfg or StreamConfig(name="pages", schema=default_target_schema())
+        if LakeTable.exists(path):
+            table = LakeTable.load(spark, path)
+        else:
+            table = LakeTable.create(
+                spark,
+                path,
+                default_target_schema(),
+                # bucket-only layout: upserts touch any day, so day
+                # partitioning would only multiply rewritten files; url-hash
+                # buckets give merge pruning AND spread hot domains.
+                PartitionSpec.bucket(cfg.primary_key[0], n_buckets),
+            )
+        return CdcPipeline(table=table, cfg=cfg)
+
+    # ---- core batch application ----
+
+    def apply_batch(self, batch: DataFrame, checkpoint_key: str) -> BatchResult:
+        """dedup → extract text for winners → merge. Idempotent per key."""
+        t0 = time.time()
+        if checkpoint_key in self.table.committed():
+            res = BatchResult(checkpoint_key, True, None, None, 0.0)
+            self.results.append(res)
+            return res
+
+        rows_in = max_lsn = None
+        if self.collect_batch_metrics:
+            m = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(self.cfg.order_tiebreakers[-1]).alias("mx"),
+            ).collect()[0]
+            rows_in, max_lsn = m["n"], m["mx"]
+
+        deduped = dedup_batch(batch, self.cfg)
+        if self.extract:
+            # extraction after dedup: only batch winners pay the UDF cost
+            deduped = with_extracted_text(deduped)
+        merge_upsert(self.table, deduped, self.cfg, checkpoint_key=checkpoint_key)
+        res = BatchResult(checkpoint_key, False, rows_in, max_lsn, time.time() - t0)
+        self.results.append(res)
+        return res
+
+    # ---- bounded batch replay (binlog segments = checkpoint ids) ----
+
+    def replay(self, changelog: DataFrame, from_checkpoint: int | None = None) -> list[BatchResult]:
+        """Replay a changelog checkpoint-by-checkpoint (ordered). Segments
+        already committed are skipped — so a replay after a crash resumes
+        exactly where the table left off (≡ CdcSourceTest
+        testRecordsProducedDuringAndAfterSync semantics)."""
+        ids = [
+            r[0]
+            for r in changelog.select("checkpoint_id").distinct().orderBy("checkpoint_id").collect()
+        ]
+        out = []
+        for cid in ids:
+            if from_checkpoint is not None and cid < from_checkpoint:
+                continue
+            sub = changelog.filter(F.col("checkpoint_id") == cid)
+            out.append(self.apply_batch(sub, checkpoint_key=f"ckpt-{cid}"))
+        return out
+
+    def replay_dir(self, changelog_dir: str, **kw) -> list[BatchResult]:
+        """Replay from a materialized changelog directory; checkpoint_id is
+        a physical partition there, so each segment read is pruned to its
+        own directory (no full-scan per batch)."""
+        df = self.table.spark.read.schema(CHANGE_SCHEMA).option("basePath", changelog_dir).parquet(
+            changelog_dir
+        )
+        return self.replay(df, **kw)
+
+    # ---- structured streaming ----
+
+    def run_stream(
+        self,
+        changelog_dir: str,
+        spark_checkpoint_dir: str,
+        available_now: bool = True,
+        max_files_per_trigger: int = 1,
+    ):
+        """Tail the changelog directory as a Structured Streaming file
+        source; each micro-batch applies per-checkpoint merges. Exactly-once
+        holds even if the Spark checkpoint dir is lost, because our own
+        committed-set check is transactional with the data commit."""
+        spark = self.table.spark
+        stream = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("basePath", changelog_dir)
+            .parquet(changelog_dir)
+        )
+
+        def handle(df: DataFrame, epoch_id: int) -> None:
+            cids = [r[0] for r in df.select("checkpoint_id").distinct().collect()]
+            for cid in sorted(cids):
+                self.apply_batch(
+                    df.filter(F.col("checkpoint_id") == cid), checkpoint_key=f"ckpt-{cid}"
+                )
+
+        writer = stream.writeStream.foreachBatch(handle).option(
+            "checkpointLocation", spark_checkpoint_dir
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return q
+        return writer.start()
+
+    # ---- state / metrics surface ----
+
+    def committed_checkpoints(self) -> list[str]:
+        return sorted(self.table.committed().keys())
+
+    def metrics(self) -> DataFrame:
+        return self.table.metrics_df()
+
+    def final_state(self) -> DataFrame:
+        return self.table.read()
+
+    def final_pages(self) -> DataFrame:
+        """Payload view (drops engine meta columns)."""
+        df = self.table.read()
+        return df.drop(*[c for c in TARGET_META_COLS if c in df.columns])
