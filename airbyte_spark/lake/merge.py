@@ -12,18 +12,25 @@ DestinationAcceptanceTest.java:612-637):
 
 "newer" is the lexicographic order (cursor, lsn...) — a total order, so
 replay is deterministic even under exact cursor ties (reference tiebreaker
-chain cursor→emitted_at→cdc_updated_at→log_pos).
+chain cursor→emitted_at→cdc_updated_at→log_pos). On exact order-key ties
+the batch side wins, which makes redelivery of an already-applied event a
+no-op (idempotence under at-least-once upstream).
 
 Scale shape (the part that must survive 100 TB / 1000 executors):
-  1. the batch is deduped to one row per key (one shuffle on url);
-  2. candidate-file pruning happens at the driver from manifest metadata:
+  1. candidate-file pruning happens at the driver from manifest metadata:
      only files in buckets the batch's keys hash to, whose [min,max] key
      range overlaps the batch, are read and rewritten — the rest of the
      table is untouched (copy-on-write with file-level skipping, the same
      plan Iceberg's MERGE executes);
-  3. existing⋈batch is an equi-join on the key; with AQE on, a small batch
-     side auto-broadcasts and skewed keys are split (plus the bucket
-     layout spreads hot domains across url-hash buckets by construction).
+  2. the whole resolve (intra-batch dedup + existing⋈batch LWW + tombstone
+     drop) is ONE window pass over union(existing, batch) hash-clustered by
+     the key's bucket — a single shuffle per micro-batch, and the output is
+     already clustered by the table's bucket layout so the write needs no
+     further exchange;
+  3. per-batch metrics (rows, max lsn, per-bucket key bounds) ride one
+     small groupBy-bucket collect (≤ n_buckets rows to the driver);
+  4. hot-domain skew is spread by the url-hash bucketing by construction,
+     and AQE splits any residual skewed partition.
 """
 
 from __future__ import annotations
@@ -31,9 +38,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
-from airbyte_spark.lake.format import FileEntry, LakeTable
+from airbyte_spark.lake.format import FileEntry, LakeTable, _align
 from airbyte_spark.protocol import StreamConfig
 from airbyte_spark.schema import TARGET_META_COLS
 
@@ -45,6 +52,8 @@ class MergeStats:
     version: int
     candidate_files: int
     skipped: bool = False
+    rows_in: int | None = None
+    max_lsn: int | None = None
 
 
 def payload_columns(batch: DataFrame) -> list[str]:
@@ -89,11 +98,14 @@ def merge_upsert(
     batch: DataFrame,
     cfg: StreamConfig,
     checkpoint_key: str | None = None,
+    finalize: "callable | None" = None,
 ) -> MergeStats:
-    """Apply one deduped change batch to the target table.
+    """Apply one change batch to the target table (intra-batch dedup is part
+    of the merge window — raw micro-batches are fine).
 
-    `batch` must contain at most one row per primary key (run
-    operators.dedup.dedup_batch first — the pipeline does).
+    `finalize(df, is_batch_col)` — optional projection hook applied to the
+    winning rows (e.g. vectorized text extraction for fresh rows only).
+
     Idempotent when checkpoint_key is supplied: a replayed batch whose key
     is already in the manifest's committed set is skipped before any work.
     """
@@ -112,33 +124,50 @@ def merge_upsert(
     spec = table.partition_spec()
     bucket_fields = [f for f in spec.fields if f.transform == "bucket" and f.source == key]
 
-    # Per-bucket [min,max] key bounds of the batch — tiny driver-side
-    # metadata (≤ n_buckets rows), the only collect in the merge.
-    if bucket_fields:
-        bexpr = bucket_fields[0].expr()
-        bounds_rows = (
-            batch.groupBy(bexpr.alias("b")).agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
-        ).collect()
-        bounds = {int(r["b"]): (r["lo"], r["hi"]) for r in bounds_rows}
-    else:
-        r = batch.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
-        bounds = {0: (r["lo"], r["hi"])} if r["lo"] is not None else {}
+    # One small collect: per-bucket [min,max] key bounds (file pruning) +
+    # batch metrics (rows in, lsn high-water mark). ≤ n_buckets rows.
+    lsn = cfg.order_tiebreakers[-1]
+    bexpr = bucket_fields[0].expr() if bucket_fields else F.lit(0)
+    bounds_rows = (
+        batch.groupBy(bexpr.alias("b"))
+        .agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(lsn).alias("mx"),
+        )
+        .collect()
+    )
+    bounds = {int(r["b"]): (r["lo"], r["hi"]) for r in bounds_rows if r["lo"] is not None}
+    rows_in = sum(r["n"] for r in bounds_rows)
+    max_lsn = max((r["mx"] for r in bounds_rows), default=None)
 
     candidates = _prune_candidates(table, bounds, key)
     existing = table.read(files=candidates)
 
-    merged = resolve_merge(existing, batch, cfg, target_schema.fieldNames())
+    merged = resolve_merge(
+        existing, batch, cfg, target_schema.fieldNames(), bucket_expr=bexpr, finalize=finalize
+    )
 
-    entries = table._stage_write(merged, stat_cols=[key], one_file_per_partition=True)
+    # The resolve already clustered rows by bucket hash, so the write skips
+    # its repartition (pre_partitioned) — no second exchange.
+    entries = table._stage_write(
+        merged, stat_cols=[key], one_file_per_partition=not bucket_fields
+    )
     rows_removed = sum(e.rows for e in candidates)
     version = table.commit(
         entries,
         removed_paths={e.path for e in candidates},
         operation="merge",
         checkpoint_key=checkpoint_key,
-        summary={"rows_removed": rows_removed, "candidate_files": len(candidates)},
+        summary={"rows_removed": rows_removed, "candidate_files": len(candidates), "rows_in": rows_in},
     )
-    return MergeStats(version=version, candidate_files=len(candidates))
+    return MergeStats(
+        version=version,
+        candidate_files=len(candidates),
+        rows_in=rows_in,
+        max_lsn=max_lsn,
+    )
 
 
 def resolve_merge(
@@ -146,35 +175,52 @@ def resolve_merge(
     batch: DataFrame,
     cfg: StreamConfig,
     out_cols: list[str],
+    bucket_expr: Column | None = None,
+    finalize: "callable | None" = None,
 ) -> DataFrame:
-    """Pure DataFrame restatement of the MERGE cases (unit-testable without
-    a table). Both inputs keyed by cfg.primary_key; batch has ≤1 row/key."""
+    """Pure-DataFrame restatement of the MERGE cases as ONE window pass.
+
+    union(existing tagged 0, batch tagged 1), hash-clustered by the key's
+    bucket, sorted (key asc, cursor desc, lsn desc, is_batch desc); a row
+    wins its key group iff the previous row in that order has a different
+    key (lag-based group-head detection — no second shuffle on the raw key,
+    the bucket partitioning already co-locates all rows of a key). Winning
+    batch tombstones are dropped (DELETE); winning batch rows are the
+    UPDATE/INSERT image; winning existing rows are untouched carry-over.
+
+    ≡ reference active-row rule row_number()=1 AND _ab_cdc_deleted_at IS
+    NULL over PARTITION BY pk ORDER BY cursor DESC, ...,
+    stream_processor.py:695-768 — restated via lag to keep one shuffle.
+    """
     key = cfg.primary_key[0]
     order_cols = cfg.order_cols  # e.g. [warc_ts, _ab_cdc_lsn]
+    deleted = cfg.deleted_at_field
 
-    e = existing.withColumn("_e_exists", F.lit(True)).alias("e")
-    b = batch.withColumn("_b_exists", F.lit(True)).alias("b")
+    e = existing.withColumn("_is_batch", F.lit(0))
+    b = batch.withColumn("_is_batch", F.lit(1))
+    both = e.unionByName(b, allowMissingColumns=True)
 
-    joined = e.join(b, F.col(f"e.{key}") == F.col(f"b.{key}"), "full_outer")
-
-    e_exists = F.col("e._e_exists").isNotNull()
-    b_exists = F.col("b._b_exists").isNotNull()
-    b_newer = F.struct(*[F.col(f"b.{c}") for c in order_cols]) >= F.struct(
-        *[F.col(f"e.{c}") for c in order_cols]
+    part = (bucket_expr if bucket_expr is not None else F.lit(0)).alias("_mb")
+    both = both.withColumn("_mb", part)
+    w = Window.partitionBy("_mb").orderBy(
+        F.col(key).asc(),
+        *[F.col(c).desc_nulls_last() for c in order_cols],
+        F.col("_is_batch").desc(),
     )
-    b_wins = b_exists & (~e_exists | b_newer)
-    b_deleted = F.col(f"b.{cfg.deleted_at_field}").isNotNull()
+    prev_key = F.lag(key).over(w)
+    is_winner = prev_key.isNull() | (prev_key != F.col(key))
+    is_tombstone = (F.col("_is_batch") == 1) & F.col(deleted).isNotNull()
 
-    kept = joined.filter(~(b_wins & b_deleted))
-    out = kept.select(
+    kept = both.withColumn("_win", is_winner).filter(F.col("_win") & ~is_tombstone)
+    if finalize is not None:
+        kept = finalize(kept, F.col("_is_batch") == 1)
+    have = set(kept.columns)
+    return kept.select(
         *[
-            F.when(b_wins, F.col(f"b.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
-            if c in batch.columns
-            else F.col(f"e.{c}").alias(c)
+            F.col(c) if c in have else F.lit(None).alias(c)
             for c in out_cols
         ]
     )
-    return out
 
 
 def target_projection(batch: DataFrame, cfg: StreamConfig) -> DataFrame:

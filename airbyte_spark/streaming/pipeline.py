@@ -24,12 +24,23 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from airbyte_spark.functions.extract import with_extracted_text
+from airbyte_spark.functions.extract import extract_text
 from airbyte_spark.lake.format import LakeTable, PartitionSpec
 from airbyte_spark.lake.merge import merge_upsert
-from airbyte_spark.operators.dedup import dedup_batch
 from airbyte_spark.protocol import StreamConfig
 from airbyte_spark.schema import CHANGE_SCHEMA, PAGE_SCHEMA, TARGET_META_COLS
+
+
+def _extract_winners(df: DataFrame, is_batch) -> DataFrame:
+    """Vectorized HTML→text for freshly-merged rows only; carried-over rows
+    keep their stored text (byte-identical invariant: the rule is pinned in
+    functions/extract.py and applied exactly once per winning version)."""
+    return df.withColumn(
+        "text",
+        F.when(is_batch & F.col("html").isNotNull(), extract_text(F.col("html"))).otherwise(
+            F.col("text")
+        ),
+    )
 
 
 def default_target_schema():
@@ -82,27 +93,22 @@ class CdcPipeline:
     # ---- core batch application ----
 
     def apply_batch(self, batch: DataFrame, checkpoint_key: str) -> BatchResult:
-        """dedup → extract text for winners → merge. Idempotent per key."""
+        """One fused merge pass (intra-batch dedup + LWW + tombstones live in
+        the merge window; text extraction runs only on fresh winning rows).
+        Idempotent per checkpoint key."""
         t0 = time.time()
         if checkpoint_key in self.table.committed():
             res = BatchResult(checkpoint_key, True, None, None, 0.0)
             self.results.append(res)
             return res
 
-        rows_in = max_lsn = None
-        if self.collect_batch_metrics:
-            m = batch.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max(self.cfg.order_tiebreakers[-1]).alias("mx"),
-            ).collect()[0]
-            rows_in, max_lsn = m["n"], m["mx"]
-
-        deduped = dedup_batch(batch, self.cfg)
-        if self.extract:
-            # extraction after dedup: only batch winners pay the UDF cost
-            deduped = with_extracted_text(deduped)
-        merge_upsert(self.table, deduped, self.cfg, checkpoint_key=checkpoint_key)
-        res = BatchResult(checkpoint_key, False, rows_in, max_lsn, time.time() - t0)
+        finalize = _extract_winners if self.extract else None
+        stats = merge_upsert(
+            self.table, batch, self.cfg, checkpoint_key=checkpoint_key, finalize=finalize
+        )
+        res = BatchResult(
+            checkpoint_key, False, stats.rows_in, stats.max_lsn, time.time() - t0
+        )
         self.results.append(res)
         return res
 

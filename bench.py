@@ -1,0 +1,96 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Headline: full CDC replay (dedup → vectorized extract → LWW merge into the
+lake table) of the sf change stream, reported as seconds plus derived
+events/sec (the BASELINE.json metric). Secondary queries cover the other
+operator families so regressions show up per-operator.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_BATCHES       number of replay micro-batches (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from airbyte_spark.session import get_spark  # noqa: E402
+
+
+def time_one(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from airbyte_spark.sources.changelog import derive_changelog
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+    batch_span = max(1, (n_events + n_batches - 1) // n_batches)
+    changelog = derive_changelog(events, batch_span=batch_span).cache()
+    changelog.count()  # materialize once; replay then reads from cache
+
+    queries: dict[str, float] = {}
+
+    # -- headline: full CDC replay into a fresh lake table --------------------
+    work = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        # Warmup: one throwaway micro-batch to pay JVM codegen + Python/Arrow
+        # worker startup once, so the timed run measures steady-state
+        # throughput (what a long-running stream actually sees).
+        warm = CdcPipeline.create_target(spark, f"{work}/warmup", n_buckets=int(cpus))
+        warm.apply_batch(changelog.filter(F.col("checkpoint_id") == 0), "warm-0")
+
+        pipe = CdcPipeline.create_target(spark, f"{work}/pages", n_buckets=int(cpus))
+        queries["cdc_replay"] = time_one(lambda: pipe.replay(changelog))
+        final_rows = pipe.final_state().count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # -- secondary operator timings ------------------------------------------
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name, fn in qs.items():
+        if name == "cdc_replay_final_state":
+            continue  # covered by the headline
+        queries[name] = time_one(lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "cdc_replay_plus_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "events": n_events,
+        "final_rows": final_rows,
+        "events_per_sec": round(n_events / queries["cdc_replay"], 1),
+        "cpus": int(cpus),
+        "batches": n_batches,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
