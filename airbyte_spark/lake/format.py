@@ -137,19 +137,29 @@ def _collect_parquet_stats(abs_path: str, stat_cols: list[str]) -> tuple[int, in
         if col not in names:
             continue
         mn, mx = None, None
+        nulls: int | None = 0
         for rg in range(md.num_row_groups):
             s = md.row_group(rg).column(names[col]).statistics
-            if s is None or not s.has_min_max:
-                mn = mx = None
+            if s is None:
+                mn = mx = nulls = None
                 break
+            nulls = None if (nulls is None or s.null_count is None) else nulls + s.null_count
+            if not s.has_min_max:
+                mn = mx = None
+                continue
             mn = s.min if mn is None else min(mn, s.min)
             mx = s.max if mx is None else max(mx, s.max)
+        entry: dict[str, Any] = {}
         if mn is not None:
             if isinstance(mn, bytes):
                 mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
             if not isinstance(mn, (str, int, float, bool)):
                 mn, mx = str(mn), str(mx)
-            stats[col] = {"min": mn, "max": mx}
+            entry["min"], entry["max"] = mn, mx
+        if nulls is not None:
+            entry["nulls"] = nulls
+        if entry:
+            stats[col] = entry
     return rows, size, stats
 
 

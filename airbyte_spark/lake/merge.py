@@ -79,7 +79,7 @@ def _prune_candidates(
         else:
             lo_hi = _merge_bounds(batch_bounds)
         st = e.stats.get(key_col)
-        if st is not None and lo_hi is not None:
+        if st is not None and "min" in st and lo_hi is not None:
             if st["max"] < lo_hi[0] or st["min"] > lo_hi[1]:
                 continue
         out.append(e)
@@ -152,7 +152,9 @@ def merge_upsert(
     # The resolve already clustered rows by bucket hash, so the write skips
     # its repartition (pre_partitioned) — no second exchange.
     entries = table._stage_write(
-        merged, stat_cols=[key], one_file_per_partition=not bucket_fields
+        merged,
+        stat_cols=[key, cfg.deleted_at_field],
+        one_file_per_partition=not bucket_fields,
     )
     rows_removed = sum(e.rows for e in candidates)
     version = table.commit(
@@ -185,8 +187,13 @@ def resolve_merge(
     wins its key group iff the previous row in that order has a different
     key (lag-based group-head detection — no second shuffle on the raw key,
     the bucket partitioning already co-locates all rows of a key). Winning
-    batch tombstones are dropped (DELETE); winning batch rows are the
-    UPDATE/INSERT image; winning existing rows are untouched carry-over.
+    batch rows are the UPDATE/INSERT image; winning existing rows are
+    untouched carry-over. Winning tombstones are KEPT as soft-delete rows
+    (their _ab_cdc_deleted_at marks them dead): late out-of-order events in
+    later batches then lose to the tombstone instead of resurrecting the
+    key (≡ the reference retaining delete rows in SCD history and filtering
+    active_row, stream_processor.py:759-768); expire_tombstones() GCs them
+    past a watermark.
 
     ≡ reference active-row rule row_number()=1 AND _ab_cdc_deleted_at IS
     NULL over PARTITION BY pk ORDER BY cursor DESC, ...,
@@ -194,7 +201,6 @@ def resolve_merge(
     """
     key = cfg.primary_key[0]
     order_cols = cfg.order_cols  # e.g. [warc_ts, _ab_cdc_lsn]
-    deleted = cfg.deleted_at_field
 
     e = existing.withColumn("_is_batch", F.lit(0))
     b = batch.withColumn("_is_batch", F.lit(1))
@@ -209,9 +215,8 @@ def resolve_merge(
     )
     prev_key = F.lag(key).over(w)
     is_winner = prev_key.isNull() | (prev_key != F.col(key))
-    is_tombstone = (F.col("_is_batch") == 1) & F.col(deleted).isNotNull()
 
-    kept = both.withColumn("_win", is_winner).filter(F.col("_win") & ~is_tombstone)
+    kept = both.withColumn("_win", is_winner).filter(F.col("_win"))
     if finalize is not None:
         kept = finalize(kept, F.col("_is_batch") == 1)
     have = set(kept.columns)
@@ -220,6 +225,50 @@ def resolve_merge(
             F.col(c) if c in have else F.lit(None).alias(c)
             for c in out_cols
         ]
+    )
+
+
+def expire_tombstones(
+    table: LakeTable, cfg: StreamConfig, watermark, checkpoint_key: str | None = None
+) -> int:
+    """Garbage-collect soft-delete rows whose delete cursor is older than the
+    watermark — safe once the source guarantees no event older than the
+    watermark can still arrive (the retention contract of log-compacted
+    systems; ≡ Kafka compaction delete.retention.ms / Delta VACUUM).
+
+    Only files that actually contain expirable tombstones are rewritten
+    (min-stat pruning on the deleted_at column would refine this further at
+    scale; here file-level row filtering keeps untouched files in place).
+    """
+    deleted = cfg.deleted_at_field
+    wm = str(watermark)
+
+    def may_hold_expirable(e: FileEntry) -> bool:
+        st = e.stats.get(deleted)
+        if st is None:
+            return True  # stats unknown → rewrite conservatively
+        if st.get("nulls") == e.rows:
+            return False  # every deleted_at is NULL → no tombstones here
+        if "min" in st:
+            return str(st["min"]) < wm
+        return True
+
+    # Only files that may hold an expirable tombstone are rewritten; at
+    # steady state tombstones cluster in recent files, so this touches a
+    # small suffix of the table.
+    victims = [e for e in table.files() if may_hold_expirable(e)]
+    if not victims:
+        return table.current_version()
+    df = table.read(files=victims)
+    kept = df.filter(F.col(deleted).isNull() | (F.col(deleted) >= F.lit(watermark)))
+    entries = table._stage_write(
+        kept, stat_cols=[cfg.primary_key[0], deleted], one_file_per_partition=True
+    )
+    return table.commit(
+        entries,
+        removed_paths={e.path for e in victims},
+        operation="expire-tombstones",
+        checkpoint_key=checkpoint_key,
     )
 
 

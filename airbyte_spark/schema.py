@@ -57,8 +57,13 @@ CHANGE_SCHEMA = StructType([*PAGE_SCHEMA.fields, *CDC_META_FIELDS])
 
 # Columns the merge keeps in the target beyond the payload: the LSN makes
 # replay deterministic under exact warc_ts ties (reference tiebreaker chain,
-# stream_processor.py:769-783 uses _ab_cdc_log_pos the same way).
-TARGET_META_COLS = ["_ab_cdc_lsn"]
+# stream_processor.py:769-783 uses _ab_cdc_log_pos the same way), and
+# _ab_cdc_deleted_at persists tombstones so that a late (older-cursor) event
+# delivered in a later batch cannot resurrect a deleted key — the reference
+# gets the same property by keeping delete rows in the SCD history table and
+# filtering them from the active view (stream_processor.py:759-768). Expired
+# tombstones are garbage-collected past a watermark (expire_tombstones).
+TARGET_META_COLS = ["_ab_cdc_lsn", "_ab_cdc_deleted_at"]
 
 
 # --- JSON-schema primitive → Spark type (reference type system, SURVEY §1.2) ---
@@ -90,7 +95,7 @@ def json_type_to_spark(json_type: str, fmt: str | None = None) -> DataType:
 
 # Widening lattice: "boolean < integer < number < string"
 # (stream_processor.py:492). A promotion is legal if it moves up the chain.
-_WIDEN_ORDER = ["boolean", "long", "double", "string"]
+_WIDEN_ORDER = ["boolean", "bigint", "double", "string"]
 
 
 def _widen_rank(dt: DataType) -> int:

@@ -32,21 +32,29 @@ from airbyte_spark.schema import CHANGE_SCHEMA, PAGE_SCHEMA, TARGET_META_COLS
 
 
 def _extract_winners(df: DataFrame, is_batch) -> DataFrame:
-    """Vectorized HTML→text for freshly-merged rows only; carried-over rows
-    keep their stored text (byte-identical invariant: the rule is pinned in
-    functions/extract.py and applied exactly once per winning version)."""
+    """Vectorized HTML→text for freshly-merged live rows only; carried-over
+    rows keep their stored text and tombstones skip the UDF entirely
+    (byte-identical invariant: the rule is pinned in functions/extract.py
+    and applied exactly once per winning version)."""
+    fresh_live = is_batch & F.col("html").isNotNull() & F.col("_ab_cdc_deleted_at").isNull()
     return df.withColumn(
         "text",
-        F.when(is_batch & F.col("html").isNotNull(), extract_text(F.col("html"))).otherwise(
-            F.col("text")
-        ),
+        F.when(fresh_live, extract_text(F.col("html"))).otherwise(F.col("text")),
     )
 
 
 def default_target_schema():
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType
 
-    return StructType([*PAGE_SCHEMA.fields, StructField("_ab_cdc_lsn", LongType(), True)])
+    return StructType(
+        [
+            *PAGE_SCHEMA.fields,
+            StructField("_ab_cdc_lsn", LongType(), True),
+            # soft-delete marker: tombstones persist (invisible to the
+            # active view) until expire_tombstones() passes the watermark
+            StructField("_ab_cdc_deleted_at", TimestampNTZType(), True),
+        ]
+    )
 
 
 @dataclass
@@ -186,9 +194,23 @@ class CdcPipeline:
         return self.table.metrics_df()
 
     def final_state(self) -> DataFrame:
+        """Active rows — tombstones filtered (≡ _airbyte_active_row = 1)."""
+        df = self.table.read()
+        if self.cfg.deleted_at_field in df.columns:
+            df = df.filter(F.col(self.cfg.deleted_at_field).isNull())
+        return df.drop(self.cfg.deleted_at_field)
+
+    def raw_state(self) -> DataFrame:
+        """All stored rows including soft-delete tombstones."""
         return self.table.read()
+
+    def expire_tombstones(self, watermark) -> int:
+        """GC tombstones older than the watermark (retention contract)."""
+        from airbyte_spark.lake.merge import expire_tombstones
+
+        return expire_tombstones(self.table, self.cfg, watermark)
 
     def final_pages(self) -> DataFrame:
         """Payload view (drops engine meta columns)."""
-        df = self.table.read()
+        df = self.final_state()
         return df.drop(*[c for c in TARGET_META_COLS if c in df.columns])
