@@ -145,6 +145,144 @@ def q_cdc_checkpoint_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sync-mode queries (full refresh / append / reset through the lake) ---------
+
+
+def q_sync_full_refresh_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DestinationSyncMode.OVERWRITE: full-refresh snapshot atomically
+    replaces the table (≡ reference transactional TRUNCATE+INSERT swap,
+    JdbcBufferedConsumerFactory.java:169-179). Runs through LakeTable
+    overwrite and reads the committed snapshot back."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    ch = read_changelog(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc_nulls_last(), F.col("_ab_cdc_lsn").desc_nulls_last()
+    )
+    snapshot = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("_ab_cdc_deleted_at").isNull())
+        .select("url", "warc_ts", "lang", "_ab_cdc_lsn")
+    )
+    path = tempfile.mkdtemp(prefix="airbyte_spark_fr_") + "/pages_fr"
+    t = LakeTable.create(spark, path, snapshot.schema, PartitionSpec.bucket("url", 8))
+    t.overwrite(snapshot, stat_cols=["url"])
+    return t.read()
+
+
+def q_sync_append_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DestinationSyncMode.APPEND: raw-table semantics — every event lands
+    with a deterministic record id (≡ _airbyte_raw_<stream> with
+    _airbyte_ab_id/_airbyte_emitted_at, JdbcSqlOperations.java:44-51;
+    deterministic md5 id instead of uuid for replay-stable output)."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    ch = read_changelog(spark, sf_dir)
+    raw = ch.select(
+        F.md5(F.concat_ws(":", F.col("url"), F.col("_ab_cdc_lsn"))).alias("_ab_id"),
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("_emitted_at"),
+        "checkpoint_id",
+    )
+    path = tempfile.mkdtemp(prefix="airbyte_spark_ap_") + "/pages_raw"
+    t = LakeTable.create(spark, path, raw.schema, PartitionSpec())
+    t.append(raw, checkpoint_key="raw-0")
+    return t.read()
+
+
+def q_sync_reset_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset semantics (≡ EmptyAirbyteSource + truncate,
+    airbyte-workers EmptyAirbyteSource.java:36-60): populate then truncate;
+    the committed snapshot must be empty with the schema intact."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    ch = read_changelog(spark, sf_dir).select("url", "warc_ts", "lang")
+    path = tempfile.mkdtemp(prefix="airbyte_spark_rs_") + "/pages_rs"
+    t = LakeTable.create(spark, path, ch.schema, PartitionSpec())
+    t.append(ch.limit(100))
+    t.truncate()
+    return t.read()
+
+
+# --- training-data operators: documents ------------------------------------------
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.operators.dedup_text import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id", "fingerprint")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.operators.textops import with_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality(docs).select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.operators.textops import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.operators.dedup_text import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(docs, threshold=0.5)
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.operators.dedup_text import lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_pairs(docs)
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.operators.dedup_text import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs)
+
+
+# --- training-data operators: embeddings -----------------------------------------
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.4)
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, num_centroids=16, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -154,7 +292,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd_history": q_cdc_scd_history,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_checkpoint_metrics": q_cdc_checkpoint_metrics,
+        "sync_full_refresh_overwrite": q_sync_full_refresh_overwrite,
+        "sync_append_raw": q_sync_append_raw,
+        "sync_reset_empty": q_sync_reset_empty,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_quality": q_doc_quality,
+        "doc_language_id": q_doc_language_id,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_near_dups": q_emb_near_dups,
+        "emb_ivf_topk": q_emb_ivf_topk,
     }
+
+
+# --- oracle SQL helpers (DuckDB) -------------------------------------------------
+
+_WORDS_CTE = """
+w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents
+)"""
+
+_SHINGLES_CTE = """
+shd AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, greatest(len(ws) - 1, 1))]) AS s
+    FROM w
+  )
+)"""
+
+_TOKEN_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_STOP_PAT = r"\b(the|a|an|of|and|to|in|is|that|it)\b"
+
+_LANG_MARKERS_SQL = [
+    ("en", r"\b(the|a|of|and|to)\b"),
+    ("de", r"\b(der|die|und|ist|das)\b"),
+    ("fr", r"\b(le|la|et|les|des)\b"),
+    ("es", r"\b(el|los|y|que|en)\b"),
+    ("it", r"\b(il|di|che|per|con)\b"),
+]
+
+
+def _minhash_cte(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || s)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS key FROM mh".format(
+            b=bi,
+            key=" || '|' || ".join(f"mh{bi * rows + j}" for j in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM shd GROUP BY doc_id
+),
+bk AS (
+{band_selects}
+)"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = []
+    for j in range(bits):
+        nib = f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        bit = f"(CAST(floor({nib} / {2 ** (j % 4)}) AS BIGINT) % 2)"
+        votes.append(f"SUM({bit} * 2 - 1) AS v{j}")
+    vote_list = ",\n         ".join(votes)
+    sh = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+    WITH wx AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+      FROM documents
+    ),
+    hw AS (SELECT doc_id, md5(word) AS h FROM wx),
+    v AS (
+      SELECT doc_id,
+         {vote_list}
+      FROM hw GROUP BY doc_id
+    )
+    SELECT doc_id, {sh} AS simhash FROM v
+    """
+
+
+_EMB_BASE_CTE = """
+e AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nr
+  FROM e GROUP BY vec_id
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -214,5 +453,168 @@ def oracle_sql() -> dict[str, str]:
                    max(warc_ts) AS max_cursor,
                    count(DISTINCT url) AS n_urls
             FROM ch GROUP BY checkpoint_id
+        """,
+        "sync_full_refresh_overwrite": f"""
+            WITH ch AS ({_CH}),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch)
+            SELECT url, warc_ts, lang, _ab_cdc_lsn
+            FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
+        "sync_append_raw": f"""
+            WITH ch AS ({_CH})
+            SELECT md5(url || ':' || CAST(_ab_cdc_lsn AS VARCHAR)) AS _ab_id,
+                   url, warc_ts, lang, _emitted_at, checkpoint_id
+            FROM ch
+        """,
+        "sync_reset_empty": f"""
+            WITH ch AS ({_CH})
+            SELECT url, warc_ts, lang FROM ch WHERE 1 = 0
+        """,
+        "doc_exact_dedup": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+                     row_number() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                       ORDER BY doc_id ASC) AS rn
+              FROM documents)
+            SELECT doc_id, fingerprint FROM f WHERE rn = 1
+        """,
+        "doc_quality": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS nc,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                     len(regexp_extract_all(text, '{_TOKEN_PAT}')) AS n_tokens,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS n_stop
+              FROM documents),
+            m AS (
+              SELECT doc_id, n_words, n_tokens,
+                     CASE WHEN n_words > 0 THEN CAST(nc AS DOUBLE) / n_words END AS mean_word_len,
+                     CASE WHEN nc > 0 THEN CAST(n_punct AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio
+              FROM q)
+            SELECT doc_id, n_words, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+                   CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+                    + CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END
+                    + CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END
+                    + CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END AS DOUBLE) AS quality_score
+            FROM m
+        """,
+        "doc_language_id": """
+            WITH s AS (
+              SELECT doc_id,
+                     {scores}
+              FROM documents),
+            b AS (SELECT *, greatest({names}) AS best FROM s)
+            SELECT doc_id,
+                   CASE {cases}
+                        ELSE 'und' END AS lang_pred
+            FROM b
+        """.format(
+            scores=",\n                     ".join(
+                f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
+                for lang, pat in _LANG_MARKERS_SQL
+            ),
+            names=", ".join(f"s_{lang}" for lang, _ in _LANG_MARKERS_SQL),
+            cases=" ".join(
+                f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'"
+                for lang, _ in _LANG_MARKERS_SQL
+            ),
+        ),
+        "doc_jaccard_pairs": f"""
+            WITH {_WORDS_CTE},
+            {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT a_id, b_id,
+                   CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a_id
+            JOIN sizes sb ON sb.doc_id = p.b_id
+            WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+        """,
+        "doc_minhash_lsh": f"""
+            WITH {_WORDS_CTE},
+            {_SHINGLES_CTE},
+            {_minhash_cte()}
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bk a JOIN bk b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "doc_simhash": _simhash_sql(),
+        "emb_cosine_topk": f"""
+            WITH {_EMB_BASE_CTE},
+            dots AS (
+              SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                     SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+              FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT q_id, n_id, dp / (nq.nr * nn.nr) AS cos
+              FROM dots JOIN norms nq ON nq.vec_id = dots.q_id
+                        JOIN norms nn ON nn.vec_id = dots.n_id),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS "rank"
+                  FROM scored)
+            SELECT q_id, n_id, "rank", cos FROM r WHERE "rank" <= 10
+        """,
+        "emb_near_dups": f"""
+            WITH {_EMB_BASE_CTE},
+            dots AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+              FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+            SELECT a_id, b_id, dp / (na.nr * nb.nr) AS cos
+            FROM dots JOIN norms na ON na.vec_id = dots.a_id
+                      JOIN norms nb ON nb.vec_id = dots.b_id
+            WHERE dp / (na.nr * nb.nr) >= 0.4
+        """,
+        "emb_ivf_topk": f"""
+            WITH {_EMB_BASE_CTE},
+            dc AS (
+              SELECT a.vec_id, b.vec_id AS c_id,
+                     SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+              FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+              GROUP BY 1, 2),
+            dcs AS (
+              SELECT dc.vec_id AS vec_id, dc.c_id AS c_id, dp / (nv.nr * nc.nr) AS cos
+              FROM dc JOIN norms nv ON nv.vec_id = dc.vec_id
+                      JOIN norms nc ON nc.vec_id = dc.c_id),
+            assign AS (
+              SELECT vec_id AS n_id, c_id AS cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rn
+                FROM dcs) WHERE rn = 1),
+            qcells AS (
+              SELECT vec_id AS q_id, c_id AS cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rn
+                FROM dcs WHERE vec_id < 5) WHERE rn <= 4),
+            cand AS (
+              SELECT DISTINCT q_id, n_id
+              FROM qcells JOIN assign USING (cell)
+              WHERE q_id <> n_id),
+            dots AS (
+              SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                     SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+              FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT c.q_id, c.n_id, dp / (nq.nr * nn.nr) AS cos
+              FROM cand c JOIN dots d ON d.q_id = c.q_id AND d.n_id = c.n_id
+                          JOIN norms nq ON nq.vec_id = c.q_id
+                          JOIN norms nn ON nn.vec_id = c.n_id),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS "rank"
+                  FROM scored)
+            SELECT q_id, n_id, "rank", cos FROM r WHERE "rank" <= 10
         """,
     }

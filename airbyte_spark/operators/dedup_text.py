@@ -1,0 +1,196 @@
+"""Document deduplication operators — exact, n-gram Jaccard, MinHash-LSH,
+SimHash. Training-data-pipeline extensions beyond the reference's CDC
+surface.
+
+Scale notes (100 TB design point):
+  - exact dedup: one hash-groupBy shuffle on a 32-byte digest — optimal.
+  - n-gram Jaccard: the exact-pair path is quadratic in documents sharing a
+    shingle; it is the verification stage, run only on LSH candidates at
+    scale (candidates() exposes that composition).
+  - MinHash-LSH: shingle explode → per-doc signature (one shuffle) → band
+    keys → self-join on (band, key) — the classic sub-quadratic near-dup
+    join; band/row counts tune the similarity threshold s ≈ (1/b)^(1/r).
+  - SimHash: one explode + one groupBy; hamming-adjacent buckets join.
+
+Everything is md5-based so a SQL oracle (DuckDB) reproduces results
+bit-for-bit; xxhash64 would be faster but is not portable to the oracle.
+All hot paths are built-in column expressions (codegen), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from airbyte_spark.operators.textops import fingerprint, normalize_text
+
+HEX = "0123456789abcdef"
+
+
+def words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda x: x != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (possibly with duplicates)."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per identical normalized text.
+    One shuffle on the md5 digest; at 100 TB the digest groupBy is the
+    cheapest possible exact-dup key (no text comparison)."""
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed("_fp", "fingerprint")
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard ≥ threshold.
+    The shared-shingle self-join is the quadratic exact path — at scale,
+    feed it LSH candidates instead of the full corpus (see lsh_pairs).
+    """
+    d = doc_shingles(df, text_col, id_col, n).cache()
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = d.alias("a"), d.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: component i = min(md5('<i>:'||shingle)).
+
+    md5-as-permutation is deterministic and oracle-portable; the min is a
+    partial aggregate (map-side combine), so the only shuffle is the
+    groupBy(doc_id) with num_hashes tiny min-accumulators.
+    """
+    d = doc_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return d.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on ALL rows of ≥1 band.
+
+    rows-per-band r = num_hashes/bands; collision threshold ≈ (1/b)^(1/r).
+    Defaults (8 hashes, 4 bands of 2) target jaccard ≳ 0.5. Returns
+    distinct (a_id, b_id), a_id < b_id. The band self-join is the scale
+    path: cost ∝ Σ bucket², not corpus².
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])).alias(
+                "key"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    exploded = sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def _nibble(hexstr: Column, pos: int) -> Column:
+    """Value 0-15 of hex digit at 1-based pos (portable: instr/strpos)."""
+    return F.instr(F.lit(HEX), F.substring(hexstr, pos, 1)) - 1
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash over words: bit j of md5(word) votes ±1; the sign of
+    the summed vote sets bit j of the fingerprint. 32 bits = first 8 hex
+    chars of the md5. One explode + one groupBy(doc_id) with `bits` sum
+    accumulators (all map-side combinable).
+
+    Near-dup docs differ in few bits (compare via popcount(xor)).
+    """
+    w = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w")
+    ).withColumn("h", F.md5(F.col("w")))
+    votes = []
+    for j in range(bits):
+        nib = _nibble(F.col("h"), j // 4 + 1)
+        bit = F.floor(nib / (2 ** (j % 4))) % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    agg = w.groupBy("doc_id").agg(*votes)
+    sh = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    return agg.select("doc_id", sh.alias("simhash"))

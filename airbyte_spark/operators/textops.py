@@ -1,0 +1,106 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+These extend the engine beyond the reference's CDC surface (the reference
+has no text analytics) with the operations a web-text ingest needs at
+100 TB: token counting, quality scoring, language ID, fingerprinting.
+
+All are pure column expressions (JVM-side, whole-stage codegen — no Python
+in the hot path) and are oracle-checkable: every rule is expressible in
+ANSI-ish SQL (see __spark_entry__.oracle_sql). At scale they run as a map
+stage fused into the scan (no shuffle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# BPE-ish tokenization: letter runs, single digits, single punctuation marks —
+# the shape of byte-pair pretokenizers (letters vs digits vs symbols), without
+# a vocab. Same regex runs in DuckDB (RE2) and Spark (Java regex).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[^\w\s]"
+
+# Stopword markers per language for the n-gram/stopword-count language ID.
+# Order is the deterministic tie-break priority.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "to"]),
+    ("de", ["der", "die", "und", "ist", "das"]),
+    ("fr", ["le", "la", "et", "les", "des"]),
+    ("es", ["el", "los", "y", "que", "en"]),
+    ("it", ["il", "di", "che", "per", "con"]),
+]
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "that", "it"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-free BPE-ish token count (vectorized regex, no UDF)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+"), 0))
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def _marker_count(text_lower: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(text_lower, F.lit(pat), 0))
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword-marker counts,
+    deterministic tie-break by LANG_MARKERS order; 'und' when all zero."""
+    lower = F.lower(text)
+    scores = [(_marker_count(lower, ws), lang) for lang, ws in LANG_MARKERS]
+    best = F.greatest(*[s for s, _ in scores])
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for score, lang in reversed(scores):
+        expr = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-signal columns: sizes, ratios, and a composite keep-score in
+    [0,1] (mirrors the shape of C4/Gopher-style quality filters)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = word_count(t)
+    n_punct = _count_matches(t, PUNCT_PATTERN)
+    n_stop = _marker_count(F.lower(t), STOPWORDS_EN)
+    mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), F.lit(0.4)).otherwise(0.0)
+        + F.when((mean_word_len >= 2) & (mean_word_len <= 12), F.lit(0.2)).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, F.lit(0.2)).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("n_tokens", token_count(t))
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, non-alnum runs → one
+    space, trimmed. One rule, pinned here (byte-identity discipline)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. Whitespace/markup
+    variations collapse to the same fingerprint."""
+    return F.md5(normalize_text(text))

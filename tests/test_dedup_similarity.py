@@ -1,0 +1,94 @@
+"""Invariant tests for document dedup (exact / jaccard / MinHash-LSH /
+SimHash) and embedding similarity search (brute-force + IVF recall)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airbyte_spark.operators.dedup_text import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_pairs,
+    simhash,
+)
+from airbyte_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "Same  text!"), (1, "same text"), (2, "other")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in exact_dedup(df).collect()}
+    assert kept == {1, 2}  # normalized dup of 1 and 3 → min id 1 survives
+
+
+def test_lsh_recalls_high_jaccard_pairs(docs):
+    """Every pair with jaccard ≥ 0.9 must be an LSH candidate (8 hashes /
+    4 bands of 2 → collision prob 1-(1-s²)⁴ ≈ 0.9996 at s=0.9; the planted
+    near-dups in the fixture are ~0.99)."""
+    exact = {(r["a_id"], r["b_id"]) for r in jaccard_pairs(docs, threshold=0.9).collect()}
+    cand = {(r["a_id"], r["b_id"]) for r in lsh_pairs(docs).collect()}
+    assert exact, "fixture should contain near-duplicate documents"
+    missed = exact - cand
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_near_dups_close_in_hamming(spark, docs):
+    pairs = jaccard_pairs(docs, threshold=0.9).collect()
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert all(0 <= v < 2**32 for v in sh.values())
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [ham(sh[p["a_id"]], sh[p["b_id"]]) for p in pairs]
+    assert near and max(near) <= 6
+    # random non-dup pairs should be clearly farther on average
+    ids = sorted(sh)
+    near_set = {(p["a_id"], p["b_id"]) for p in pairs}
+    far = [
+        ham(sh[ids[i]], sh[ids[i + 250]])
+        for i in range(100)
+        if (ids[i], ids[i + 250]) not in near_set
+    ]
+    assert sum(far) / len(far) > 2 * (sum(near) / len(near) + 1)
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=5).collect()
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for q in range(3):
+        sims = Vn @ Vn[q]
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != q),
+            key=lambda i: (-sims[i], ids[i]),
+        )[:5]
+        want = [ids[i] for i in order]
+        mine = [r["n_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["q_id"] == q]
+        assert mine == want
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = {(r["q_id"], r["n_id"]) for r in cosine_topk(q, emb, k=10).collect()}
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in ivf_topk(q, emb, k=10, num_centroids=16, nprobe=8).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

@@ -1,0 +1,73 @@
+"""Unit tests for text-analysis operators (token count, quality, lang-ID,
+fingerprint) — deterministic column-expression rules."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airbyte_spark.operators.textops import (
+    fingerprint,
+    language_id,
+    token_count,
+    with_quality,
+    word_count,
+)
+
+
+def one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).first()["v"]
+
+
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        ("hello world", 2),
+        ("don't stop", 4),  # don + ' + t + stop
+        ("a1b 22", 5),  # a1b → a,1,b? no: [A-Za-z]+ greedy → a? 'a1b' → 'a','1','b'; '22' → '2','2'
+        ("", 0),
+        ("!!!", 3),
+    ],
+)
+def test_token_count(spark, text, want):
+    assert one(spark, text, token_count(F.col("text"))) == want
+
+
+def test_word_count(spark):
+    assert one(spark, "Hello, world! 42", word_count(F.col("text"))) == 3
+
+
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        ("the cat sat on the mat and looked", "en"),
+        ("der hund und die katze ist das", "de"),
+        ("le chat et la souris les des", "fr"),
+        ("el gato y los perros que en", "es"),
+        ("il gatto di che per con", "it"),
+        ("xyzzy qwerty", "und"),
+        # tie between en and de markers → en wins (declared priority)
+        ("the der", "en"),
+    ],
+)
+def test_language_id(spark, text, want):
+    assert one(spark, text, language_id(F.col("text"))) == want
+
+
+def test_fingerprint_normalization_invariance(spark):
+    variants = ["Hello,   World!", "hello world", "  HELLO--WORLD  ", "hello\tworld\n"]
+    df = spark.createDataFrame([(v,) for v in variants], "text string")
+    fps = {r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()}
+    assert len(fps) == 1
+
+
+def test_quality_columns(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    bad = "!!! ??? ..."
+    df = spark.createDataFrame([(1, good), (2, bad)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in with_quality(df).collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert rows[1]["n_words"] == 14
+    assert rows[2]["punct_ratio"] > 0.5
+    assert rows[1]["stopword_ratio"] > 0.1
