@@ -1,0 +1,172 @@
+"""Engine CLI — mirrors the reference connector entrypoint surface
+(airbyte-cdk entrypoint.py:27-58: spec/check/discover/read) plus engine
+verbs (replay/expire/metrics). Run via:
+
+  spark-submit --py-files airbyte_spark.zip -m airbyte_spark.cli <cmd> ...
+  python -m airbyte_spark.cli <cmd> ...
+
+Commands:
+  discover --target T            print the stream catalog (name, schema,
+                                 cursor, pk) for an existing lake table or
+                                 the default pages stream
+  check    --source DIR          connectivity/shape check on a changelog
+                                 directory (≡ CONNECTION_STATUS)
+  read     --source DIR --target T [--from-checkpoint K]
+                                 bounded incremental sync: replay pending
+                                 changelog segments into the target
+  stream   --source DIR --target T --spark-checkpoint D
+                                 same via Structured Streaming availableNow
+  full-refresh --source DIR --target T
+                                 snapshot overwrite (sync_mode=full_refresh)
+  reset    --target T            truncate the target (EmptyAirbyteSource)
+  expire   --target T --watermark TS
+                                 GC soft-delete tombstones older than TS
+  metrics  --target T            per-checkpoint lineage/metrics table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import pyspark.sql.functions as F
+
+from airbyte_spark.session import get_spark
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="airbyte_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, *flags):
+        sp = sub.add_parser(name)
+        for f in flags:
+            req = f in ("--source", "--target", "--watermark", "--spark-checkpoint")
+            sp.add_argument(f, required=req)
+        return sp
+
+    add("discover", "--target")
+    add("check", "--source")
+    sp = add("read", "--source", "--target")
+    sp.add_argument("--from-checkpoint", type=int, default=None)
+    sp.add_argument("--n-buckets", type=int, default=16)
+    sp = add("stream", "--source", "--target", "--spark-checkpoint")
+    sp.add_argument("--n-buckets", type=int, default=16)
+    sp = add("full-refresh", "--source", "--target")
+    sp.add_argument("--n-buckets", type=int, default=16)
+    add("reset", "--target")
+    add("expire", "--target", "--watermark")
+    add("metrics", "--target")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    spark = get_spark(f"airbyte_spark-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run(spark, args)
+    print(json.dumps(out))
+    return 0 if out.get("status") != "FAILED" else 1
+
+
+def run(spark, args) -> dict:
+    from airbyte_spark.lake.format import LakeTable
+    from airbyte_spark.schema import CHANGE_SCHEMA
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    if args.cmd == "discover":
+        if LakeTable.exists(args.target):
+            t = LakeTable.load(spark, args.target)
+            schema = t.schema()
+        else:
+            from airbyte_spark.streaming.pipeline import default_target_schema
+
+            schema = default_target_schema()
+        return {
+            "type": "CATALOG",
+            "streams": [
+                {
+                    "name": "pages",
+                    "json_schema": json.loads(schema.json()),
+                    "supported_sync_modes": ["full_refresh", "incremental"],
+                    "source_defined_cursor": True,
+                    "default_cursor_field": ["warc_ts"],
+                    "source_defined_primary_key": [["url"]],
+                }
+            ],
+        }
+
+    if args.cmd == "check":
+        try:
+            df = spark.read.schema(CHANGE_SCHEMA).option("basePath", args.source).parquet(
+                args.source
+            )
+            n = df.limit(1).count()
+            return {"type": "CONNECTION_STATUS", "status": "SUCCEEDED", "sampled": n}
+        except Exception as e:  # noqa: BLE001
+            return {"type": "CONNECTION_STATUS", "status": "FAILED", "message": str(e)}
+
+    if args.cmd == "read":
+        pipe = CdcPipeline.create_target(spark, args.target, n_buckets=args.n_buckets)
+        results = pipe.replay_dir(args.source, from_checkpoint=args.from_checkpoint)
+        return {
+            "type": "SYNC_RESULT",
+            "batches": len(results),
+            "applied": sum(1 for r in results if not r.skipped),
+            "skipped": sum(1 for r in results if r.skipped),
+            "committed": pipe.committed_checkpoints(),
+        }
+
+    if args.cmd == "stream":
+        pipe = CdcPipeline.create_target(spark, args.target, n_buckets=args.n_buckets)
+        pipe.run_stream(args.source, args.spark_checkpoint, available_now=True)
+        return {
+            "type": "SYNC_RESULT",
+            "mode": "stream",
+            "committed": pipe.committed_checkpoints(),
+        }
+
+    if args.cmd == "full-refresh":
+        from airbyte_spark.lake.merge import target_projection
+
+        pipe = CdcPipeline.create_target(spark, args.target, n_buckets=args.n_buckets)
+        df = spark.read.schema(CHANGE_SCHEMA).option("basePath", args.source).parquet(
+            args.source
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc_nulls_last(), F.col("_ab_cdc_lsn").desc_nulls_last()
+        )
+        snap = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1))
+            .drop("_rn")
+        )
+        from airbyte_spark.streaming.pipeline import _extract_winners
+
+        snap = _extract_winners(snap, F.lit(True))
+        pipe.table.overwrite(target_projection(snap, pipe.cfg), stat_cols=["url"])
+        return {"type": "SYNC_RESULT", "mode": "full_refresh", "rows": pipe.raw_state().count()}
+
+    if args.cmd == "reset":
+        t = LakeTable.load(spark, args.target)
+        t.truncate()
+        return {"type": "SYNC_RESULT", "mode": "reset", "version": t.current_version()}
+
+    if args.cmd == "expire":
+        pipe = CdcPipeline.create_target(spark, args.target)
+        v = pipe.expire_tombstones(args.watermark)
+        return {"type": "SYNC_RESULT", "mode": "expire", "version": v}
+
+    if args.cmd == "metrics":
+        pipe = CdcPipeline.create_target(spark, args.target)
+        rows = [r.asDict() for r in pipe.metrics().collect()]
+        return {"type": "METRICS", "rows": rows}
+
+    raise SystemExit(f"unknown command {args.cmd}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

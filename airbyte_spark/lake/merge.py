@@ -44,7 +44,10 @@ from airbyte_spark.lake.format import FileEntry, LakeTable, _align
 from airbyte_spark.protocol import StreamConfig
 from airbyte_spark.schema import TARGET_META_COLS
 
-_ENVELOPE = {"_ab_cdc_updated_at", "_ab_cdc_deleted_at", "_emitted_at", "checkpoint_id"}
+# change-event columns that do NOT land in the target table; the deleted
+# marker and lsn are deliberately NOT here — they are stored target metadata
+# (soft-delete + total-order tiebreak), see schema.TARGET_META_COLS
+_ENVELOPE = {"_ab_cdc_updated_at", "_emitted_at", "checkpoint_id"}
 
 
 @dataclass

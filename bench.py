@@ -46,7 +46,9 @@ def main() -> None:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_events = events.count()
     batch_span = max(1, (n_events + n_batches - 1) // n_batches)
-    changelog = derive_changelog(events, batch_span=batch_span).cache()
+    # repartition before caching: the single-file parquet source would
+    # otherwise pin every per-batch scan to 1-2 cache partitions
+    changelog = derive_changelog(events, batch_span=batch_span).repartition(int(cpus) * 2).cache()
     changelog.count()  # materialize once; replay then reads from cache
 
     queries: dict[str, float] = {}

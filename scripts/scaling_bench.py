@@ -1,0 +1,165 @@
+"""Two-parallelism scaling benchmark — the sandbox proxy for the north
+rule's "N vs 4N executors, scaling efficiency >= 0.8" criterion.
+
+Runs the SAME replay job (deterministically amplified changelog -> dedup ->
+extract -> LWW merge) in two fresh Spark JVMs at local[N] and local[4N],
+reports steady-state throughput at both and the efficiency
+   eff = throughput(4N) / (4 * throughput(N)).
+
+The amplification (xR on the events table, distinct urls per replica)
+makes each micro-batch carry real per-core work (html extraction, window
+shuffle, parquet IO) the way a production batch would; it is pure column
+math, so the input is identical across runs.
+
+Usage:
+  python scripts/scaling_bench.py                 # orchestrates both runs
+  python scripts/scaling_bench.py worker <cpus>   # one timed run (internal)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SCALE_REP (default
+50), SCALE_BATCHES (default 5), SCALE_N (default 8 -> compares 8 vs 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REP = int(os.environ.get("SCALE_REP", "50"))
+BATCHES = int(os.environ.get("SCALE_BATCHES", "5"))
+N = int(os.environ.get("SCALE_N", "8"))
+
+
+def amplified_changelog(spark, sf_dir: str, rep: int, n_batches: int):
+    """events x rep with distinct urls per replica; checkpoint ids span the
+    amplified lsn range so each batch is 1/n_batches of the stream."""
+    import pyspark.sql.functions as F
+
+    from airbyte_spark.sources.changelog import derive_changelog
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count() * rep
+    reps = spark.range(rep).withColumnRenamed("id", "rep")
+    amplified = (
+        events.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") * rep + F.col("rep"))
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * 1_000_000)
+        .drop("rep")
+    )
+    span = (n_events + n_batches - 1) // n_batches
+    return derive_changelog(amplified, batch_span=span), n_events
+
+
+def _cpu_stat():
+    f = open("/proc/stat").readline().split()
+    return [int(x) for x in f[1:9]]  # user nice sys idle iowait irq sirq steal
+
+
+def worker(cpus: int) -> None:
+    from airbyte_spark.session import get_spark
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    # local mode = everything in the driver JVM; size the heap for the
+    # concurrent task count (32 tasks sorting + caching + arrow buffers)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+    spark = get_spark(
+        f"scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    changelog, n_events = amplified_changelog(spark, SF_DIR, REP, BATCHES)
+    # The events parquet is a single file -> 1-2 input partitions; spread the
+    # cached changelog so every per-batch scan parallelizes (a real binlog
+    # tail arrives as many segment files and never has this problem).
+    changelog = changelog.repartition(cpus * 3).cache()
+    changelog.count()
+
+    work = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+    try:
+        import pyspark.sql.functions as F
+
+        warm = CdcPipeline.create_target(spark, f"{work}/warm", n_buckets=cpus)
+        warm.apply_batch(changelog.limit(50_000), "warm-0")
+
+        pipe = CdcPipeline.create_target(spark, f"{work}/pages", n_buckets=cpus)
+        s0 = _cpu_stat()
+        t0 = time.time()
+        pipe.replay(changelog)
+        dt = time.time() - t0
+        s1 = _cpu_stat()
+        rows = pipe.final_state().count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    d = [b - a for a, b in zip(s0, s1)]
+    tot = sum(d) or 1
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "events": n_events,
+                "seconds": round(dt, 2),
+                "events_per_sec": round(n_events / dt, 1),
+                "final_rows": rows,
+                # VM contention telemetry: steal = hypervisor-stolen cycles
+                # during the timed window (this sandbox has noisy neighbors)
+                "steal_pct": round(100 * d[7] / tot, 1),
+                "idle_pct": round(100 * d[3] / tot, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def orchestrate() -> None:
+    """Interleaved best-of-K trials: the sandbox VM suffers bursty
+    hypervisor steal (load >5 with nothing running locally), so each
+    parallelism level runs K times alternating N/4N and the fastest trial
+    per level is reported (with its steal telemetry)."""
+    trials = int(os.environ.get("SCALE_TRIALS", "3"))
+    runs: dict[int, list[dict]] = {N: [], 4 * N: []}
+    for _t in range(trials):
+        for cpus in (N, 4 * N):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "worker", str(cpus)],
+                capture_output=True,
+                text=True,
+                check=False,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not line:
+                print(
+                    f"worker local[{cpus}] FAILED:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+                )
+                sys.exit(1)
+            r = json.loads(line[-1])
+            runs[cpus].append(r)
+            print(f"trial {_t} local[{cpus}]: {r}")
+    results = {c: min(rs, key=lambda r: r["seconds"]) for c, rs in runs.items()}
+    small, big = results[N], results[4 * N]
+    eff = big["events_per_sec"] / (4 * small["events_per_sec"])
+    summary = {
+        "metric": "cdc_replay_scaling",
+        "sf": SF_DIR,
+        "amplification": REP,
+        "events": big["events"],
+        "runs": {f"local[{N}]": small, f"local[{4*N}]": big},
+        "all_trials": {f"local[{c}]": rs for c, rs in runs.items()},
+        "speedup": round(big["events_per_sec"] / small["events_per_sec"], 2),
+        "scaling_efficiency_Nx4": round(eff, 3),
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]))
+    else:
+        orchestrate()
