@@ -32,14 +32,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REP = int(os.environ.get("SCALE_REP", "50"))
+REP = int(os.environ.get("SCALE_REP", "10"))
 BATCHES = int(os.environ.get("SCALE_BATCHES", "5"))
-N = int(os.environ.get("SCALE_N", "8"))
+N = int(os.environ.get("SCALE_N", "2"))
+PAGE_KB = int(os.environ.get("SCALE_PAGE_KB", "4"))
 
 
-def amplified_changelog(spark, sf_dir: str, rep: int, n_batches: int):
+def amplified_changelog(spark, sf_dir: str, rep: int, n_batches: int, page_kb: int = 0):
     """events x rep with distinct urls per replica; checkpoint ids span the
-    amplified lsn range so each batch is 1/n_batches of the stream."""
+    amplified lsn range so each batch is 1/n_batches of the stream.
+
+    page_kb > 0 pads every page's html with deterministic filler paragraphs
+    to a realistic Common-Crawl-ish size, so shuffle/sort/extraction move
+    real bytes (the sf fixtures carry ~200 B pages, which makes every stage
+    trivially small and measures only fixed overhead)."""
     import pyspark.sql.functions as F
 
     from airbyte_spark.sources.changelog import derive_changelog
@@ -55,6 +61,35 @@ def amplified_changelog(spark, sf_dir: str, rep: int, n_batches: int):
     )
     span = (n_events + n_batches - 1) // n_batches
     return derive_changelog(amplified, batch_span=span), n_events
+
+
+def with_realistic_pages(ch, page_kb: int):
+    """Pad html to a Common-Crawl-ish size with deterministic filler. Applied
+    AFTER the changelog cache: pages are generated on the fly per scan (like
+    a real source handing over full documents), so the cache stays small
+    while shuffle/sort/extraction move real bytes."""
+    import pyspark.sql.functions as F
+
+    filler_unit = "lorem ipsum dolor sit amet consectetur "  # 40 B
+    n_units = page_kb * 1024 // len(filler_unit)
+    return ch.withColumn(
+        "html",
+        F.when(
+            F.col("html").isNotNull(),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><h1>"),
+                    F.col("url"),
+                    F.lit("</h1><p>"),
+                    F.repeat(F.lit(filler_unit), n_units),
+                    F.lit("rev-"),
+                    F.col("_ab_cdc_lsn").cast("string"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ),
+        ),
+    )
 
 
 def _cpu_stat():
@@ -79,15 +114,21 @@ def worker(cpus: int) -> None:
     # tail arrives as many segment files and never has this problem).
     changelog = changelog.repartition(cpus * 3).cache()
     changelog.count()
+    changelog = with_realistic_pages(changelog, PAGE_KB)
 
     work = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
     try:
         import pyspark.sql.functions as F
 
-        warm = CdcPipeline.create_target(spark, f"{work}/warm", n_buckets=cpus)
-        warm.apply_batch(changelog.limit(50_000), "warm-0")
+        # Full-parallelism warmup batch (a .limit() here would collapse to
+        # one task and warm a single Python worker; the first timed batch
+        # would then pay worker+codegen startup across all cores).
+        # n_buckets fixed across parallelism levels: the table layout is a
+        # property of the data, not of the cluster size.
+        warm = CdcPipeline.create_target(spark, f"{work}/warm", n_buckets=16)
+        warm.apply_batch(changelog.filter(F.col("checkpoint_id") == 0), "warm-0")
 
-        pipe = CdcPipeline.create_target(spark, f"{work}/pages", n_buckets=cpus)
+        pipe = CdcPipeline.create_target(spark, f"{work}/pages", n_buckets=16)
         s0 = _cpu_stat()
         t0 = time.time()
         pipe.replay(changelog)
@@ -110,6 +151,7 @@ def worker(cpus: int) -> None:
                 # during the timed window (this sandbox has noisy neighbors)
                 "steal_pct": round(100 * d[7] / tot, 1),
                 "idle_pct": round(100 * d[3] / tot, 1),
+                "iowait_pct": round(100 * d[4] / tot, 1),
             }
         )
     )
