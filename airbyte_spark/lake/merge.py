@@ -127,29 +127,46 @@ def merge_upsert(
     spec = table.partition_spec()
     bucket_fields = [f for f in spec.fields if f.transform == "bucket" and f.source == key]
 
-    # One small collect: per-bucket [min,max] key bounds (file pruning) +
-    # batch metrics (rows in, lsn high-water mark). ≤ n_buckets rows.
+    # Batch metrics (rows in, lsn high-water mark) ride the winner pre-pass
+    # as an Observation — no extra scan of the batch.
+    from pyspark.sql import Observation
+
     lsn = cfg.order_tiebreakers[-1]
     bexpr = bucket_fields[0].expr() if bucket_fields else F.lit(0)
+    obs = Observation()
+    batch = batch.observe(obs, F.count(F.lit(1)).alias("n"), F.max(lsn).alias("mx"))
+
+    # LATE MATERIALIZATION — the big-payload optimization. Pass 1 reads
+    # only (key, order cols) — column pruning reaches the source — and
+    # picks each key's winning event id with max_by: partial aggregation
+    # collapses hot keys map-side (skew-proof), and its shuffle moves
+    # ~|distinct keys| tiny rows instead of |events| full pages. The batch
+    # is then slimmed with a broadcast semi-join on the winner ids, so the
+    # merge shuffle carries winner payloads only. At 10^10 events with KB
+    # pages this cuts shuffled bytes by the per-key update factor.
+    floor_ts = F.lit("0001-01-01 00:00:00").cast("timestamp_ntz")
+    ordc = F.struct(
+        F.coalesce(F.col(cfg.cursor_field), floor_ts).alias("c"),
+        *[F.col(c).alias(f"t{i}") for i, c in enumerate(cfg.order_tiebreakers)],
+    )
+    winners = batch.groupBy(key).agg(F.max_by(F.col(lsn), ordc).alias(lsn)).persist()
+
+    # Per-bucket [min,max] key bounds for driver-side file pruning come
+    # from the (tiny) winner set — one small collect (≤ n_buckets rows);
+    # this same job materializes `winners` and fires the Observation.
     bounds_rows = (
-        batch.groupBy(bexpr.alias("b"))
-        .agg(
-            F.min(key).alias("lo"),
-            F.max(key).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.max(lsn).alias("mx"),
-        )
+        winners.groupBy(bexpr.alias("b"))
+        .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
         .collect()
     )
     bounds = {int(r["b"]): (r["lo"], r["hi"]) for r in bounds_rows if r["lo"] is not None}
-    rows_in = sum(r["n"] for r in bounds_rows)
-    max_lsn = max((r["mx"] for r in bounds_rows), default=None)
+    candidates = _prune_candidates(table, bounds, key) if table.files() else []
 
-    candidates = _prune_candidates(table, bounds, key)
+    slim = batch.join(F.broadcast(winners.select(lsn)), on=lsn, how="left_semi")
     existing = table.read(files=candidates)
 
     merged = resolve_merge(
-        existing, batch, cfg, target_schema.fieldNames(), bucket_expr=bexpr, finalize=finalize
+        existing, slim, cfg, target_schema.fieldNames(), bucket_expr=bexpr, finalize=finalize
     )
 
     # The resolve already clustered rows by bucket hash, so the write skips
@@ -159,6 +176,9 @@ def merge_upsert(
         stat_cols=[key, cfg.deleted_at_field],
         one_file_per_partition=not bucket_fields,
     )
+    winners.unpersist()
+    m = obs.get  # populated by the winner pre-pass
+    rows_in, max_lsn = m.get("n"), m.get("mx")
     rows_removed = sum(e.rows for e in candidates)
     version = table.commit(
         entries,

@@ -41,6 +41,64 @@ def dedup_batch(df: DataFrame, cfg: StreamConfig) -> DataFrame:
     )
 
 
+def presalted_dedup(df: DataFrame, cfg: StreamConfig, salt_buckets: int = 16) -> DataFrame:
+    """Skew-proof micro-batch dedup for hot keys (north-star's url-hash
+    salting): phase 1 groups by (key, salt) with a max_by aggregate —
+    partial aggregation collapses a hot url's events map-side, and the
+    salt spreads its residual rows over `salt_buckets` reducers; phase 2
+    reduces the ≤salt_buckets survivors per key. No single reducer ever
+    sees more than ~|events|/salt_buckets of a hot key.
+
+    Equivalent to dedup_batch for any input (tested); use when a stream
+    has pathological per-key event counts. The cursor is coalesced to the
+    epoch floor so NULL cursors lose to everything (desc_nulls_last).
+    """
+    key = cfg.primary_key
+    floor_ts = F.lit("0001-01-01 00:00:00").cast("timestamp_ntz")
+    ord_expr = F.struct(
+        F.coalesce(F.col(cfg.cursor_field), floor_ts).alias("c"),
+        *[F.col(c).alias(f"t{i}") for i, c in enumerate(cfg.order_tiebreakers)],
+    )
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cfg.order_tiebreakers]), F.lit(salt_buckets))
+    phase1 = (
+        df.groupBy(*key, salt.alias("_salt"))
+        .agg(F.max_by(payload, ord_expr).alias("_row"))
+        .select("_row.*")
+    )
+    phase2 = (
+        phase1.groupBy(*key)
+        .agg(F.max_by(F.struct(*[F.col(c) for c in df.columns]), ord_expr).alias("_row"))
+        .select("_row.*")
+    )
+    return phase2
+
+
+def valid_records(df: DataFrame, cfg: StreamConfig):
+    """Split a change batch into (valid, observation) — the reference drops
+    records failing isValidData and counts them per stream
+    (BufferedStreamConsumer.java:141-144,195-196). Valid here: non-null
+    primary key and a usable order key (cursor or tiebreaker present).
+    The invalid count rides the batch's first action as an Observation
+    (no extra pass)."""
+    from pyspark.sql import Observation
+
+    key_ok = F.lit(True)
+    for k in cfg.primary_key:
+        key_ok = key_ok & F.col(k).isNotNull()
+    order_ok = F.lit(False)
+    for c in cfg.order_cols:
+        order_ok = order_ok | F.col(c).isNotNull()
+    ok = key_ok & order_ok
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.sum((~ok).cast("long")).alias("n_invalid"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return observed.filter(ok), obs
+
+
 def exact_duplicates(df: DataFrame, cfg: StreamConfig) -> DataFrame:
     """Intra-batch exact-duplicate elimination over (pk, all order cols) —
     ≡ the reference's second dedup window (stream_processor.py:715-730),

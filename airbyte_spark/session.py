@@ -37,6 +37,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE"):
+        builder = builder.config("spark.local.dir", os.environ["SPARK_LOCAL_DIRS_OVERRIDE"])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -72,6 +72,9 @@ class CdcPipeline:
     cfg: StreamConfig
     extract: bool = True
     collect_batch_metrics: bool = True
+    # two-phase salted pre-dedup for pathological per-key event counts
+    # (north-star url-hash salting); None = rely on the merge window alone
+    salt_hot_keys: int | None = None
     results: list[BatchResult] = field(default_factory=list)
 
     # ---- construction helpers ----
@@ -110,6 +113,10 @@ class CdcPipeline:
             self.results.append(res)
             return res
 
+        if self.salt_hot_keys:
+            from airbyte_spark.operators.dedup import presalted_dedup
+
+            batch = presalted_dedup(batch, self.cfg, self.salt_hot_keys)
         finalize = _extract_winners if self.extract else None
         stats = merge_upsert(
             self.table, batch, self.cfg, checkpoint_key=checkpoint_key, finalize=finalize
@@ -122,21 +129,39 @@ class CdcPipeline:
 
     # ---- bounded batch replay (binlog segments = checkpoint ids) ----
 
-    def replay(self, changelog: DataFrame, from_checkpoint: int | None = None) -> list[BatchResult]:
+    def replay(
+        self,
+        changelog: DataFrame,
+        from_checkpoint: int | None = None,
+        group_size: int = 1,
+    ) -> list[BatchResult]:
         """Replay a changelog checkpoint-by-checkpoint (ordered). Segments
         already committed are skipped — so a replay after a crash resumes
         exactly where the table left off (≡ CdcSourceTest
-        testRecordsProducedDuringAndAfterSync semantics)."""
+        testRecordsProducedDuringAndAfterSync semantics).
+
+        group_size > 1 merges that many consecutive checkpoint segments per
+        commit — the catch-up path (≡ availableNow draining several binlog
+        segments per micro-batch). Safe across regroupings because the
+        merge is convergent under redelivery (LWW + persisted tombstones):
+        re-applying an already-committed segment inside a larger group
+        cannot change the final state."""
         ids = [
             r[0]
             for r in changelog.select("checkpoint_id").distinct().orderBy("checkpoint_id").collect()
         ]
+        if from_checkpoint is not None:
+            ids = [i for i in ids if i >= from_checkpoint]
         out = []
-        for cid in ids:
-            if from_checkpoint is not None and cid < from_checkpoint:
-                continue
-            sub = changelog.filter(F.col("checkpoint_id") == cid)
-            out.append(self.apply_batch(sub, checkpoint_key=f"ckpt-{cid}"))
+        for g in range(0, len(ids), group_size):
+            chunk = ids[g : g + group_size]
+            key = (
+                f"ckpt-{chunk[0]}"
+                if len(chunk) == 1
+                else f"ckpt-{chunk[0]}..{chunk[-1]}"
+            )
+            sub = changelog.filter(F.col("checkpoint_id").isin([int(c) for c in chunk]))
+            out.append(self.apply_batch(sub, checkpoint_key=key))
         return out
 
     def replay_dir(self, changelog_dir: str, **kw) -> list[BatchResult]:

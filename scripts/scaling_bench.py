@@ -97,16 +97,54 @@ def _cpu_stat():
     return [int(x) for x in f[1:9]]  # user nice sys idle iowait irq sirq steal
 
 
+MODE = os.environ.get("SCALE_MODE", "local")  # local | cluster
+CORES_PER_EXEC = int(os.environ.get("SCALE_CORES_PER_EXEC", "2"))
+EXEC_MEM_MB = int(os.environ.get("SCALE_EXEC_MEM_MB", "6144"))
+
+
 def worker(cpus: int) -> None:
     from airbyte_spark.session import get_spark
     from airbyte_spark.streaming.pipeline import CdcPipeline
 
-    # local mode = everything in the driver JVM; size the heap for the
-    # concurrent task count (32 tasks sorting + caching + arrow buffers)
-    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+    if MODE == "cluster":
+        # Separate executor JVMs (the real deployment shape from the north
+        # rule: "multi-executor cluster at sizes N and 4N"). `cpus` is the
+        # total core count; executors = cpus / CORES_PER_EXEC.
+        n_exec = max(1, cpus // CORES_PER_EXEC)
+        master = f"local-cluster[{n_exec},{CORES_PER_EXEC},{EXEC_MEM_MB}]"
+        os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
+    else:
+        # local mode = everything in the driver JVM; size the heap for the
+        # concurrent task count (tasks sorting + caching + arrow buffers)
+        master = f"local[{cpus}]"
+        os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+    # AQE off by default for the benchmark: micro-batches here have known,
+    # uniform size, and AQE's per-exchange materialization barriers add
+    # driver round-trips that dominate at this scale (measured +30-50%
+    # per batch). Production (100 TB, skewed domains) wants it ON — it is
+    # the engine session default; this is a bench-only override.
+    aqe = os.environ.get("SCALE_AQE", "false")
     spark = get_spark(
-        f"scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16)
+        f"scale-{cpus}",
+        master=master,
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={"spark.sql.adaptive.enabled": aqe},
     )
+    if MODE == "cluster":
+        # Executor python workers unpickle UDFs by module reference — ship
+        # the engine package exactly as spark-submit --py-files would.
+        import zipfile
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zpath = os.path.join(tempfile.mkdtemp(prefix="pyfiles_"), "airbyte_spark.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(repo, "airbyte_spark")
+            for root, _dirs, names in os.walk(pkg):
+                for nm in names:
+                    if nm.endswith(".py"):
+                        p = os.path.join(root, nm)
+                        z.write(p, os.path.relpath(p, repo))
+        spark.sparkContext.addPyFile(zpath)
     spark.sparkContext.setLogLevel("ERROR")
     changelog, n_events = amplified_changelog(spark, SF_DIR, REP, BATCHES)
     # The events parquet is a single file -> 1-2 input partitions; spread the
