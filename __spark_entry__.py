@@ -92,6 +92,23 @@ def q_cdc_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted dedup (hot-key skew path) — must equal the plain
+    window dedup over the whole stream (tombstones included)."""
+    from airbyte_spark.operators.dedup import presalted_dedup
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.schema import CHANGE_SCHEMA
+
+    ch = read_changelog(spark, sf_dir)
+    out = presalted_dedup(ch, StreamConfig(name="pages", schema=CHANGE_SCHEMA), 8)
+    return out.select(
+        "url",
+        "warc_ts",
+        "_ab_cdc_lsn",
+        F.col("_ab_cdc_deleted_at").isNotNull().alias("is_delete"),
+    )
+
+
 def q_cdc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized HTML→text extraction over every change event —
     the byte-identical-text invariant, checked for all rows."""
@@ -288,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_final_state_window": q_cdc_final_state_window,
         "cdc_dedup_batch": q_cdc_dedup_batch,
+        "cdc_dedup_salted": q_cdc_dedup_salted,
         "cdc_extract_text": q_cdc_extract_text,
         "cdc_scd_history": q_cdc_scd_history,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
@@ -422,6 +440,16 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
                   FROM ch)
             SELECT checkpoint_id, url, warc_ts, _ab_cdc_lsn,
+                   _ab_cdc_deleted_at IS NOT NULL AS is_delete
+            FROM r WHERE rn = 1
+        """,
+        "cdc_dedup_salted": f"""
+            WITH ch AS ({_CH}),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY url
+                    ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch)
+            SELECT url, warc_ts, _ab_cdc_lsn,
                    _ab_cdc_deleted_at IS NOT NULL AS is_delete
             FROM r WHERE rn = 1
         """,
