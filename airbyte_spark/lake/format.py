@@ -53,6 +53,16 @@ _LAKE_DIR = "_lake"
 _DATA_DIR = "data"
 
 
+class CommitConflict(Exception):
+    """Another writer published the manifest version this commit targeted.
+
+    Retryable: metadata-only updates (committed keys, appends, schema
+    evolution) are re-applied automatically on the fresh manifest; a
+    copy-on-write MERGE whose *input files* were concurrently rewritten
+    must re-run its merge instead (≡ Iceberg's validation failure on
+    conflicting deleted data files)."""
+
+
 # --- partition spec --------------------------------------------------------------
 
 
@@ -236,17 +246,19 @@ class LakeTable:
             return json.load(fh)
 
     def _write_manifest(self, manifest: dict) -> int:
-        """O_EXCL create → atomic, optimistic-concurrency commit."""
-        while True:
-            v = manifest["version"]
-            try:
-                with open(self._manifest_path(v), "x") as fh:
-                    json.dump(manifest, fh)
-                return v
-            except FileExistsError:
-                # another writer won this version; retry on top of it
-                manifest["version"] = v + 1
-                manifest["parent"] = v
+        """O_EXCL create → atomic manifest publish. Returns the version on
+        success; raises CommitConflict if another writer already published
+        this version (the caller must re-read the winning manifest and
+        re-apply its delta — blindly bumping the version here would commit
+        stale content and silently drop the winner's files/committed
+        entries, a lost update)."""
+        v = manifest["version"]
+        try:
+            with open(self._manifest_path(v), "x") as fh:
+                json.dump(manifest, fh)
+            return v
+        except FileExistsError:
+            raise CommitConflict(f"version {v} already committed by another writer")
 
     # ---- schema ----
 
@@ -261,19 +273,23 @@ class LakeTable:
         """Merge-evolve the table schema (add columns / widen types); no-op
         if nothing changes. ≡ Iceberg UpdateSchema / the reference's
         catalog-diff incremental run (SURVEY §1.4)."""
-        m = self.manifest()
-        current = StructType.fromJson(m["schemas"][str(m["schema_id"])])
-        merged = evolve(current, new_schema)
-        if merged == current:
-            return current
-        new_id = int(m["schema_id"]) + 1
-        m["schemas"][str(new_id)] = json.loads(merged.json())
-        m["schema_id"] = new_id
-        m["version"] += 1
-        m["parent"] = m["version"] - 1
-        m["operation"] = "evolve-schema"
-        self._write_manifest(m)
-        return merged
+        while True:
+            m = self.manifest()
+            current = StructType.fromJson(m["schemas"][str(m["schema_id"])])
+            merged = evolve(current, new_schema)
+            if merged == current:
+                return current
+            new_id = int(m["schema_id"]) + 1
+            m["schemas"][str(new_id)] = json.loads(merged.json())
+            m["schema_id"] = new_id
+            m["version"] += 1
+            m["parent"] = m["version"] - 1
+            m["operation"] = "evolve-schema"
+            try:
+                self._write_manifest(m)
+                return merged
+            except CommitConflict:
+                continue  # re-read the winner and re-apply the schema merge
 
     # ---- reads ----
 
@@ -388,25 +404,36 @@ class LakeTable:
         added: list[FileEntry],
         removed_paths: set[str] | None = None,
         operation: str = "append",
-        checkpoint_key: str | None = None,
+        checkpoint_key: "str | list[str] | None" = None,
         summary: dict | None = None,
     ) -> int:
         """Publish a new snapshot: current files − removed + added.
 
-        If checkpoint_key is given and already committed, this is a no-op
-        (idempotent replay guard) and staged files are garbage-collected.
+        checkpoint_key may be one key or a list — a catch-up commit that
+        merges several binlog segments records EVERY constituent segment id
+        in the committed set (one manifest write), so a later replay with a
+        different grouping skips exactly the applied segments instead of
+        re-applying them under a new group label. The full summary lands on
+        the first (lead) key; follower keys reference it (group_lead) so
+        metrics never double-count.
+
+        If every key is already committed, this is a no-op (idempotent
+        replay guard) and staged files are garbage-collected.
+
+        Optimistic concurrency (CAS): the manifest is re-read on every
+        attempt and this commit's DELTA is re-applied on top of whatever
+        won — never a stale full manifest. If a concurrent writer removed
+        one of the files this commit also rewrites, the snapshot this
+        commit's data was derived from is gone and CommitConflict
+        propagates (caller must re-run its read-merge-write).
         """
-        m = self.manifest()
-        if checkpoint_key is not None and checkpoint_key in m["committed"]:
-            for e in added:
-                p = os.path.join(self.path, e.path)
-                if os.path.exists(p):
-                    os.remove(p)
-            return m["version"]
+        keys = (
+            [checkpoint_key]
+            if isinstance(checkpoint_key, str)
+            else list(checkpoint_key or [])
+        )
         removed_paths = removed_paths or set()
-        kept = [f for f in m["files"] if f["path"] not in removed_paths]
-        m["files"] = kept + [e.to_json() for e in added]
-        m["operation"] = operation
+        added_json = [e.to_json() for e in added]
         full_summary = {
             "rows_written": sum(e.rows for e in added),
             "bytes_written": sum(e.bytes for e in added),
@@ -414,12 +441,38 @@ class LakeTable:
             "files_removed": len(removed_paths),
             **(summary or {}),
         }
-        m["commit"] = {"key": checkpoint_key, **full_summary}
-        if checkpoint_key is not None:
-            m["committed"][checkpoint_key] = {**full_summary, "version": m["version"] + 1}
-        m["parent"] = m["version"]
-        m["version"] += 1
-        return self._write_manifest(m)
+        while True:
+            m = self.manifest()
+            if keys and all(k in m["committed"] for k in keys):
+                for e in added:
+                    p = os.path.join(self.path, e.path)
+                    if os.path.exists(p):
+                        os.remove(p)
+                return m["version"]
+            live = {f["path"] for f in m["files"]}
+            if removed_paths - live:
+                # a concurrent commit already rewrote files we merged
+                # against — this commit's data is stale, not just its
+                # metadata; replaying the merge is the only safe retry
+                raise CommitConflict(
+                    f"files removed by a concurrent commit: {sorted(removed_paths - live)[:3]}"
+                )
+            new_version = m["version"] + 1
+            m["files"] = [f for f in m["files"] if f["path"] not in removed_paths] + added_json
+            m["operation"] = operation
+            m["commit"] = {"key": keys[0] if keys else None, **full_summary}
+            for i, k in enumerate(keys):
+                m["committed"][k] = (
+                    {**full_summary, "version": new_version, "segments": len(keys)}
+                    if i == 0
+                    else {"version": new_version, "group_lead": keys[0]}
+                )
+            m["parent"] = m["version"]
+            m["version"] = new_version
+            try:
+                return self._write_manifest(m)
+            except CommitConflict:
+                continue  # lost the race on metadata only — re-read + re-apply
 
     def append(
         self,

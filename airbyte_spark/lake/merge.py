@@ -96,12 +96,19 @@ def _merge_bounds(bounds: dict[int, tuple[str, str]]) -> tuple[str, str] | None:
     return min(los), max(his)
 
 
+# Above this winner count the batch→winner semi-join is left to AQE's
+# size-based strategy instead of a forced broadcast (a 10^10-event batch
+# with a large distinct-key set would blow the broadcast limit otherwise).
+BROADCAST_WINNER_MAX = 2_000_000
+
+
 def merge_upsert(
     table: LakeTable,
     batch: DataFrame,
     cfg: StreamConfig,
-    checkpoint_key: str | None = None,
+    checkpoint_key: "str | list[str] | None" = None,
     finalize: "callable | None" = None,
+    observe_metrics: bool = True,
 ) -> MergeStats:
     """Apply one change batch to the target table (intra-batch dedup is part
     of the merge window — raw micro-batches are fine).
@@ -109,15 +116,30 @@ def merge_upsert(
     `finalize(df, is_batch_col)` — optional projection hook applied to the
     winning rows (e.g. vectorized text extraction for fresh rows only).
 
-    Idempotent when checkpoint_key is supplied: a replayed batch whose key
-    is already in the manifest's committed set is skipped before any work.
-    """
-    if checkpoint_key is not None and checkpoint_key in table.committed():
-        return MergeStats(version=table.current_version(), candidate_files=0, skipped=True)
+    Composite primary keys are first-class (≡ the reference's list-valued
+    source_defined_primary_key, airbyte_protocol.yaml:150, and the
+    acceptance contract's per-composite-PK expected state,
+    DestinationAcceptanceTest.java:612-637): ordering/grouping runs on the
+    full key column tuple; bucketing and file pruning use the leading key
+    column (all rows of one composite key share it, so key-locality holds).
 
-    key = cfg.primary_key[0] if len(cfg.primary_key) == 1 else None
-    if key is None:
-        raise NotImplementedError("composite PKs: concat into a single key column first")
+    Idempotent when checkpoint_key is supplied (one key or a list of binlog
+    segment keys for a grouped catch-up commit): a replayed batch whose
+    keys are all in the manifest's committed set is skipped before any
+    work, and every constituent segment is recorded on commit.
+    """
+    keys = (
+        [checkpoint_key]
+        if isinstance(checkpoint_key, str)
+        else list(checkpoint_key or [])
+    )
+    if keys:
+        committed = table.committed()
+        if all(k in committed for k in keys):
+            return MergeStats(version=table.current_version(), candidate_files=0, skipped=True)
+
+    pk_cols = cfg.primary_key
+    lead_key = pk_cols[0]  # bucketing / pruning column
 
     # Evolve target schema if the batch carries new/widened payload columns.
     batch_payload = batch.select(*payload_columns(batch))
@@ -125,23 +147,28 @@ def merge_upsert(
     target_schema = table.schema()
 
     spec = table.partition_spec()
-    bucket_fields = [f for f in spec.fields if f.transform == "bucket" and f.source == key]
-
-    # Batch metrics (rows in, lsn high-water mark) ride the winner pre-pass
-    # as an Observation — no extra scan of the batch.
-    from pyspark.sql import Observation
+    bucket_fields = [
+        f for f in spec.fields if f.transform == "bucket" and f.source == lead_key
+    ]
 
     lsn = cfg.order_tiebreakers[-1]
     bexpr = bucket_fields[0].expr() if bucket_fields else F.lit(0)
-    obs = Observation()
-    batch = batch.observe(obs, F.count(F.lit(1)).alias("n"), F.max(lsn).alias("mx"))
+    if observe_metrics:
+        # Batch metrics (rows in, lsn high-water mark) ride the winner
+        # pre-pass as an Observation — no extra scan of the batch.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"), F.max(lsn).alias("mx"))
+    else:
+        obs = None
 
     # LATE MATERIALIZATION — the big-payload optimization. Pass 1 reads
     # only (key, order cols) — column pruning reaches the source — and
     # picks each key's winning event id with max_by: partial aggregation
     # collapses hot keys map-side (skew-proof), and its shuffle moves
     # ~|distinct keys| tiny rows instead of |events| full pages. The batch
-    # is then slimmed with a broadcast semi-join on the winner ids, so the
+    # is then slimmed with a semi-join on the winner (key, lsn), so the
     # merge shuffle carries winner payloads only. At 10^10 events with KB
     # pages this cuts shuffled bytes by the per-key update factor.
     floor_ts = F.lit("0001-01-01 00:00:00").cast("timestamp_ntz")
@@ -149,42 +176,70 @@ def merge_upsert(
         F.coalesce(F.col(cfg.cursor_field), floor_ts).alias("c"),
         *[F.col(c).alias(f"t{i}") for i, c in enumerate(cfg.order_tiebreakers)],
     )
-    winners = batch.groupBy(key).agg(F.max_by(F.col(lsn), ordc).alias(lsn)).persist()
+    winners = batch.groupBy(*pk_cols).agg(F.max_by(F.col(lsn), ordc).alias(lsn)).persist()
 
-    # Per-bucket [min,max] key bounds for driver-side file pruning come
-    # from the (tiny) winner set — one small collect (≤ n_buckets rows);
-    # this same job materializes `winners` and fires the Observation.
+    # Per-bucket [min,max] key bounds (+ winner count for the broadcast
+    # gate) for driver-side file pruning come from the (tiny) winner set —
+    # one small collect (≤ n_buckets rows); this same job materializes
+    # `winners` and fires the Observation.
     bounds_rows = (
         winners.groupBy(bexpr.alias("b"))
-        .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+        .agg(F.min(lead_key).alias("lo"), F.max(lead_key).alias("hi"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
     bounds = {int(r["b"]): (r["lo"], r["hi"]) for r in bounds_rows if r["lo"] is not None}
-    candidates = _prune_candidates(table, bounds, key) if table.files() else []
+    n_winners = sum(r["n"] for r in bounds_rows)
+    candidates = _prune_candidates(table, bounds, lead_key) if table.files() else []
 
-    slim = batch.join(F.broadcast(winners.select(lsn)), on=lsn, how="left_semi")
+    # Null-safe equality on the lsn (a winning event with a NULL last
+    # tiebreaker must still survive the slim — plain `=` drops NULLs);
+    # key columns join null-safe too for uniformity.
+    wside = winners.select(*pk_cols, lsn).alias("_w")
+    wjoin = F.broadcast(wside) if n_winners <= BROADCAST_WINNER_MAX else wside
+    cond = None
+    for c in [*pk_cols, lsn]:
+        eq = F.col(f"_b.{c}").eqNullSafe(F.col(f"_w.{c}"))
+        cond = eq if cond is None else cond & eq
+    slim = batch.alias("_b").join(wjoin, cond, "left_semi")
     existing = table.read(files=candidates)
 
+    # Sub-split each bucket's window partition by a key-hash salt: the
+    # lag-head trick only needs all rows of ONE key in one partition, not
+    # one partition per bucket — without this, merge parallelism is capped
+    # at n_buckets no matter the cluster size.
+    shuffle_parts = int(table.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_buckets = bucket_fields[0].n if bucket_fields else 1
+    sub_k = max(1, shuffle_parts // max(1, n_buckets)) if bucket_fields else shuffle_parts
+
     merged = resolve_merge(
-        existing, slim, cfg, target_schema.fieldNames(), bucket_expr=bexpr, finalize=finalize
+        existing,
+        slim,
+        cfg,
+        target_schema.fieldNames(),
+        bucket_expr=bexpr,
+        finalize=finalize,
+        sub_split=sub_k,
     )
 
     # The resolve already clustered rows by bucket hash, so the write skips
     # its repartition (pre_partitioned) — no second exchange.
     entries = table._stage_write(
         merged,
-        stat_cols=[key, cfg.deleted_at_field],
+        stat_cols=[lead_key, cfg.deleted_at_field],
         one_file_per_partition=not bucket_fields,
     )
     winners.unpersist()
-    m = obs.get  # populated by the winner pre-pass
-    rows_in, max_lsn = m.get("n"), m.get("mx")
+    if obs is not None:
+        m = obs.get  # populated by the winner pre-pass
+        rows_in, max_lsn = m.get("n"), m.get("mx")
+    else:
+        rows_in, max_lsn = None, None
     rows_removed = sum(e.rows for e in candidates)
     version = table.commit(
         entries,
         removed_paths={e.path for e in candidates},
         operation="merge",
-        checkpoint_key=checkpoint_key,
+        checkpoint_key=keys or None,
         summary={"rows_removed": rows_removed, "candidate_files": len(candidates), "rows_in": rows_in},
     )
     return MergeStats(
@@ -202,27 +257,34 @@ def resolve_merge(
     out_cols: list[str],
     bucket_expr: Column | None = None,
     finalize: "callable | None" = None,
+    sub_split: int = 1,
 ) -> DataFrame:
     """Pure-DataFrame restatement of the MERGE cases as ONE window pass.
 
-    union(existing tagged 0, batch tagged 1), hash-clustered by the key's
-    bucket, sorted (key asc, cursor desc, lsn desc, is_batch desc); a row
-    wins its key group iff the previous row in that order has a different
-    key (lag-based group-head detection — no second shuffle on the raw key,
-    the bucket partitioning already co-locates all rows of a key). Winning
-    batch rows are the UPDATE/INSERT image; winning existing rows are
-    untouched carry-over. Winning tombstones are KEPT as soft-delete rows
-    (their _ab_cdc_deleted_at marks them dead): late out-of-order events in
-    later batches then lose to the tombstone instead of resurrecting the
-    key (≡ the reference retaining delete rows in SCD history and filtering
-    active_row, stream_processor.py:759-768); expire_tombstones() GCs them
-    past a watermark.
+    union(existing tagged 0, batch tagged 1), hash-clustered by
+    (key-bucket, key-hash salt), sorted (key asc, cursor desc, lsn desc,
+    is_batch desc); a row wins its key group iff the previous row in that
+    order has a different key (lag-based group-head detection — no second
+    shuffle on the raw key; the partitioning co-locates all rows of a key
+    because both components are pure functions of the key columns).
+    `sub_split` > 1 salts each bucket into that many window partitions so
+    merge parallelism scales past n_buckets (the lag trick only needs
+    key-contiguity WITHIN a partition, which pmod(xxhash64(key), k)
+    preserves); with no bucket spec the salt alone partitions the window —
+    an unbucketed table must never funnel through one global sort task.
+    Winning batch rows are the UPDATE/INSERT image; winning existing rows
+    are untouched carry-over. Winning tombstones are KEPT as soft-delete
+    rows (their _ab_cdc_deleted_at marks them dead): late out-of-order
+    events in later batches then lose to the tombstone instead of
+    resurrecting the key (≡ the reference retaining delete rows in SCD
+    history and filtering active_row, stream_processor.py:759-768);
+    expire_tombstones() GCs them past a watermark.
 
     ≡ reference active-row rule row_number()=1 AND _ab_cdc_deleted_at IS
     NULL over PARTITION BY pk ORDER BY cursor DESC, ...,
     stream_processor.py:695-768 — restated via lag to keep one shuffle.
     """
-    key = cfg.primary_key[0]
+    pk_cols = cfg.primary_key
     order_cols = cfg.order_cols  # e.g. [warc_ts, _ab_cdc_lsn]
 
     e = existing.withColumn("_is_batch", F.lit(0))
@@ -231,13 +293,17 @@ def resolve_merge(
 
     part = (bucket_expr if bucket_expr is not None else F.lit(0)).alias("_mb")
     both = both.withColumn("_mb", part)
-    w = Window.partitionBy("_mb").orderBy(
-        F.col(key).asc(),
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(max(1, sub_split)))
+    both = both.withColumn("_ms", salt)
+    w = Window.partitionBy("_mb", "_ms").orderBy(
+        *[F.col(c).asc() for c in pk_cols],
         *[F.col(c).desc_nulls_last() for c in order_cols],
         F.col("_is_batch").desc(),
     )
-    prev_key = F.lag(key).over(w)
-    is_winner = prev_key.isNull() | (prev_key != F.col(key))
+    # struct comparison gives collision-free composite-key group heads
+    key_tuple = F.struct(*[F.col(c) for c in pk_cols])
+    prev_key = F.lag(key_tuple).over(w)
+    is_winner = prev_key.isNull() | (prev_key != key_tuple)
 
     kept = both.withColumn("_win", is_winner).filter(F.col("_win"))
     if finalize is not None:

@@ -103,13 +103,22 @@ class CdcPipeline:
 
     # ---- core batch application ----
 
-    def apply_batch(self, batch: DataFrame, checkpoint_key: str) -> BatchResult:
+    def apply_batch(
+        self, batch: DataFrame, checkpoint_key: "str | list[str]"
+    ) -> BatchResult:
         """One fused merge pass (intra-batch dedup + LWW + tombstones live in
         the merge window; text extraction runs only on fresh winning rows).
-        Idempotent per checkpoint key."""
+        Idempotent per checkpoint key; a list of keys commits several binlog
+        segments in one merge while recording each segment id individually
+        (so a later replay with a different grouping skips exactly what was
+        applied — no re-apply under a new group label, no double-counted
+        metrics, and no tombstone resurrection after expire+regroup)."""
         t0 = time.time()
-        if checkpoint_key in self.table.committed():
-            res = BatchResult(checkpoint_key, True, None, None, 0.0)
+        keys = [checkpoint_key] if isinstance(checkpoint_key, str) else list(checkpoint_key)
+        label = keys[0] if len(keys) == 1 else f"{keys[0]}..{keys[-1]}"
+        committed = self.table.committed()
+        if all(k in committed for k in keys):
+            res = BatchResult(label, True, None, None, 0.0)
             self.results.append(res)
             return res
 
@@ -119,10 +128,15 @@ class CdcPipeline:
             batch = presalted_dedup(batch, self.cfg, self.salt_hot_keys)
         finalize = _extract_winners if self.extract else None
         stats = merge_upsert(
-            self.table, batch, self.cfg, checkpoint_key=checkpoint_key, finalize=finalize
+            self.table,
+            batch,
+            self.cfg,
+            checkpoint_key=keys,
+            finalize=finalize,
+            observe_metrics=self.collect_batch_metrics,
         )
         res = BatchResult(
-            checkpoint_key, False, stats.rows_in, stats.max_lsn, time.time() - t0
+            label, False, stats.rows_in, stats.max_lsn, time.time() - t0
         )
         self.results.append(res)
         return res
@@ -133,35 +147,44 @@ class CdcPipeline:
         self,
         changelog: DataFrame,
         from_checkpoint: int | None = None,
-        group_size: int = 1,
+        group_size: int | None = None,
+        max_catchup_commits: int = 4,
     ) -> list[BatchResult]:
         """Replay a changelog checkpoint-by-checkpoint (ordered). Segments
-        already committed are skipped — so a replay after a crash resumes
-        exactly where the table left off (≡ CdcSourceTest
-        testRecordsProducedDuringAndAfterSync semantics).
+        already committed are skipped individually — so a replay after a
+        crash resumes exactly where the table left off (≡ CdcSourceTest
+        testRecordsProducedDuringAndAfterSync semantics) even if the
+        grouping differs between runs.
 
-        group_size > 1 merges that many consecutive checkpoint segments per
-        commit — the catch-up path (≡ availableNow draining several binlog
-        segments per micro-batch). Safe across regroupings because the
-        merge is convergent under redelivery (LWW + persisted tombstones):
-        re-applying an already-committed segment inside a larger group
-        cannot change the final state."""
+        group_size=None (default) auto-sizes to the lag: when more than one
+        segment is pending, consecutive segments are grouped so the whole
+        backlog drains in ≤ max_catchup_commits commits — the catch-up path
+        (≡ availableNow draining several binlog segments per micro-batch),
+        which amortizes the per-commit serial overhead (bounds collect +
+        manifest write + job scheduling) that would otherwise dominate at
+        segment granularity. In steady state (one pending segment) it is
+        exactly one commit per segment. Every constituent segment id is
+        recorded in the committed set."""
         ids = [
             r[0]
             for r in changelog.select("checkpoint_id").distinct().orderBy("checkpoint_id").collect()
         ]
         if from_checkpoint is not None:
             ids = [i for i in ids if i >= from_checkpoint]
+        committed = self.table.committed()
+        pending = [i for i in ids if f"ckpt-{i}" not in committed]
+        if group_size is None:
+            group_size = max(1, -(-len(pending) // max(1, max_catchup_commits)))
         out = []
-        for g in range(0, len(ids), group_size):
-            chunk = ids[g : g + group_size]
-            key = (
-                f"ckpt-{chunk[0]}"
-                if len(chunk) == 1
-                else f"ckpt-{chunk[0]}..{chunk[-1]}"
-            )
+        for i in ids:
+            if f"ckpt-{i}" in committed:  # surfaced for sync accounting
+                res = BatchResult(f"ckpt-{i}", True, None, None, 0.0)
+                self.results.append(res)
+                out.append(res)
+        for g in range(0, len(pending), group_size):
+            chunk = pending[g : g + group_size]
             sub = changelog.filter(F.col("checkpoint_id").isin([int(c) for c in chunk]))
-            out.append(self.apply_batch(sub, checkpoint_key=key))
+            out.append(self.apply_batch(sub, checkpoint_key=[f"ckpt-{c}" for c in chunk]))
         return out
 
     def replay_dir(self, changelog_dir: str, **kw) -> list[BatchResult]:
@@ -195,11 +218,15 @@ class CdcPipeline:
         )
 
         def handle(df: DataFrame, epoch_id: int) -> None:
-            cids = [r[0] for r in df.select("checkpoint_id").distinct().collect()]
-            for cid in sorted(cids):
-                self.apply_batch(
-                    df.filter(F.col("checkpoint_id") == cid), checkpoint_key=f"ckpt-{cid}"
-                )
+            cids = sorted(r[0] for r in df.select("checkpoint_id").distinct().collect())
+            pending = [c for c in cids if f"ckpt-{c}" not in self.table.committed()]
+            if not pending:
+                return
+            # one merge per micro-batch, all constituent segments recorded
+            self.apply_batch(
+                df.filter(F.col("checkpoint_id").isin([int(c) for c in pending])),
+                checkpoint_key=[f"ckpt-{c}" for c in pending],
+            )
 
         writer = stream.writeStream.foreachBatch(handle).option(
             "checkpointLocation", spark_checkpoint_dir
