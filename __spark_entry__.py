@@ -162,6 +162,98 @@ def q_cdc_checkpoint_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_composite_pk_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-PK CDC replay through the ENGINE (merge_upsert with
+    primary_key=[url, section]): per-subkey LWW independence — ≡ the
+    reference's list-valued source_defined_primary_key
+    (airbyte_protocol.yaml:150) and the acceptance contract's
+    per-composite-PK expected state (DestinationAcceptanceTest.java:612-637)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.streaming.pipeline import CdcPipeline, default_target_schema
+
+    base = default_target_schema()
+    schema = StructType([*base.fields, StructField("section", LongType(), True)])
+    cfg = StreamConfig(name="pages_sections", schema=schema, primary_key=["url", "section"])
+    ch = read_changelog(spark, sf_dir).withColumn(
+        "section", F.pmod(F.col("_ab_cdc_lsn"), F.lit(3))
+    )
+    path = tempfile.mkdtemp(prefix="airbyte_spark_cpk_") + "/pages_sections"
+    table = LakeTable.create(spark, path, schema, PartitionSpec.bucket("url", 8))
+    pipe = CdcPipeline(table=table, cfg=cfg)
+    pipe.replay(ch)
+    return pipe.final_state().select("url", "section", "warc_ts", "text", "_ab_cdc_lsn")
+
+
+def q_cdc_unnest_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/array normalization: JSON field extraction + unnest into a
+    child table with parent hashid and null-safety filter (≡ reference
+    child-table explode, stream_processor.py:1113-1125 + surrogate_key)."""
+    from airbyte_spark.operators.unnest import unnest_child
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arr = F.when(
+        F.col("event_type") != "signup",
+        F.array(
+            F.col("event_type"),
+            F.get_json_object(F.col("props"), "$.k"),
+            F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")),
+        ),
+    )
+    df = ev.select("event_id", arr.alias("vals"))
+    return unnest_child(df, "vals", ["event_id"], value_alias="val")
+
+
+def q_cdc_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant multi-format timestamp parsing + empty-string→NULL guard
+    (≡ stream_processor.py:533-569 dialect dispatch; 505-524 guard):
+    6 deterministic serializations of ts round-trip through one coalesce
+    chain of try_to_timestamp."""
+    from airbyte_spark.functions.timestamps import parse_timestamp_tolerant
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = F.col("event_id") % 6
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss")
+    sqlf = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    raw = (
+        F.when(v == 0, iso)
+        .when(v == 1, F.concat(iso, F.lit("Z")))
+        .when(v == 2, F.concat(iso, F.lit("+00:00")))
+        .when(v == 3, F.concat(iso, F.lit("+0000")))
+        .when(v == 4, sqlf)
+        .otherwise(F.lit(""))
+    )
+    return ev.select(
+        F.col("event_id").alias("id"),
+        raw.alias("raw"),
+        parse_timestamp_tolerant(raw).alias("parsed"),
+    )
+
+
+def q_sync_identifier_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier normalization for arbitrary JSON keys → SQL-safe names
+    (≡ destination_name_transformer.py:19-110: specials→'_', reserved-word
+    escape, length cap)."""
+    from airbyte_spark.functions.names import normalize_identifier_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = F.when(F.col("user_id") % 7 == 0, F.lit("Group")).otherwise(
+        F.concat(
+            F.col("event_type"),
+            F.lit("-"),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit(" Col"),
+        )
+    )
+    return ev.select(
+        F.col("event_id").alias("id"),
+        raw.alias("raw"),
+        normalize_identifier_col(raw).alias("ident"),
+    )
+
+
 # --- sync-mode queries (full refresh / append / reset through the lake) ---------
 
 
@@ -256,10 +348,12 @@ def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from airbyte_spark.operators.dedup_text import jaccard_pairs
+    """LSH candidates → exact-Jaccard verify (the sub-quadratic scale path;
+    the all-pairs jaccard_pairs form remains the recall oracle in tests)."""
+    from airbyte_spark.operators.dedup_text import lsh_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return jaccard_pairs(docs, threshold=0.5)
+    return lsh_jaccard_pairs(docs, threshold=0.5)
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +370,15 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-adjacent banded simhash join: recall 1.0 for hamming ≤ 3
+    by pigeonhole over 4 bands, cost ∝ Σ bucket²."""
+    from airbyte_spark.operators.dedup_text import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs)
+
+
 # --- training-data operators: embeddings -----------------------------------------
 
 
@@ -287,10 +390,13 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from airbyte_spark.operators.similarity import embedding_near_dups
+    """Same-IVF-cell candidate restriction (cost N²/C, shuffle keyed on the
+    cell id) — the exact all-pairs embedding_near_dups form remains the
+    recall oracle in tests."""
+    from airbyte_spark.operators.similarity import embedding_near_dups_bucketed
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, threshold=0.4)
+    return embedding_near_dups_bucketed(emb, threshold=0.4, num_centroids=16)
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd_history": q_cdc_scd_history,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_checkpoint_metrics": q_cdc_checkpoint_metrics,
+        "cdc_composite_pk_final_state": q_cdc_composite_pk_final_state,
+        "cdc_unnest_children": q_cdc_unnest_children,
+        "cdc_timestamp_parse": q_cdc_timestamp_parse,
+        "sync_identifier_normalize": q_sync_identifier_normalize,
         "sync_full_refresh_overwrite": q_sync_full_refresh_overwrite,
         "sync_append_raw": q_sync_append_raw,
         "sync_reset_empty": q_sync_reset_empty,
@@ -319,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dups": q_emb_near_dups,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -345,6 +456,15 @@ shd AS (
 
 _TOKEN_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 _STOP_PAT = r"\b(the|a|an|of|and|to|in|is|that|it)\b"
+
+
+def _reserved_sql() -> str:
+    from airbyte_spark.functions.names import RESERVED
+
+    return ", ".join(f"'{w}'" for w in sorted(RESERVED))
+
+
+_RESERVED_SQL = _reserved_sql()
 
 _LANG_MARKERS_SQL = [
     ("en", r"\b(the|a|of|and|to)\b"),
@@ -476,12 +596,71 @@ def oracle_sql() -> dict[str, str]:
             WITH ch AS ({_CH})
             SELECT checkpoint_id,
                    count(*) AS n_events,
-                   sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS n_deletes,
+                   -- DuckDB sum() yields HUGEINT (int128); the driver's
+                   -- value-hash is type-sensitive, so pin BIGINT ≡ Spark
+                   CAST(sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
                    max(_ab_cdc_lsn) AS max_lsn,
                    max(warc_ts) AS max_cursor,
                    count(DISTINCT url) AS n_urls
             FROM ch GROUP BY checkpoint_id
         """,
+        "cdc_composite_pk_final_state": f"""
+            WITH ch AS ({_CH}),
+            s AS (SELECT *, _ab_cdc_lsn % 3 AS section FROM ch),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY url, section
+                    ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM s)
+            SELECT url, section, warc_ts, text, _ab_cdc_lsn
+            FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
+        "cdc_unnest_children": """
+            WITH src AS (
+              SELECT event_id,
+                     CASE WHEN event_type <> 'signup' THEN
+                       [event_type,
+                        json_extract_string(props, '$.k'),
+                        'p' || CAST(user_id % 3 AS VARCHAR)]
+                     END AS vals
+              FROM events)
+            SELECT md5(CAST(event_id AS VARCHAR)) AS _parent_hashid,
+                   event_id,
+                   generate_subscripts(vals, 1) AS _idx,
+                   unnest(vals) AS val
+            FROM src WHERE vals IS NOT NULL
+        """,
+        "cdc_timestamp_parse": """
+            WITH v AS (
+              SELECT event_id AS id,
+                     CAST(event_id % 6 AS INT) AS var,
+                     strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS sqlf,
+                     date_trunc('second', ts) AS tsec
+              FROM events)
+            SELECT id,
+                   CASE var WHEN 0 THEN iso WHEN 1 THEN iso || 'Z'
+                            WHEN 2 THEN iso || '+00:00' WHEN 3 THEN iso || '+0000'
+                            WHEN 4 THEN sqlf ELSE '' END AS raw,
+                   CASE WHEN var = 5 THEN NULL ELSE tsec END AS parsed
+            FROM v
+        """,
+        "sync_identifier_normalize": """
+            WITH r AS (
+              SELECT event_id AS id,
+                     CASE WHEN user_id % 7 = 0 THEN 'Group'
+                          ELSE event_type || '-' || CAST(user_id % 5 AS VARCHAR) || ' Col'
+                     END AS raw
+              FROM events),
+            n1 AS (SELECT id, raw,
+                          regexp_replace(lower(raw), '[^a-z0-9_]', '_', 'g') AS n
+                   FROM r),
+            n2 AS (SELECT id, raw,
+                          CASE WHEN regexp_matches(n, '^[0-9]') THEN '_' || n ELSE n END AS n
+                   FROM n1)
+            SELECT id, raw,
+                   substr(CASE WHEN n IN ({reserved}) THEN n || '_' ELSE n END, 1, 63) AS ident
+            FROM n2
+        """.format(reserved=_RESERVED_SQL),
         "sync_full_refresh_overwrite": f"""
             WITH ch AS ({_CH}),
             r AS (SELECT *, row_number() OVER (
@@ -556,10 +735,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": f"""
             WITH {_WORDS_CTE},
             {_SHINGLES_CTE},
+            {_minhash_cte()},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bk a JOIN bk b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
             sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
             pairs AS (
-              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              SELECT c.a_id, c.b_id, count(*) AS common
+              FROM cand c
+              JOIN shd a ON a.doc_id = c.a_id
+              JOIN shd b ON b.doc_id = c.b_id AND b.s = a.s
               GROUP BY 1, 2)
             SELECT a_id, b_id,
                    CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
@@ -577,6 +763,22 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         """,
         "doc_simhash": _simhash_sql(),
+        "doc_simhash_pairs": f"""
+            WITH sim AS ({_simhash_sql()}),
+            bands AS (
+              SELECT doc_id, simhash, 0 AS band, (simhash // 1) % 256 AS key FROM sim
+              UNION ALL
+              SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sim
+              UNION ALL
+              SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sim
+              UNION ALL
+              SELECT doc_id, simhash, 3, (simhash // 16777216) % 256 FROM sim)
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "emb_cosine_topk": f"""
             WITH {_EMB_BASE_CTE},
             dots AS (
@@ -595,14 +797,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_near_dups": f"""
             WITH {_EMB_BASE_CTE},
+            dc AS (
+              SELECT a.vec_id, b.vec_id AS c_id,
+                     SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+              FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+              GROUP BY 1, 2),
+            dcs AS (
+              SELECT dc.vec_id AS vec_id, dc.c_id AS c_id, dp / (nv.nr * nc.nr) AS cos
+              FROM dc JOIN norms nv ON nv.vec_id = dc.vec_id
+                      JOIN norms nc ON nc.vec_id = dc.c_id),
+            assign AS (
+              SELECT vec_id, c_id AS cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rn
+                FROM dcs) WHERE rn = 1),
             dots AS (
               SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                      SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
               FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
               GROUP BY 1, 2)
-            SELECT a_id, b_id, dp / (na.nr * nb.nr) AS cos
-            FROM dots JOIN norms na ON na.vec_id = dots.a_id
-                      JOIN norms nb ON nb.vec_id = dots.b_id
+            SELECT d.a_id, d.b_id, dp / (na.nr * nb.nr) AS cos
+            FROM dots d
+            JOIN assign ca ON ca.vec_id = d.a_id
+            JOIN assign cb ON cb.vec_id = d.b_id AND cb.cell = ca.cell
+            JOIN norms na ON na.vec_id = d.a_id
+            JOIN norms nb ON nb.vec_id = d.b_id
             WHERE dp / (na.nr * nb.nr) >= 0.4
         """,
         "emb_ivf_topk": f"""

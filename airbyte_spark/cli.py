@@ -22,6 +22,10 @@ Commands:
   expire   --target T --watermark TS
                                  GC soft-delete tombstones older than TS
   metrics  --target T            per-checkpoint lineage/metrics table
+  sync     --catalog FILE        multi-stream catalog sync (per-stream
+                                 modes/PKs/state — ≡ ConfiguredAirbyteCatalog)
+  discover-catalog --catalog FILE
+                                 print the configured catalog (≡ discover)
 """
 
 from __future__ import annotations
@@ -58,6 +62,10 @@ def _parser() -> argparse.ArgumentParser:
     add("reset", "--target")
     add("expire", "--target", "--watermark")
     add("metrics", "--target")
+    sp = sub.add_parser("sync")
+    sp.add_argument("--catalog", required=True, help="catalog JSON file (multi-stream)")
+    sp = sub.add_parser("discover-catalog")
+    sp.add_argument("--catalog", required=True)
     return p
 
 
@@ -164,6 +172,15 @@ def run(spark, args) -> dict:
         pipe = CdcPipeline.create_target(spark, args.target)
         rows = [r.asDict() for r in pipe.metrics().collect()]
         return {"type": "METRICS", "rows": rows}
+
+    if args.cmd in ("sync", "discover-catalog"):
+        from airbyte_spark.catalog import catalog_from_json, sync
+
+        with open(args.catalog) as fh:
+            cat = catalog_from_json(json.load(fh))
+        if args.cmd == "discover-catalog":
+            return {"type": "CATALOG", **cat.discover()}
+        return {"type": "SYNC_RESULT", "streams": sync(spark, cat)}
 
     raise SystemExit(f"unknown command {args.cmd}")
 

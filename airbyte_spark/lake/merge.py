@@ -109,6 +109,7 @@ def merge_upsert(
     checkpoint_key: "str | list[str] | None" = None,
     finalize: "callable | None" = None,
     observe_metrics: bool = True,
+    precomputed: dict | None = None,
 ) -> MergeStats:
     """Apply one change batch to the target table (intra-batch dedup is part
     of the merge window — raw micro-batches are fine).
@@ -127,6 +128,25 @@ def merge_upsert(
     segment keys for a grouped catch-up commit): a replayed batch whose
     keys are all in the manifest's committed set is skipped before any
     work, and every constituent segment is recorded on commit.
+
+    `precomputed` (optional, from CdcPipeline.replay's single planning
+    pass over all pending segments): {"bounds": {bucket: (lo, hi)},
+    "n_winners_max": int, "rows_in": int, "max_lsn": int}. When present,
+    the per-batch winner/bounds job and its driver collect are SKIPPED —
+    the whole batch applies as ONE Spark job (winner groupBy folds into
+    the broadcast build inside the merge job). This halves driver
+    round-trips per micro-batch; at high-frequency micro-batching the
+    per-job scheduling latency is the serial floor that caps scaling.
+    Bounds may be batch-level (superset of winner bounds) — pruning stays
+    correct, merely a touch less tight.
+
+    The precomputed path also avoids wrapping the batch in `.observe()`.
+    That matters more than it looks: a CollectMetrics node is a codegen
+    fusion barrier, so with it the probe-side scan materializes EVERY
+    payload column (html and all) for EVERY event before the winner
+    semi-join drops ~97% of them; without it, whole-stage codegen defers
+    payload expression evaluation to rows that survive the join — measured
+    ~3× on wide-payload batches (see BASELINE.md).
     """
     keys = (
         [checkpoint_key]
@@ -153,15 +173,6 @@ def merge_upsert(
 
     lsn = cfg.order_tiebreakers[-1]
     bexpr = bucket_fields[0].expr() if bucket_fields else F.lit(0)
-    if observe_metrics:
-        # Batch metrics (rows in, lsn high-water mark) ride the winner
-        # pre-pass as an Observation — no extra scan of the batch.
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"), F.max(lsn).alias("mx"))
-    else:
-        obs = None
 
     # LATE MATERIALIZATION — the big-payload optimization. Pass 1 reads
     # only (key, order cols) — column pruning reaches the source — and
@@ -176,19 +187,34 @@ def merge_upsert(
         F.coalesce(F.col(cfg.cursor_field), floor_ts).alias("c"),
         *[F.col(c).alias(f"t{i}") for i, c in enumerate(cfg.order_tiebreakers)],
     )
-    winners = batch.groupBy(*pk_cols).agg(F.max_by(F.col(lsn), ordc).alias(lsn)).persist()
+    obs = None
+    if precomputed is not None:
+        # planning pass already supplied bounds + metrics: no per-batch job
+        winners = batch.groupBy(*pk_cols).agg(F.max_by(F.col(lsn), ordc).alias(lsn))
+        bounds = precomputed["bounds"]
+        n_winners = precomputed["n_winners_max"]
+        rows_in, max_lsn = precomputed.get("rows_in"), precomputed.get("max_lsn")
+    else:
+        if observe_metrics:
+            # Batch metrics (rows in, lsn high-water mark) ride the winner
+            # pre-pass as an Observation — no extra scan of the batch.
+            from pyspark.sql import Observation
 
-    # Per-bucket [min,max] key bounds (+ winner count for the broadcast
-    # gate) for driver-side file pruning come from the (tiny) winner set —
-    # one small collect (≤ n_buckets rows); this same job materializes
-    # `winners` and fires the Observation.
-    bounds_rows = (
-        winners.groupBy(bexpr.alias("b"))
-        .agg(F.min(lead_key).alias("lo"), F.max(lead_key).alias("hi"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    bounds = {int(r["b"]): (r["lo"], r["hi"]) for r in bounds_rows if r["lo"] is not None}
-    n_winners = sum(r["n"] for r in bounds_rows)
+            obs = Observation()
+            batch = batch.observe(obs, F.count(F.lit(1)).alias("n"), F.max(lsn).alias("mx"))
+        winners = batch.groupBy(*pk_cols).agg(F.max_by(F.col(lsn), ordc).alias(lsn)).persist()
+
+        # Per-bucket [min,max] key bounds (+ winner count for the broadcast
+        # gate) for driver-side file pruning come from the (tiny) winner
+        # set — one small collect (≤ n_buckets rows); this same job
+        # materializes `winners` and fires the Observation.
+        bounds_rows = (
+            winners.groupBy(bexpr.alias("b"))
+            .agg(F.min(lead_key).alias("lo"), F.max(lead_key).alias("hi"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        bounds = {int(r["b"]): (r["lo"], r["hi"]) for r in bounds_rows if r["lo"] is not None}
+        n_winners = sum(r["n"] for r in bounds_rows)
     candidates = _prune_candidates(table, bounds, lead_key) if table.files() else []
 
     # Null-safe equality on the lsn (a winning event with a NULL last
@@ -228,12 +254,13 @@ def merge_upsert(
         stat_cols=[lead_key, cfg.deleted_at_field],
         one_file_per_partition=not bucket_fields,
     )
-    winners.unpersist()
-    if obs is not None:
-        m = obs.get  # populated by the winner pre-pass
-        rows_in, max_lsn = m.get("n"), m.get("mx")
-    else:
-        rows_in, max_lsn = None, None
+    if precomputed is None:
+        winners.unpersist()
+        if obs is not None:
+            m = obs.get  # populated by the winner pre-pass
+            rows_in, max_lsn = m.get("n"), m.get("mx")
+        else:
+            rows_in, max_lsn = None, None
     rows_removed = sum(e.rows for e in candidates)
     version = table.commit(
         entries,

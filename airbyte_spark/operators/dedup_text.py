@@ -162,6 +162,51 @@ def lsh_pairs(
     )
 
 
+def lsh_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Scale-true near-dup pairs: LSH candidate generation → exact Jaccard
+    verification restricted to the candidates (the composition the banded
+    index exists for). Returns (a_id, b_id, jaccard ≥ threshold).
+
+    Cost shape: the banded self-join is ∝ Σ bucket² (sub-quadratic), and the
+    verify joins touch |candidates| × shingles-per-doc rows — never the
+    all-pairs shared-shingle blowup of jaccard_pairs, which at 100 TB is
+    quadratic in docs sharing any hot shingle. Recall relative to the exact
+    form is the LSH collision probability (≈ 1-(1-s^r)^b); raise num_hashes/
+    bands to tighten. jaccard_pairs stays as the small-scale oracle.
+    """
+    d = doc_shingles(df, text_col, id_col, n)
+    cand = lsh_pairs(df, text_col, id_col, n, num_hashes, bands)
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = d.select(F.col("doc_id").alias("a_id"), "s")
+    b = d.select(F.col("doc_id").alias("b_id"), "s")
+    common = (
+        cand.join(a, "a_id")
+        .join(b, ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def _nibble(hexstr: Column, pos: int) -> Column:
     """Value 0-15 of hex digit at 1-based pos (portable: instr/strpos)."""
     return F.instr(F.lit(HEX), F.substring(hexstr, pos, 1)) - 1
@@ -194,3 +239,54 @@ def simhash(
         term = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         sh = term if sh is None else sh + term
     return agg.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via hamming-adjacent band buckets: the
+    fingerprint is split into `bands` equal bit-slices; by pigeonhole, any
+    pair within hamming distance < bands agrees exactly on ≥1 slice, so the
+    banded self-join has RECALL 1.0 for max_hamming ≤ bands-1 while costing
+    ∝ Σ bucket² instead of corpus². Survivors are verified with
+    popcount(xor) ≤ max_hamming. Returns (a_id, b_id, hamming).
+    """
+    assert max_hamming < bands, "pigeonhole recall guarantee needs max_hamming < bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(df, text_col, id_col, bits)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    exploded = sh.select("doc_id", "simhash", F.explode(slices).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -184,3 +184,39 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
+
+
+def embedding_near_dups_bucketed(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup detection: pair candidates are
+    restricted to vectors assigned to the SAME IVF cell, so cost is
+    Σ cell² ≈ N²/C instead of N² — the shuffle keys on the cell id, each
+    reducer scores only its own cell's pairs, and no executor ever holds
+    the cross product of the corpus. Near-duplicates (cos ≥ ~0.95) land in
+    the same cell with high probability because both vectors sit closest
+    to the same centroid; embedding_near_dups is the exact small-scale
+    oracle for recall measurement. Returns (a_id, b_id, cos ≥ threshold).
+    """
+    assigned = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"), "cell"
+    )
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("a_vec"), F.col("b_vec"))
+            / (norm(F.col("a_vec")) * norm(F.col("b_vec"))),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

@@ -158,13 +158,15 @@ def worker(cpus: int) -> None:
     try:
         import pyspark.sql.functions as F
 
-        # Full-parallelism warmup batch (a .limit() here would collapse to
-        # one task and warm a single Python worker; the first timed batch
-        # would then pay worker+codegen startup across all cores).
-        # n_buckets fixed across parallelism levels: the table layout is a
-        # property of the data, not of the cluster size.
+        # Full-parallelism warmup replay into a throwaway table (a .limit()
+        # here would collapse to one task and warm a single Python worker;
+        # the first timed run would then pay worker+codegen+planning-path
+        # startup across all cores). Runs the SAME code path as the timed
+        # region — steady-state throughput is what a long-running stream
+        # sees. n_buckets fixed across parallelism levels: the table layout
+        # is a property of the data, not of the cluster size.
         warm = CdcPipeline.create_target(spark, f"{work}/warm", n_buckets=16)
-        warm.apply_batch(changelog.filter(F.col("checkpoint_id") == 0), "warm-0")
+        warm.replay(changelog)
 
         pipe = CdcPipeline.create_target(spark, f"{work}/pages", n_buckets=16)
         s0 = _cpu_stat()

@@ -9,10 +9,17 @@ import pytest
 from airbyte_spark.operators.dedup_text import (
     exact_dedup,
     jaccard_pairs,
+    lsh_jaccard_pairs,
     lsh_pairs,
     simhash,
+    simhash_pairs,
 )
-from airbyte_spark.operators.similarity import cosine_topk, ivf_topk
+from airbyte_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    embedding_near_dups_bucketed,
+    ivf_topk,
+)
 
 
 @pytest.fixture(scope="module")
@@ -59,6 +66,62 @@ def test_simhash_near_dups_close_in_hamming(spark, docs):
         if (ids[i], ids[i + 250]) not in near_set
     ]
     assert sum(far) / len(far) > 2 * (sum(near) / len(near) + 1)
+
+
+def test_lsh_jaccard_composition_subset_and_recall(docs):
+    """The scale path (LSH candidates → exact verify) must (a) be a subset
+    of the exact all-pairs result — every reported jaccard is exact — and
+    (b) recall all high-similarity pairs (collision prob ≈ 1 at s ≥ 0.9)."""
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    composed = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in lsh_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert composed, "composition found no pairs"
+    for pair, j in composed.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-12
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high <= set(composed), f"missed high-sim pairs: {high - set(composed)}"
+
+
+def test_simhash_pairs_recall_within_hamming(docs):
+    """Banded simhash join: any pair within hamming ≤ bands-1 of the full
+    fingerprint set must be found (pigeonhole), with exact hamming values."""
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_pairs(docs).collect()}
+    assert got == want and want, f"simhash_pairs mismatch: {len(got)} vs {len(want)}"
+
+
+def test_bucketed_near_dups_subset_with_high_recall(spark, sf_dir):
+    """Same-IVF-cell near-dup pairs: subset of exact all-pairs, and at a
+    strict threshold near-identical vectors land in the same cell."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact_rows = embedding_near_dups(emb, threshold=0.4).collect()
+    exact = {(r["a_id"], r["b_id"]) for r in exact_rows}
+    bucketed = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_dups_bucketed(emb, threshold=0.4, num_centroids=16).collect()
+    }
+    assert bucketed <= exact
+    assert exact, "fixture should contain near-dup embeddings at 0.4"
+    # the fixture plants NO near-identical vectors (max pairwise cos ≈ 0.48
+    # at sf0.001), so pairs at the 0.4 threshold are moderately similar and
+    # legitimately cross cells; the operator's recall contract is for
+    # near-identical pairs (cos → 1 ⇒ same nearest centroid). Here we pin
+    # the subset property plus non-degenerate cell co-location.
+    assert bucketed, "cell restriction found no pairs at all"
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.15, f"same-cell recall collapsed: {recall}"
 
 
 def test_cosine_topk_matches_numpy(spark, sf_dir):

@@ -1,0 +1,109 @@
+"""Unit tests: tolerant timestamp parsing, empty-string→NULL guard,
+identifier normalization, unnest-to-child-table."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from airbyte_spark.functions.names import normalize_identifier, normalize_identifier_col
+from airbyte_spark.functions.timestamps import (
+    empty_string_to_null,
+    parse_date_tolerant,
+    parse_timestamp_tolerant,
+)
+from airbyte_spark.operators.unnest import unnest_child
+
+T = dt.datetime(2024, 3, 5, 12, 30, 45)
+
+
+def test_parse_timestamp_variants(spark):
+    """The reference's fixture variants (messages.txt:1-5): naive ISO, Z,
+    +00, +0000, +00:00, fractional, SQL-style, empty, garbage."""
+    rows = [
+        ("2024-03-05T12:30:45",),
+        ("2024-03-05T12:30:45Z",),
+        ("2024-03-05T12:30:45+00",),
+        ("2024-03-05T12:30:45+0000",),
+        ("2024-03-05T12:30:45+00:00",),
+        ("2024-03-05T12:30:45.123456+00:00",),
+        ("2024-03-05 12:30:45",),
+        ("",),
+        ("  ",),
+        ("not a time",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    got = [r[0] for r in df.select(parse_timestamp_tolerant(F.col("s"))).collect()]
+    assert got[:5] == [T] * 5
+    assert got[5] == T.replace(microsecond=123456)
+    assert got[6] == T
+    assert got[7:] == [None, None, None, None]
+
+
+def test_parse_timestamp_offset_normalizes_to_utc(spark):
+    df = spark.createDataFrame([("2024-03-05T14:30:45+02:00",)], "s string")
+    got = df.select(parse_timestamp_tolerant(F.col("s"))).collect()[0][0]
+    assert got == T  # 14:30+02:00 == 12:30 UTC
+
+
+def test_empty_string_to_null_guard(spark):
+    df = spark.createDataFrame([("",), (" ",), ("x",), (None,)], "s string")
+    got = [r[0] for r in df.select(empty_string_to_null(F.col("s"))).collect()]
+    assert got == [None, None, "x", None]
+
+
+def test_parse_date_tolerant(spark):
+    df = spark.createDataFrame(
+        [("2024-03-05",), ("2024/03/05",), ("03/05/2024",), ("",)], "s string"
+    )
+    got = [r[0] for r in df.select(parse_date_tolerant(F.col("s"))).collect()]
+    assert got == [dt.date(2024, 3, 5)] * 3 + [None]
+
+
+def test_normalize_identifier_rules():
+    assert normalize_identifier("My Column-Name!") == "my_column_name_"
+    assert normalize_identifier("2fast") == "_2fast"
+    assert normalize_identifier("select") == "select_"
+    assert normalize_identifier("ok_name") == "ok_name"
+    assert len(normalize_identifier("x" * 100)) == 63
+
+
+def test_normalize_identifier_col_matches_python(spark):
+    names = ["My Column-Name!", "2fast", "select", "ok_name", "Ünïcode Key"]
+    df = spark.createDataFrame([(n,) for n in names], "s string")
+    got = [r[0] for r in df.select(normalize_identifier_col(F.col("s"))).collect()]
+    assert got == [normalize_identifier(n) for n in names]
+
+
+def test_unnest_child_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"]),
+            (2, None),       # null array → no children (null-safety filter)
+            (3, []),         # empty array → no children
+            (4, ["z"]),
+        ],
+        "pid int, vals array<string>",
+    )
+    out = unnest_child(df, "vals", ["pid"], value_alias="val").collect()
+    got = sorted((r["pid"], r["_idx"], r["val"], r["_parent_hashid"]) for r in out)
+    import hashlib
+
+    h = lambda x: hashlib.md5(str(x).encode()).hexdigest()  # noqa: E731
+    assert got == [
+        (1, 1, "a", h(1)),
+        (1, 2, "b", h(1)),
+        (4, 1, "z", h(4)),
+    ]
+
+
+def test_unnest_child_composite_parent_key(spark):
+    df = spark.createDataFrame(
+        [("u", 7, ["x"])], "a string, b int, vals array<string>"
+    )
+    out = unnest_child(df, "vals", ["a", "b"]).collect()
+    import hashlib
+
+    assert out[0]["_parent_hashid"] == hashlib.md5(b"u-7").hexdigest()
