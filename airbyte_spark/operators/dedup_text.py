@@ -56,10 +56,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Pre-spread the doc table across cores before a data-amplifying
+    explode: a narrow source (one parquet file → 1-2 input partitions)
+    would otherwise run the whole explode single-threaded and hand the
+    first shuffle a few giant map tasks. Repartitioning the small side
+    BEFORE amplification is the cheap direction."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("s"))
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("s"))
         .distinct()
     )
 
@@ -182,11 +193,23 @@ def lsh_jaccard_pairs(
     form is the LSH collision probability (≈ 1-(1-s^r)^b); raise num_hashes/
     bands to tighten. jaccard_pairs stays as the small-scale oracle.
     """
-    d = doc_shingles(df, text_col, id_col, n)
+    # the shingle table feeds candidate generation AND both verify sides —
+    # materialize it once (at 100 TB this is the "write the shingle table
+    # to the lake once per corpus snapshot" step)
+    d = doc_shingles(df, text_col, id_col, n).cache()
     cand = lsh_pairs(df, text_col, id_col, n, num_hashes, bands)
-    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = d.select(F.col("doc_id").alias("a_id"), "s")
-    b = d.select(F.col("doc_id").alias("b_id"), "s")
+    # verify only touches documents that appear in some candidate pair —
+    # semi-join the shingle table down to them before the pair-count join
+    # (near-dup candidates are a vanishing fraction of a deduped corpus)
+    cand_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    dc = d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sizes = dc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = dc.select(F.col("doc_id").alias("a_id"), "s")
+    b = dc.select(F.col("doc_id").alias("b_id"), "s")
     common = (
         cand.join(a, "a_id")
         .join(b, ["b_id", "s"])
@@ -225,7 +248,7 @@ def simhash(
 
     Near-dup docs differ in few bits (compare via popcount(xor)).
     """
-    w = df.select(
+    w = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w")
     ).withColumn("h", F.md5(F.col("w")))
     votes = []
