@@ -189,8 +189,13 @@ def merge_upsert(
     )
     obs = None
     if precomputed is not None:
-        # planning pass already supplied bounds + metrics: no per-batch job
-        winners = batch.groupBy(*pk_cols).agg(F.max_by(F.col(lsn), ordc).alias(lsn))
+        # planning pass already supplied bounds + metrics: no per-batch job.
+        # If it also materialized the winner set (cached), the broadcast
+        # build reads ~|keys| rows from memory instead of re-aggregating
+        # the batch.
+        winners = precomputed.get("winners")
+        if winners is None:
+            winners = batch.groupBy(*pk_cols).agg(F.max_by(F.col(lsn), ordc).alias(lsn))
         bounds = precomputed["bounds"]
         n_winners = precomputed["n_winners_max"]
         rows_in, max_lsn = precomputed.get("rows_in"), precomputed.get("max_lsn")

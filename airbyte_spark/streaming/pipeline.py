@@ -190,7 +190,7 @@ class CdcPipeline:
         segment granularity. In steady state (one pending segment) it is
         exactly one commit per segment. Every constituent segment id is
         recorded in the committed set."""
-        seg_stats = self._plan_replay(changelog)
+        seg_stats, winners_all = self._plan_replay(changelog)
         ids = sorted(seg_stats)
         if from_checkpoint is not None:
             ids = [i for i in ids if i >= from_checkpoint]
@@ -204,43 +204,71 @@ class CdcPipeline:
                 res = BatchResult(f"ckpt-{i}", True, None, None, 0.0)
                 self.results.append(res)
                 out.append(res)
-        chunks = [pending[g : g + group_size] for g in range(0, len(pending), group_size)]
-        for chunk in chunks:
-            sub = changelog.filter(F.col("checkpoint_id").isin([int(c) for c in chunk]))
-            out.append(
-                self.apply_batch(
-                    sub,
-                    checkpoint_key=[f"ckpt-{c}" for c in chunk],
-                    precomputed=_merge_plans([seg_stats[c] for c in chunk]),
+        try:
+            for g in range(0, len(pending), group_size):
+                chunk = pending[g : g + group_size]
+                plan = _merge_plans([seg_stats[c] for c in chunk])
+                plan["winners"] = winners_all.filter(
+                    F.col("_seg").isin([int(c) for c in chunk])
+                ).select(*self.cfg.primary_key, self.cfg.order_tiebreakers[-1])
+                sub = changelog.filter(F.col("checkpoint_id").isin([int(c) for c in chunk]))
+                out.append(
+                    self.apply_batch(
+                        sub,
+                        checkpoint_key=[f"ckpt-{c}" for c in chunk],
+                        precomputed=plan,
+                    )
                 )
-            )
+        finally:
+            winners_all.unpersist()
         return out
 
-    def _plan_replay(self, changelog: DataFrame) -> dict[int, dict]:
-        """ONE planning pass over the changelog: per (segment, bucket) key
-        bounds + counts + key-cardinality + lsn high-water marks. This both
-        DISCOVERS the pending segment ids and lets every subsequent merge
-        run as a single Spark job (no per-batch winner/bounds job, no
-        separate distinct() id scan, no extra driver collects) — per-job
-        scheduling latency is the serial floor of high-frequency
-        micro-batching, and this keeps it O(1) per catch-up instead of
-        O(batches). Bounds are segment-level (a superset of winner bounds):
-        file pruning stays correct, marginally less tight."""
+    def _plan_replay(self, changelog: DataFrame) -> tuple[dict[int, dict], DataFrame]:
+        """ONE planning pass over the changelog: materialize the per-
+        (segment, key) WINNER set (max_by over the total order) plus
+        per-key event counts, then aggregate winner-level bucket bounds,
+        exact winner counts, rows_in and lsn high-water marks per segment
+        from the tiny cached winner table. This both DISCOVERS the pending
+        segment ids and lets every subsequent merge commit run as a single
+        Spark job whose broadcast build reads winners from cache — no
+        per-batch winner scan, no separate distinct() id scan, no extra
+        driver collects. Per-job scheduling latency is the serial floor of
+        high-frequency micro-batching; this keeps it O(1) per catch-up
+        instead of O(batches), and the full changelog is scanned exactly
+        twice per catch-up (planning + merge probe) regardless of the
+        number of commits. A grouped commit unions its segments' winner
+        sets — at most group_size candidate events per key reach the merge
+        window, which resolves them exactly like any redelivery."""
         spec = self.table.partition_spec()
-        lead = self.cfg.primary_key[0]
+        pk = self.cfg.primary_key
+        lead = pk[0]
         bucket_fields = [
             f for f in spec.fields if f.transform == "bucket" and f.source == lead
         ]
         bexpr = bucket_fields[0].expr() if bucket_fields else F.lit(0)
         lsn = self.cfg.order_tiebreakers[-1]
+        floor_ts = F.lit("0001-01-01 00:00:00").cast("timestamp_ntz")
+        ordc = F.struct(
+            F.coalesce(F.col(self.cfg.cursor_field), floor_ts).alias("c"),
+            *[F.col(c).alias(f"t{i}") for i, c in enumerate(self.cfg.order_tiebreakers)],
+        )
+        winners_all = (
+            changelog.groupBy(F.col("checkpoint_id").alias("_seg"), *pk)
+            .agg(
+                F.max_by(F.col(lsn), ordc).alias(lsn),
+                F.count(F.lit(1)).alias("_cnt"),
+                F.max(lsn).alias("_mx"),
+            )
+            .persist()
+        )
         rows = (
-            changelog.groupBy(F.col("checkpoint_id").alias("g"), bexpr.alias("b"))
+            winners_all.groupBy(F.col("_seg").alias("g"), bexpr.alias("b"))
             .agg(
                 F.min(lead).alias("lo"),
                 F.max(lead).alias("hi"),
-                F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct(F.struct(*self.cfg.primary_key)).alias("nk"),
-                F.max(lsn).alias("mx"),
+                F.count(F.lit(1)).alias("nw"),
+                F.sum("_cnt").alias("n"),
+                F.max("_mx").alias("mx"),
             )
             .collect()
         )
@@ -252,14 +280,12 @@ class CdcPipeline:
             )
             if r["lo"] is not None:
                 p["bounds"][int(r["b"])] = (r["lo"], r["hi"])
-            # winner count ≈ distinct keys (broadcast gate); ~2% HLL error
-            # is irrelevant against the 2M-row gate threshold
-            p["n_winners_max"] += r["nk"]
+            p["n_winners_max"] += r["nw"]
             p["rows_in"] += r["n"]
             p["max_lsn"] = (
                 r["mx"] if p["max_lsn"] is None else max(p["max_lsn"], r["mx"])
             )
-        return plans
+        return plans, winners_all
 
     def replay_dir(self, changelog_dir: str, **kw) -> list[BatchResult]:
         """Replay from a materialized changelog directory; checkpoint_id is

@@ -124,11 +124,22 @@ def worker(cpus: int) -> None:
     # per batch). Production (100 TB, skewed domains) wants it ON — it is
     # the engine session default; this is a bench-only override.
     aqe = os.environ.get("SCALE_AQE", "false")
+    shuffle = int(os.environ.get("SCALE_SHUFFLE", "0")) or max(cpus * 2, 16)
+    extra = {"spark.sql.adaptive.enabled": aqe}
+    if MODE == "cluster":
+        # Tell each executor JVM how many cores it actually owns: on a
+        # 32-core host a 1-core executor otherwise sizes GC/compiler
+        # thread pools for 32 CPUs — 4 executors × ~23 GC threads thrash
+        # each other. This is the standard co-located-executor setting
+        # (same reason real clusters set it under cgroups/Kubernetes).
+        extra["spark.executor.extraJavaOptions"] = (
+            f"-XX:ActiveProcessorCount={CORES_PER_EXEC}"
+        )
     spark = get_spark(
         f"scale-{cpus}",
         master=master,
-        shuffle_partitions=max(cpus * 2, 16),
-        extra_conf={"spark.sql.adaptive.enabled": aqe},
+        shuffle_partitions=shuffle,
+        extra_conf=extra,
     )
     if MODE == "cluster":
         # Executor python workers unpickle UDFs by module reference — ship
