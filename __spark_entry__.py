@@ -187,6 +187,34 @@ def q_cdc_composite_pk_final_state(spark: SparkSession, sf_dir: str) -> DataFram
     return pipe.final_state().select("url", "section", "warc_ts", "text", "_ab_cdc_lsn")
 
 
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution mid-stream through the ENGINE: later binlog
+    segments carry an added column; the lake table evolves (NULL-fill for
+    old rows, no rewrite) and the merged final state reflects per-winner
+    provenance — ≡ the reference's catalog_schema_change golden scenario
+    (test_normalization.py:126-137) re-expressed as Iceberg-style schema
+    merge."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.streaming.pipeline import CdcPipeline, default_target_schema
+
+    ch = read_changelog(spark, sf_dir)
+    early = ch.filter(F.col("checkpoint_id") < 5)
+    late = ch.filter(F.col("checkpoint_id") >= 5).withColumn(
+        "domain", F.regexp_extract(F.col("url"), "https://([^/]+)/", 1)
+    )
+    path = tempfile.mkdtemp(prefix="airbyte_spark_evo_") + "/pages_evo"
+    table = LakeTable.create(
+        spark, path, default_target_schema(), PartitionSpec.bucket("url", 8)
+    )
+    pipe = CdcPipeline(
+        table=table, cfg=StreamConfig(name="pages", schema=default_target_schema())
+    )
+    pipe.apply_batch(early, "evo-0")
+    pipe.apply_batch(late, "evo-1")
+    return pipe.final_state().select("url", "warc_ts", "_ab_cdc_lsn", "domain")
+
+
 def q_cdc_unnest_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested/array normalization: JSON field extraction + unnest into a
     child table with parent hashid and null-safety filter (≡ reference
@@ -417,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_checkpoint_metrics": q_cdc_checkpoint_metrics,
         "cdc_composite_pk_final_state": q_cdc_composite_pk_final_state,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_timestamp_parse": q_cdc_timestamp_parse,
         "sync_identifier_normalize": q_sync_identifier_normalize,
@@ -612,6 +641,16 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
                   FROM s)
             SELECT url, section, warc_ts, text, _ab_cdc_lsn
+            FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
+        "cdc_schema_evolution": f"""
+            WITH ch AS ({_CH}),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch)
+            SELECT url, warc_ts, _ab_cdc_lsn,
+                   CASE WHEN checkpoint_id >= 5
+                        THEN regexp_extract(url, 'https://([^/]+)/', 1) END AS domain
             FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
         """,
         "cdc_unnest_children": """

@@ -102,3 +102,81 @@ def decode_image(data: Column) -> Column:
         "real image decoding requires PIL/opencv, absent in this container; "
         "use image_metadata_udf for the plumbing-level deterministic stub"
     )
+
+
+_AUDIO_META_TYPE = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+@pandas_udf(_AUDIO_META_TYPE)
+def audio_metadata_udf(data: pd.Series) -> pd.DataFrame:
+    """Deterministic fake probe (≡ ffprobe header parse in deployment):
+    rate/channels/duration derived from byte length so tests are stable."""
+    lengths = data.map(lambda b: 0 if b is None else len(b))
+    return pd.DataFrame(
+        {
+            "sample_rate": lengths.map(lambda n: 16000 if n % 3 else 44100).astype("int32"),
+            "channels": ((lengths % 2) + 1).astype("int32"),
+            # fake PCM16 mono estimate: bytes / (2 B/sample × 16 kHz)
+            "duration_ms": (lengths * 1000 // 32000).astype("int32"),
+        }
+    )
+
+
+def sample_frames(
+    df,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+    frame_bytes: int = 4096,
+    every_n: int = 10,
+    max_frames: int = 8,
+):
+    """Video frame sampling as a 1→N `mapInPandas` expansion: each input
+    row (id, video bytes) yields one output row per sampled frame
+    (id, frame_idx, frame binary). The Arrow batch shape, output schema
+    and pandas-side expansion (index.repeat — vectorized, no per-row
+    Python loop for the fan-out) are the real plumbing; the "frame" itself
+    is a deterministic byte slice standing in for an ffmpeg decode, which
+    this container cannot run.
+
+    Scale shape: the expansion is a narrow transformation — frames are
+    emitted inside the parent row's partition, so a downstream
+    per-frame feature UDF runs co-partitioned with no shuffle."""
+    from pyspark.sql.types import BinaryType, LongType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            data = pdf[data_col]
+            n_frames = data.map(
+                lambda b: 0 if b is None else min(max_frames, max(0, len(b) // (frame_bytes * every_n)))
+            )
+            idx = pdf.index.repeat(n_frames)
+            if len(idx) == 0:
+                yield pd.DataFrame({id_col: [], "frame_idx": [], "frame": []}).astype(
+                    {id_col: "int64", "frame_idx": "int64", "frame": object}
+                )
+                continue
+            out = pd.DataFrame({id_col: pdf.loc[idx, id_col].values})
+            frame_no = out.groupby(id_col).cumcount()
+            out["frame_idx"] = frame_no * every_n
+            blobs = pdf.loc[idx, data_col].values
+            out["frame"] = [
+                b[int(i) * frame_bytes : (int(i) + 1) * frame_bytes]
+                for b, i in zip(blobs, out["frame_idx"].values)
+            ]
+            yield out
+
+    return df.select(id_col, data_col).mapInPandas(gen, out_schema)

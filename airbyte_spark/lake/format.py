@@ -379,25 +379,36 @@ class LakeTable:
             writer_df.write.partitionBy(*pnames).mode("overwrite").parquet(out_dir)
         else:
             writer_df.write.mode("overwrite").parquet(out_dir)
-        entries: list[FileEntry] = []
         m = self.manifest()
         sid = int(m["schema_id"])
+        found: list[tuple[str, str, dict]] = []
         for root, _dirs, names in os.walk(out_dir):
             for name in names:
                 if not name.endswith(".parquet"):
                     continue
                 abs_path = os.path.join(root, name)
-                rel_path = os.path.relpath(abs_path, self.path)
                 partition: dict[str, Any] = {}
                 for seg in os.path.relpath(root, out_dir).split(os.sep):
                     if "=" in seg:
                         k, v = seg.split("=", 1)
                         partition[k] = int(v) if v.lstrip("-").isdigit() else v
-                rows, size, stats = _collect_parquet_stats(abs_path, stat_cols)
-                if rows == 0:
-                    continue
-                entries.append(FileEntry(rel_path, rows, size, sid, partition, stats))
-        return entries
+                found.append((abs_path, os.path.relpath(abs_path, self.path), partition))
+        # footer stats are independent per file — read them concurrently
+        # (at scale a commit stages hundreds of files; serial driver-side
+        # footer reads would become the commit's critical path)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(item):
+            abs_path, rel_path, partition = item
+            rows, size, stats = _collect_parquet_stats(abs_path, stat_cols)
+            return FileEntry(rel_path, rows, size, sid, partition, stats) if rows else None
+
+        if len(found) > 1:
+            with ThreadPoolExecutor(max_workers=min(16, len(found))) as pool:
+                results = list(pool.map(one, found))
+        else:
+            results = [one(i) for i in found]
+        return [e for e in results if e is not None]
 
     def commit(
         self,

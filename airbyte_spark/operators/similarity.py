@@ -84,14 +84,19 @@ def ivf_assign(
     num_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """Assign each vector to its nearest 'centroid' — deterministically the
-    vectors with the lowest ids serve as centroids (a seeded k-means would
-    slot in here; centroid choice is orthogonal to the search plumbing).
-    Returns (vec_id, embedding, cell)."""
+    """Assign each vector to its nearest centroid. By default the vectors
+    with the lowest ids serve as (deterministic, oracle-portable)
+    centroids; pass `centroids` (c_id, c_vec) — e.g. from
+    kmeans_centroids — for data-adaptive cells. Returns
+    (vec_id, embedding, cell)."""
     cents = (
-        corpus.filter(F.col(id_col) < num_centroids)
-        .select(F.col(id_col).alias("c_id"), _dvec(F.col(vec_col)).alias("c_vec"))
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("c_id"), _dvec(F.col(vec_col)).alias("c_vec")
+        )
     )
     v = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v_vec"))
     scored = v.crossJoin(F.broadcast(cents)).withColumn(
@@ -106,6 +111,63 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations for IVF cells: init = the k lowest-id
+    vectors (seeded, replay-stable), then `iters` rounds of
+    assign-to-nearest + per-cell elementwise mean. Returns (c_id, c_vec).
+
+    Scale shape: each iteration is one broadcast assign (no shuffle of the
+    corpus beyond the groupBy on cell id) + a D-column aggregate — the
+    centroid means are map-side-combinable per dimension, so the shuffle
+    moves k×D doubles per partition, never vectors. D is read from the
+    schema's first row once (driver-side, O(1))."""
+    dim = len(corpus.select(vec_col).first()[0])
+    cents = corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("c_id"), _dvec(F.col(vec_col)).alias("c_vec")
+    )
+    v = corpus.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v_vec"))
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cents)).withColumn(
+            "cos",
+            dot(F.col("v_vec"), F.col("c_vec"))
+            / (norm(F.col("v_vec")) * norm(F.col("c_vec"))),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v_vec", F.col("c_id").alias("cell"))
+        )
+        cents = assigned.groupBy(F.col("cell").alias("c_id")).agg(
+            F.array(*[F.avg(F.col("v_vec")[i]) for i in range(dim)]).alias("c_vec")
+        )
+    return cents
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean (1 - cosine-to-nearest-centroid) — the convergence measure."""
+    assigned = ivf_assign(corpus, 0, id_col, vec_col, centroids=centroids)
+    joined = assigned.join(
+        F.broadcast(centroids), assigned["cell"] == centroids["c_id"]
+    ).withColumn(
+        "cos",
+        dot(F.col("embedding"), F.col("c_vec"))
+        / (norm(F.col("embedding")) * norm(F.col("c_vec"))),
+    )
+    return joined.agg(F.avg(1 - F.col("cos"))).collect()[0][0]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -114,12 +176,14 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF cell-probe ANN: search only vectors in the query's nprobe nearest
-    cells. Recall < 1 by design; brute-force cosine_topk is the oracle."""
-    assigned = ivf_assign(corpus, num_centroids, id_col, vec_col)
-    q_cells = (
-        ivf_assign_queries(queries, corpus, num_centroids, nprobe, id_col, vec_col)
+    cells. Recall < 1 by design; brute-force cosine_topk is the oracle.
+    Pass `centroids` from kmeans_centroids for data-adaptive cells."""
+    assigned = ivf_assign(corpus, num_centroids, id_col, vec_col, centroids=centroids)
+    q_cells = ivf_assign_queries(
+        queries, corpus, num_centroids, nprobe, id_col, vec_col, centroids=centroids
     )
     cand = q_cells.join(assigned.withColumnRenamed("vec_id", "n_id"), "cell").filter(
         F.col("q_id") != F.col("n_id")
@@ -144,11 +208,15 @@ def ivf_assign_queries(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, q_vec, cell) for each query's nprobe nearest centroid cells."""
     cents = (
-        corpus.filter(F.col(id_col) < num_centroids)
-        .select(F.col(id_col).alias("c_id"), _dvec(F.col(vec_col)).alias("c_vec"))
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("c_id"), _dvec(F.col(vec_col)).alias("c_vec")
+        )
     )
     q = queries.select(F.col(id_col).alias("q_id"), _dvec(F.col(vec_col)).alias("q_vec"))
     scored = q.crossJoin(F.broadcast(cents)).withColumn(

@@ -233,18 +233,37 @@ def orchestrate() -> None:
             r = json.loads(line[-1])
             runs[cpus].append(r)
             print(f"trial {_t} local[{cpus}]: {r}")
+    # Efficiency estimator: PAIRED interleaved trials, median of the
+    # per-pair ratios. The two levels alternate back-to-back, so a pair
+    # shares the VM phase; taking best-of-K per level independently mixes
+    # phases (the 1-core level drifts ±40% across the day while the
+    # 4-core level is stable ±5%) and systematically understates the
+    # ratio. All trials are retained below for inspection; the best-of
+    # figure is reported alongside.
+    pair_effs = [
+        round(b["events_per_sec"] / (4 * a["events_per_sec"]), 3)
+        for a, b in zip(runs[N], runs[4 * N])
+    ]
+    med_eff = sorted(pair_effs)[len(pair_effs) // 2]
     results = {c: min(rs, key=lambda r: r["seconds"]) for c, rs in runs.items()}
     small, big = results[N], results[4 * N]
-    eff = big["events_per_sec"] / (4 * small["events_per_sec"])
+    best_eff = big["events_per_sec"] / (4 * small["events_per_sec"])
     summary = {
         "metric": "cdc_replay_scaling",
         "sf": SF_DIR,
         "amplification": REP,
         "events": big["events"],
+        "method": (
+            "interleaved paired trials; headline efficiency = median of "
+            "per-pair throughput ratios (phase-matched); best-of-K per "
+            "level shown for reference"
+        ),
         "runs": {f"local[{N}]": small, f"local[{4*N}]": big},
         "all_trials": {f"local[{c}]": rs for c, rs in runs.items()},
+        "pair_efficiencies": pair_effs,
         "speedup": round(big["events_per_sec"] / small["events_per_sec"], 2),
-        "scaling_efficiency_Nx4": round(eff, 3),
+        "scaling_efficiency_Nx4": round(med_eff, 3),
+        "scaling_efficiency_best_of": round(best_eff, 3),
     }
     print(json.dumps(summary))
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"), "w") as fh:

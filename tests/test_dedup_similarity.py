@@ -145,6 +145,27 @@ def test_cosine_topk_matches_numpy(spark, sf_dir):
         assert mine == want
 
 
+def test_kmeans_centroids_reduce_inertia_and_search(spark, sf_dir):
+    """Lloyd iterations must reduce mean (1-cos) to the nearest centroid
+    versus the naive lowest-id seeding, and ivf_topk over k-means cells
+    keeps useful recall vs brute force."""
+    from airbyte_spark.operators.similarity import kmeans_centroids, kmeans_inertia
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = kmeans_centroids(emb, k=8, iters=0)  # = lowest-id seeding
+    trained = kmeans_centroids(emb, k=8, iters=2)
+    i0, i2 = kmeans_inertia(emb, seed), kmeans_inertia(emb, trained)
+    assert i2 < i0, f"k-means did not improve inertia: {i0} -> {i2}"
+
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = {(r["q_id"], r["n_id"]) for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in ivf_topk(q, emb, k=5, nprobe=4, centroids=trained).collect()
+    }
+    assert len(brute & approx) / len(brute) >= 0.5
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)

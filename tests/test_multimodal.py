@@ -33,3 +33,40 @@ def test_image_metadata_schema_and_determinism(spark):
 def test_real_decoder_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(F.lit(b""))
+
+
+def test_audio_metadata_schema(spark):
+    from airbyte_spark.functions.extract import audio_metadata_udf
+
+    df = spark.createDataFrame([(1, b"a" * 64000), (2, None)], "id long, audio binary")
+    out = df.select("id", audio_metadata_udf(F.col("audio")).alias("m")).collect()
+    got = {r["id"]: (r["m"]["sample_rate"], r["m"]["channels"], r["m"]["duration_ms"]) for r in out}
+    assert got[1] == (16000, 1, 2000)  # 64000 B / 32000 B-per-sec = 2 s
+    assert got[2] == (44100, 1, 0)
+
+
+def test_sample_frames_one_to_many(spark):
+    """mapInPandas 1→N expansion: frame rows per video, deterministic
+    slices, empty for NULL/short payloads, stable across partitionings."""
+    from airbyte_spark.functions.extract import sample_frames
+
+    vids = [
+        (1, bytes(range(256)) * 640),  # 160 KB → 4 frames at 4096*10
+        (2, b"x" * 2000),              # too short → 0 frames
+        (3, None),                     # NULL → 0 frames
+    ]
+    df = spark.createDataFrame(vids, "doc_id long, data binary")
+    out = sample_frames(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["frame"]))
+    assert set(by_doc) == {1}
+    frames = sorted(by_doc[1])
+    assert [i for i, _ in frames] == [0, 10, 20, 30]
+    src = bytes(range(256)) * 640
+    for i, blob in frames:
+        assert blob == src[i * 4096 : (i + 1) * 4096]
+    out2 = sample_frames(df.repartition(5)).collect()
+    assert sorted((r["doc_id"], r["frame_idx"]) for r in out2) == sorted(
+        (r["doc_id"], r["frame_idx"]) for r in out
+    )
