@@ -140,13 +140,15 @@ def merge_upsert(
     Bounds may be batch-level (superset of winner bounds) — pruning stays
     correct, merely a touch less tight.
 
-    The precomputed path also avoids wrapping the batch in `.observe()`.
-    That matters more than it looks: a CollectMetrics node is a codegen
-    fusion barrier, so with it the probe-side scan materializes EVERY
-    payload column (html and all) for EVERY event before the winner
-    semi-join drops ~97% of them; without it, whole-stage codegen defers
-    payload expression evaluation to rows that survive the join — measured
-    ~3× on wide-payload batches (see BASELINE.md).
+    Batch metrics (rows_in, lsn high-water mark) are NEVER collected via
+    `.observe()`: a CollectMetrics node is a codegen fusion barrier, so
+    with it the probe-side scan would materialize EVERY payload column
+    (html and all) for EVERY event before the winner semi-join drops ~97%
+    of them; without it, whole-stage codegen defers payload expression
+    evaluation to rows that survive the join — measured ~3× end-to-end on
+    wide-payload batches (see BASELINE.md). Metrics instead ride the
+    column-pruned winner pre-pass as per-key aggregates (or arrive
+    precomputed from the replay planning pass).
     """
     keys = (
         [checkpoint_key]
@@ -187,7 +189,7 @@ def merge_upsert(
         F.coalesce(F.col(cfg.cursor_field), floor_ts).alias("c"),
         *[F.col(c).alias(f"t{i}") for i, c in enumerate(cfg.order_tiebreakers)],
     )
-    obs = None
+    winners_owned = None
     if precomputed is not None:
         # planning pass already supplied bounds + metrics: no per-batch job.
         # If it also materialized the winner set (cached), the broadcast
@@ -200,26 +202,43 @@ def merge_upsert(
         n_winners = precomputed["n_winners_max"]
         rows_in, max_lsn = precomputed.get("rows_in"), precomputed.get("max_lsn")
     else:
-        if observe_metrics:
-            # Batch metrics (rows in, lsn high-water mark) ride the winner
-            # pre-pass as an Observation — no extra scan of the batch.
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            batch = batch.observe(obs, F.count(F.lit(1)).alias("n"), F.max(lsn).alias("mx"))
-        winners = batch.groupBy(*pk_cols).agg(F.max_by(F.col(lsn), ordc).alias(lsn)).persist()
+        # Winner pre-pass carries the batch metrics as per-key aggregates
+        # (NOT as an .observe() — CollectMetrics is a codegen-fusion
+        # barrier that would materialize full payloads for every event,
+        # see the docstring). The scan is column-pruned to key+order cols.
+        winners_owned = (
+            batch.groupBy(*pk_cols)
+            .agg(
+                F.max_by(F.col(lsn), ordc).alias(lsn),
+                F.count(F.lit(1)).alias("_cnt"),
+                F.max(lsn).alias("_mx"),
+            )
+            .persist()
+        )
 
         # Per-bucket [min,max] key bounds (+ winner count for the broadcast
-        # gate) for driver-side file pruning come from the (tiny) winner
-        # set — one small collect (≤ n_buckets rows); this same job
-        # materializes `winners` and fires the Observation.
+        # gate, rows/lsn metrics) come from the (tiny) winner set — one
+        # small collect (≤ n_buckets rows); this same job materializes
+        # the winner cache.
         bounds_rows = (
-            winners.groupBy(bexpr.alias("b"))
-            .agg(F.min(lead_key).alias("lo"), F.max(lead_key).alias("hi"), F.count(F.lit(1)).alias("n"))
+            winners_owned.groupBy(bexpr.alias("b"))
+            .agg(
+                F.min(lead_key).alias("lo"),
+                F.max(lead_key).alias("hi"),
+                F.count(F.lit(1)).alias("nw"),
+                F.sum("_cnt").alias("n"),
+                F.max("_mx").alias("mx"),
+            )
             .collect()
         )
         bounds = {int(r["b"]): (r["lo"], r["hi"]) for r in bounds_rows if r["lo"] is not None}
-        n_winners = sum(r["n"] for r in bounds_rows)
+        n_winners = sum(r["nw"] for r in bounds_rows)
+        if observe_metrics and bounds_rows:
+            rows_in = sum(r["n"] for r in bounds_rows)
+            max_lsn = max((r["mx"] for r in bounds_rows if r["mx"] is not None), default=None)
+        else:
+            rows_in, max_lsn = None, None
+        winners = winners_owned.select(*pk_cols, lsn)
     candidates = _prune_candidates(table, bounds, lead_key) if table.files() else []
 
     # Null-safe equality on the lsn (a winning event with a NULL last
@@ -259,13 +278,8 @@ def merge_upsert(
         stat_cols=[lead_key, cfg.deleted_at_field],
         one_file_per_partition=not bucket_fields,
     )
-    if precomputed is None:
-        winners.unpersist()
-        if obs is not None:
-            m = obs.get  # populated by the winner pre-pass
-            rows_in, max_lsn = m.get("n"), m.get("mx")
-        else:
-            rows_in, max_lsn = None, None
+    if winners_owned is not None:
+        winners_owned.unpersist()
     rows_removed = sum(e.rows for e in candidates)
     version = table.commit(
         entries,
