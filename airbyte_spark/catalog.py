@@ -136,6 +136,42 @@ def sync(spark: SparkSession, catalog: SyncCatalog, state: dict | None = None) -
     return [sync_stream(spark, s, state.get(s.cfg.name)) for s in catalog.streams]
 
 
+def apply_namespace_mapping(
+    catalog: SyncCatalog,
+    prefix: str = "",
+    namespace_format: str = "${SOURCE_NAMESPACE}",
+    source_namespace: str = "",
+) -> SyncCatalog:
+    """Stream-prefix / namespace rewrite between source and destination —
+    ≡ the reference's NamespacingMapper (airbyte-workers
+    NamespacingMapper.java:25-80: prefixes stream names and resolves the
+    destination namespace from a ${SOURCE_NAMESPACE} template). Returns a
+    NEW catalog whose stream names and target paths carry the mapping;
+    sources and schemas are untouched."""
+    ns = namespace_format.replace("${SOURCE_NAMESPACE}", source_namespace)
+    out = []
+    for s in catalog.streams:
+        from dataclasses import replace
+
+        name = f"{prefix}{s.cfg.name}"
+        cfg = replace(s.cfg, name=name)
+        head, _, tail = s.target_path.rpartition("/")
+        target = "/".join(x for x in (head, ns, f"{prefix}{tail}") if x)
+        out.append(replace(s, cfg=cfg, target_path=target))
+    return SyncCatalog(out)
+
+
+def post_sync_sql(spark: SparkSession, stream: ConfiguredStream, sql: str):
+    """Custom SQL stage after a sync — ≡ the reference's operator-supplied
+    dbt transformation step (SyncWorkflowImpl.java:77-82: user SQL models
+    run against the destination after normalization). The stream's active
+    rows are registered as a temp view named after the stream; the user
+    query runs against it and returns a DataFrame."""
+    pipe = _pipeline_for(spark, stream)
+    pipe.final_state().createOrReplaceTempView(stream.cfg.name)
+    return spark.sql(sql)
+
+
 def catalog_from_json(doc: dict) -> SyncCatalog:
     """Build a SyncCatalog from a JSON document (the CLI's --catalog file)
     — ≡ the user-configured ConfiguredAirbyteCatalog the reference ships to

@@ -102,6 +102,34 @@ def test_two_stream_catalog_sync(spark, sf_dir, tmp_path):
     assert res2[0]["applied"] == 0 and res2[0]["skipped"] > 0
 
 
+def test_namespace_mapping_and_post_sync_sql(spark, sf_dir, tmp_path):
+    """Stream-prefix/namespace rewrite (≡ NamespacingMapper) + the custom
+    post-sync SQL hook (≡ operator dbt transformations)."""
+    from airbyte_spark.catalog import apply_namespace_mapping, post_sync_sql, sync_stream
+
+    s = ConfiguredStream(
+        cfg=StreamConfig(name="pages", schema=default_target_schema()),
+        source=synthetic_changelog_source(sf_dir, batch_span=500),
+        target_path=str(tmp_path / "pages"),
+        n_buckets=4,
+        extract=False,
+    )
+    mapped = apply_namespace_mapping(
+        SyncCatalog([s]), prefix="crawl_", namespace_format="${SOURCE_NAMESPACE}",
+        source_namespace="prod",
+    )
+    m = mapped.streams[0]
+    assert m.cfg.name == "crawl_pages"
+    assert m.target_path.endswith("/prod/crawl_pages")
+    assert s.cfg.name == "pages"  # original untouched
+
+    sync_stream(spark, m)
+    out = post_sync_sql(
+        spark, m, "SELECT lang, count(*) AS n FROM crawl_pages GROUP BY lang"
+    ).collect()
+    assert sum(r["n"] for r in out) > 0 and len(out) >= 2
+
+
 def test_cli_sync_catalog_json(spark, sf_dir, tmp_path):
     """CLI `sync --catalog file.json`: the JSON-configured multi-stream
     surface end-to-end (catalog_from_json → registry source → sync)."""
