@@ -194,10 +194,18 @@ def lsh_jaccard_pairs(
     bands to tighten. jaccard_pairs stays as the small-scale oracle.
     """
     # the shingle table feeds candidate generation AND both verify sides —
-    # materialize it once (at 100 TB this is the "write the shingle table
-    # to the lake once per corpus snapshot" step)
+    # materialize it once, EAGERLY (at 100 TB this is the "write the
+    # shingle table to the lake once per corpus snapshot" step; lazily the
+    # four consumer branches would all race to populate the cache inside
+    # one job, re-running the explode)
     d = doc_shingles(df, text_col, id_col, n).cache()
-    cand = lsh_pairs(df, text_col, id_col, n, num_hashes, bands)
+    d.count()
+    # candidate pairs are TINY (the whole point of LSH) but their lineage
+    # is the full minhash chain — cache them eagerly or every broadcast
+    # subquery below re-runs that chain (plan-tree duplication: cand feeds
+    # the pair join AND the candidate-doc semi-join on both sides)
+    cand = lsh_pairs(df, text_col, id_col, n, num_hashes, bands).cache()
+    cand.count()
     # verify only touches documents that appear in some candidate pair —
     # semi-join the shingle table down to them before the pair-count join
     # (near-dup candidates are a vanishing fraction of a deduped corpus)
