@@ -162,6 +162,16 @@ def q_cdc_checkpoint_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_stream_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed stream metrics (watermarked in streaming mode;
+    identical plan here in batch mode so the oracle can check it) —
+    the Spark-native upgrade of the reference's per-state-message counters
+    (BufferedStreamConsumer.java:166-174) to event-time accounting."""
+    from airbyte_spark.streaming.windows import windowed_event_metrics
+
+    return windowed_event_metrics(read_changelog(spark, sf_dir), "1 hour")
+
+
 def q_cdc_composite_pk_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-PK CDC replay through the ENGINE (merge_upsert with
     primary_key=[url, section]): per-subkey LWW independence — ≡ the
@@ -444,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd_history": q_cdc_scd_history,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
         "cdc_checkpoint_metrics": q_cdc_checkpoint_metrics,
+        "cdc_stream_window_metrics": q_cdc_stream_window_metrics,
         "cdc_composite_pk_final_state": q_cdc_composite_pk_final_state,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_unnest_children": q_cdc_unnest_children,
@@ -632,6 +643,15 @@ def oracle_sql() -> dict[str, str]:
                    max(warc_ts) AS max_cursor,
                    count(DISTINCT url) AS n_urls
             FROM ch GROUP BY checkpoint_id
+        """,
+        "cdc_stream_window_metrics": f"""
+            WITH ch AS ({_CH})
+            SELECT time_bucket(INTERVAL '1 hour', warc_ts) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+                   count(DISTINCT url) AS n_urls,
+                   max(_ab_cdc_lsn) AS max_lsn
+            FROM ch GROUP BY 1
         """,
         "cdc_composite_pk_final_state": f"""
             WITH ch AS ({_CH}),

@@ -1,0 +1,78 @@
+"""Event-time windowed aggregation over the change stream, with watermarks.
+
+The reference accounts for a sync's progress with wall-clock counters
+flushed per state message (`BufferedStreamConsumer.java:166-174`,
+`airbyte_protocol.yaml:67-76` AirbyteStateMessage + record counts). A
+Spark-native engine gets a strictly stronger form for free from Structured
+Streaming: EVENT-TIME windowed metrics with a watermark, so late change
+events (out-of-order binlog segments, delayed partitions) are folded into
+the window they belong to — up to the allowed lateness — instead of the
+window in which they happened to arrive, and state for closed windows is
+dropped bounded by the watermark (no unbounded streaming state at 10^10
+events).
+
+Batch and streaming share one definition: `windowed_event_metrics` builds
+the same logical plan over either a static or a streaming DataFrame (the
+watermark is a no-op in batch mode, per Spark semantics), so the oracle-
+checked batch query and the `readStream` pipeline cannot drift apart.
+
+Scale notes (100 TB): the aggregation is a hash-partial + final over
+(window, lang) — map-side combine collapses each input partition to
+O(windows × langs) rows before the shuffle, and `approx_count_distinct`
+(HLL sketch, mergeable) keeps per-group state constant-size where an exact
+distinct would shuffle every url. Exact distinct is kept for the batch /
+oracle form only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def windowed_event_metrics(
+    changelog: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    time_col: str = "warc_ts",
+    exact_distinct: bool | None = None,
+) -> DataFrame:
+    """Per event-time window: event/delete counts, url cardinality, lsn max.
+
+    exact_distinct=None picks exact counting for batch inputs (oracle-
+    comparable) and the mergeable HLL sketch for streaming inputs (bounded
+    per-window state); pass True/False to force either.
+    """
+    if exact_distinct is None:
+        exact_distinct = not changelog.isStreaming
+    df = changelog
+    if df.isStreaming:
+        # Watermarks require TIMESTAMP (ltz); the changelog schema is NTZ
+        # (wall-clock warc capture time). Reinterpret in the session tz —
+        # the engine pins spark.sql.session.timeZone=UTC so this is lossless.
+        if isinstance(df.schema[time_col].dataType, TimestampNTZType):
+            df = df.withColumn(time_col, F.col(time_col).cast(TimestampType()))
+        df = df.withWatermark(time_col, watermark_delay)
+    n_urls = (
+        F.count_distinct(F.col("url")) if exact_distinct
+        else F.approx_count_distinct("url")
+    )
+    return (
+        df.groupBy(F.window(F.col(time_col), window_duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("_ab_cdc_deleted_at").isNotNull(), 1).otherwise(0)
+            ).alias("n_deletes"),
+            n_urls.alias("n_urls"),
+            F.max("_ab_cdc_lsn").alias("max_lsn"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_deletes",
+            "n_urls",
+            "max_lsn",
+        )
+    )

@@ -141,6 +141,7 @@ def worker(cpus: int) -> None:
         shuffle_partitions=shuffle,
         extra_conf=extra,
     )
+    globals()["_MASTER"] = master
     if MODE == "cluster":
         # Executor python workers unpickle UDFs by module reference — ship
         # the engine package exactly as spark-submit --py-files would.
@@ -194,6 +195,12 @@ def worker(cpus: int) -> None:
         json.dumps(
             {
                 "cpus": cpus,
+                # The actual Spark master this timed run used — `cpus` alone is
+                # ambiguous between thread-mode local[N] and multi-executor
+                # local-cluster[N/c,c,mem]; the artifact must record the
+                # topology so the N-vs-4N claim is verifiable from it.
+                "master": globals().get("_MASTER", "?"),
+                "mode": MODE,
                 "events": n_events,
                 "seconds": round(dt, 2),
                 "events_per_sec": round(n_events / dt, 1),
@@ -258,8 +265,15 @@ def orchestrate() -> None:
             "per-pair throughput ratios (phase-matched); best-of-K per "
             "level shown for reference"
         ),
-        "runs": {f"local[{N}]": small, f"local[{4*N}]": big},
-        "all_trials": {f"local[{c}]": rs for c, rs in runs.items()},
+        "mode": MODE,
+        "runs": {
+            small.get("master", f"local[{N}]"): small,
+            big.get("master", f"local[{4*N}]"): big,
+        },
+        "all_trials": {
+            (rs[0].get("master", f"local[{c}]") if rs else f"local[{c}]"): rs
+            for c, rs in runs.items()
+        },
         "pair_efficiencies": pair_effs,
         "speedup": round(big["events_per_sec"] / small["events_per_sec"], 2),
         "scaling_efficiency_Nx4": round(med_eff, 3),
