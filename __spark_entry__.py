@@ -353,6 +353,59 @@ def q_sync_reset_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_sync_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-via-object-store sink (≡ StreamCopier.java:14-66
+    prepareStagingFile → write → copy): staged parquet objects are
+    registered into the lake table by one metadata commit — no record is
+    rewritten — and the committed table must equal the staged batch."""
+    from airbyte_spark.lake.copy_into import copy_into, stage_objects
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = tempfile.mkdtemp(prefix="airbyte_spark_cp_")
+    t = LakeTable.create(spark, base + "/events_copy", src.schema, PartitionSpec())
+    stage_objects(src, base + "/staging")
+    copy_into(t, base + "/staging", checkpoint_key="copy-0")
+    return t.read()
+
+
+# --- source adapters (HTTP API stream, Singer tap) --------------------------------
+
+
+def q_src_http_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP API stream via distributed offset pagination (≡ airbyte-cdk
+    HttpStream page walk, http.py:25-361, with the page as the unit of
+    parallelism): the paginated read of the REST facade must equal the
+    table it fronts."""
+    from airbyte_spark.sources.http import (
+        HttpStreamConfig,
+        events_rest_transport,
+        read_http_stream,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    cfg = HttpStreamConfig(
+        name="events", path="events", schema=schema, page_size=1000
+    )
+    return read_http_stream(spark, cfg, events_rest_transport(sf_dir))
+
+
+def q_src_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Singer-tap adapter round-trip (≡ singer_helpers.py:162-219 message
+    bridge): emit events as SCHEMA/RECORD/STATE JSONL, then re-parse the
+    RECORD lines distributed and typed — must equal the source table."""
+    from airbyte_spark.sources.singer import (
+        read_singer_records,
+        singer_glob,
+        write_singer,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = tempfile.mkdtemp(prefix="airbyte_spark_tap_") + "/tap_out"
+    write_singer(src, out, "events", key_properties=["event_id"])
+    return read_singer_records(spark, singer_glob(out), "events")
+
+
 # --- training-data operators: documents ------------------------------------------
 
 
@@ -463,6 +516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_full_refresh_overwrite": q_sync_full_refresh_overwrite,
         "sync_append_raw": q_sync_append_raw,
         "sync_reset_empty": q_sync_reset_empty,
+        "sync_copy_into": q_sync_copy_into,
+        "src_http_offset": q_src_http_offset,
+        "src_singer_roundtrip": q_src_singer_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
@@ -737,6 +793,15 @@ def oracle_sql() -> dict[str, str]:
         "sync_reset_empty": f"""
             WITH ch AS ({_CH})
             SELECT url, warc_ts, lang FROM ch WHERE 1 = 0
+        """,
+        "sync_copy_into": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "src_http_offset": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "src_singer_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
         """,
         "doc_exact_dedup": """
             WITH f AS (
