@@ -507,6 +507,54 @@ class LakeTable:
     def truncate(self) -> int:
         return self.commit([], removed_paths={f.path for f in self.files()}, operation="truncate")
 
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_input_files: int = 2,
+    ) -> int:
+        """Bin-pack small data files into target-size files in one metadata
+        commit — no semantic change (≡ Iceberg rewriteDataFiles; the
+        maintenance op a CDC sink needs because frequent checkpointed
+        commits produce many small files). Per partition tuple, files
+        smaller than target_file_bytes are rewritten together when there
+        are at least min_input_files of them; large files are left alone.
+        Old-schema-generation inputs come out re-encoded at the current
+        schema (read() aligns them), so compaction doubles as lazy schema
+        migration. Pruning stats are re-derived for the same stat columns
+        the inputs carried. Readers of older versions are unaffected until
+        vacuum() reclaims the replaced files.
+        """
+        import math
+
+        by_part: dict[tuple, list[FileEntry]] = {}
+        for e in self.files():
+            key = tuple(sorted((k, str(v)) for k, v in e.partition.items()))
+            by_part.setdefault(key, []).append(e)
+        candidates: list[FileEntry] = []
+        for entries in by_part.values():
+            small = [e for e in entries if e.bytes < target_file_bytes]
+            if len(small) >= min_input_files:
+                candidates.extend(small)
+        if not candidates:
+            return self.manifest()["version"]
+        stat_cols = sorted({c for e in candidates for c in e.stats})
+        df = self.read(files=candidates)
+        if self.partition_spec().names():
+            entries = self._stage_write(df, stat_cols, one_file_per_partition=True)
+        else:
+            n_out = max(
+                1, math.ceil(sum(e.bytes for e in candidates) / target_file_bytes)
+            )
+            entries = self._stage_write(
+                df.coalesce(n_out), stat_cols, one_file_per_partition=False
+            )
+        return self.commit(
+            entries,
+            removed_paths={e.path for e in candidates},
+            operation="compact",
+            summary={"files_compacted": len(candidates)},
+        )
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the current snapshot
         (time travel to older versions is lost for removed files)."""
