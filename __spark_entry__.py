@@ -372,6 +372,26 @@ def q_sync_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- source adapters (HTTP API stream, Singer tap) --------------------------------
 
 
+def q_sync_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (≡ Iceberg rewriteDataFiles; the maintenance
+    op behind the reference's periodic raw-table cleanup): many small
+    checkpoint commits are bin-packed into target-size files in ONE
+    metadata commit, and the table contents must be byte-identical before
+    and after — compaction is pure physical reorganization."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = tempfile.mkdtemp(prefix="airbyte_spark_compact_")
+    t = LakeTable.create(spark, base + "/events_cp", src.schema, PartitionSpec())
+    # five small append commits → five+ small files, the CDC-sink pathology
+    for i in range(5):
+        t.append(src.filter(F.col("event_id") % 5 == i), checkpoint_key=f"seg-{i}")
+    n_before = len(t.files())
+    t.compact(target_file_bytes=512 * 1024 * 1024, min_input_files=2)
+    assert len(t.files()) < n_before, "compact must shrink the file count"
+    return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def q_src_http_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP API stream via distributed offset pagination (≡ airbyte-cdk
     HttpStream page walk, http.py:25-361, with the page as the unit of
@@ -517,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_append_raw": q_sync_append_raw,
         "sync_reset_empty": q_sync_reset_empty,
         "sync_copy_into": q_sync_copy_into,
+        "sync_compact_roundtrip": q_sync_compact_roundtrip,
         "src_http_offset": q_src_http_offset,
         "src_singer_roundtrip": q_src_singer_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -795,6 +816,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts, lang FROM ch WHERE 1 = 0
         """,
         "sync_copy_into": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "sync_compact_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
         """,
         "src_http_offset": """
