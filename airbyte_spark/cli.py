@@ -21,7 +21,7 @@ Commands:
   reset    --target T            truncate the target (EmptyAirbyteSource)
   expire   --target T --watermark TS
                                  GC soft-delete tombstones older than TS
-  metrics  --target T            per-checkpoint lineage/metrics table
+  metrics  --target T            per-checkpoint metrics + per-partition lineage
   sync     --catalog FILE        multi-stream catalog sync (per-stream
                                  modes/PKs/state — ≡ ConfiguredAirbyteCatalog)
   discover-catalog --catalog FILE
@@ -171,7 +171,8 @@ def run(spark, args) -> dict:
     if args.cmd == "metrics":
         pipe = CdcPipeline.create_target(spark, args.target)
         rows = [r.asDict() for r in pipe.metrics().collect()]
-        return {"type": "METRICS", "rows": rows}
+        lineage = [r.asDict() for r in pipe.table.lineage_df().collect()]
+        return {"type": "METRICS", "rows": rows, "lineage": lineage}
 
     if args.cmd in ("sync", "discover-catalog"):
         from airbyte_spark.catalog import catalog_from_json, sync

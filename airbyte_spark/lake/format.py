@@ -358,6 +358,59 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.json(self.spark.sparkContext.parallelize(rows))
 
+    _LINEAGE_SCHEMA = (
+        "version long, operation string, checkpoint_key string, "
+        "partition string, files_added long, rows_written long, "
+        "bytes_written long, files_removed long"
+    )
+
+    def lineage_df(self) -> DataFrame:
+        """Per-(version, checkpoint, partition) lineage: rows/bytes/files
+        each commit added, split by partition tuple (the north-star's
+        per-partition lineage persisted alongside state). Derived by
+        diffing the retained manifest chain — a version's added files are
+        those absent from its parent — so it needs no extra bookkeeping
+        at write time and stays exact under catch-up (grouped) commits."""
+        rows = []
+        prev_paths: set[str] = set()
+        for v in range(1, (self.current_version() or 0) + 1):
+            p = self._manifest_path(v)
+            if not os.path.exists(p):
+                continue
+            with open(p) as fh:
+                m = json.load(fh)
+            cur = {f["path"]: f for f in m["files"]}
+            added = [f for pth, f in cur.items() if pth not in prev_paths]
+            n_removed = len(prev_paths - set(cur))
+            by_part: dict[str, list[dict]] = {}
+            for f in added:
+                part = json.dumps(f.get("partition") or {}, sort_keys=True)
+                by_part.setdefault(part, []).append(f)
+            base = {
+                "version": v,
+                "operation": m.get("operation"),
+                "checkpoint_key": (m.get("commit") or {}).get("key"),
+                "files_removed": n_removed,
+            }
+            for part, fs in sorted(by_part.items()) or [("{}", [])]:
+                rows.append(
+                    json.dumps(
+                        {
+                            **base,
+                            "partition": part,
+                            "files_added": len(fs),
+                            "rows_written": sum(f["rows"] for f in fs),
+                            "bytes_written": sum(f["bytes"] for f in fs),
+                        }
+                    )
+                )
+            prev_paths = set(cur)
+        if not rows:
+            return self.spark.createDataFrame([], self._LINEAGE_SCHEMA)
+        return self.spark.read.schema(self._LINEAGE_SCHEMA).json(
+            self.spark.sparkContext.parallelize(rows)
+        )
+
     # ---- writes ----
 
     def _stage_write(

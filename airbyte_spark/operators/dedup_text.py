@@ -66,13 +66,16 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
 
+def _raw_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs WITH duplicates — no shuffle, explode only."""
+    return _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+
+
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs."""
-    return (
-        _spread(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("s"))
-        .distinct()
-    )
+    return _raw_shingles(df, text_col, id_col, n).distinct()
 
 
 def jaccard_pairs(
@@ -116,14 +119,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 8,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: component i = min(md5('<i>:'||shingle)).
 
     md5-as-permutation is deterministic and oracle-portable; the min is a
     partial aggregate (map-side combine), so the only shuffle is the
-    groupBy(doc_id) with num_hashes tiny min-accumulators.
+    groupBy(doc_id) with num_hashes tiny min-accumulators. shingle_df
+    overrides the shingle source (duplicates are fine — min is unchanged —
+    so callers can feed the cheaper non-distinct explode).
     """
-    d = doc_shingles(df, text_col, id_col, n)
+    d = shingle_df if shingle_df is not None else doc_shingles(df, text_col, id_col, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -138,6 +144,7 @@ def lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on ALL rows of ≥1 band.
 
@@ -147,7 +154,7 @@ def lsh_pairs(
     path: cost ∝ Σ bucket², not corpus².
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle_df)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -193,45 +200,48 @@ def lsh_jaccard_pairs(
     form is the LSH collision probability (≈ 1-(1-s^r)^b); raise num_hashes/
     bands to tighten. jaccard_pairs stays as the small-scale oracle.
     """
-    # the shingle table feeds candidate generation AND both verify sides —
-    # materialize it once, EAGERLY (at 100 TB this is the "write the
-    # shingle table to the lake once per corpus snapshot" step; lazily the
-    # four consumer branches would all race to populate the cache inside
-    # one job, re-running the explode)
-    d = doc_shingles(df, text_col, id_col, n).cache()
-    d.count()
+    # the raw (non-distinct) shingle explode feeds candidate generation AND
+    # the verify side — cache it (lazily: the first pass that executes the
+    # minhash chain populates it, the verify reuses it; at 100 TB this is
+    # the "write the shingle table to the lake once per corpus snapshot"
+    # step). MinHash tolerates duplicate shingles (min is unchanged) and
+    # the verify's collect_set dedups, so the distinct's extra shuffle is
+    # skipped entirely.
+    d = _raw_shingles(df, text_col, id_col, n).cache()
     # candidate pairs are TINY (the whole point of LSH) but their lineage
-    # is the full minhash chain — cache them eagerly or every broadcast
-    # subquery below re-runs that chain (plan-tree duplication: cand feeds
-    # the pair join AND the candidate-doc semi-join on both sides)
-    cand = lsh_pairs(df, text_col, id_col, n, num_hashes, bands).cache()
-    cand.count()
+    # is the full minhash chain — cache them so the broadcast below (which
+    # runs first and populates both caches in one pass) is the only
+    # execution of that chain
+    cand = lsh_pairs(df, text_col, id_col, n, num_hashes, bands, shingle_df=d).cache()
     # verify only touches documents that appear in some candidate pair —
-    # semi-join the shingle table down to them before the pair-count join
-    # (near-dup candidates are a vanishing fraction of a deduped corpus)
+    # semi-join the shingle table down to them, fold each surviving doc's
+    # shingles into one set row, and score pairs with a single broadcast
+    # join + array_intersect (near-dup candidates are a vanishing fraction
+    # of a deduped corpus, so the per-doc sets are small and few; this
+    # avoids a second exploded pair-count shuffle entirely)
     cand_ids = (
         cand.select(F.col("a_id").alias("doc_id"))
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    dc = d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    sizes = dc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = dc.select(F.col("doc_id").alias("a_id"), "s")
-    b = dc.select(F.col("doc_id").alias("b_id"), "s")
-    common = (
-        cand.join(a, "a_id")
-        .join(b, ["b_id", "s"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    # cached: both broadcast sides below read it, and without the cache the
+    # second broadcast would re-run the semi-join + collect_set (sa/sb are
+    # alias-renamed plans, so exchange reuse does not apply)
+    sets = (
+        d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"))
+    ).cache()
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
     return (
-        common.join(F.broadcast(sa), "a_id")
+        cand.join(F.broadcast(sa), "a_id")
         .join(F.broadcast(sb), "b_id")
+        .withColumn("common", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",
-            F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")),
+            F.col("common").cast("double")
+            / (F.size("sha") + F.size("shb") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
