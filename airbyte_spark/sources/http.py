@@ -284,40 +284,46 @@ _FAKE_CACHE: dict[str, Any] = {}
 
 
 def _events_table(sf_dir: str):
+    """Cached event_id-sorted pyarrow Table. Kept columnar: a page request
+    converts only its own slice to python dicts, so a worker serving a few
+    1k-row pages never pays a full-table to_pylist (which made the fake —
+    not the engine — the benchmark bottleneck)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     key = f"events:{sf_dir}"
     if key not in _FAKE_CACHE:
         t = pq.read_table(f"{sf_dir}/events.parquet")
-        idx = t.column("event_id").to_pylist()
-        order = sorted(range(len(idx)), key=idx.__getitem__)
-        _FAKE_CACHE[key] = t.take(order).to_pylist()
+        _FAKE_CACHE[key] = t.take(pc.sort_indices(t.column("event_id")))
     return _FAKE_CACHE[key]
 
 
 def events_rest_transport(sf_dir: str) -> Transport:
     def call(path: str, params: dict) -> dict:
-        rows = _events_table(sf_dir)
+        import pyarrow.compute as pc
+
+        t = _events_table(sf_dir)
         if path.startswith("users/"):
             uid = int(path.split("/")[1])
-            rows = [r for r in rows if r["user_id"] == uid]
+            t = t.filter(pc.equal(t.column("user_id"), uid))
         elif path not in ("events", "events_chain"):
             raise TransportError(f"404 {path}")
         if "min_ts" in params:
-            rows = [r for r in rows if r["ts"] >= params["min_ts"]]
+            t = t.filter(pc.greater_equal(t.column("ts"), params["min_ts"]))
         limit = int(params.get("limit", 1000))
         if path == "events_chain" or "page_token" in params:
             start = int(params.get("page_token", 0))
-            page = [r for r in rows if r["event_id"] >= start][:limit]
+            rest = t.filter(pc.greater_equal(t.column("event_id"), start))
+            page = rest.slice(0, limit).to_pylist()
             nxt = page[-1]["event_id"] + 1 if len(page) == limit else None
-            if nxt is not None and not any(r["event_id"] >= nxt for r in rows):
+            if nxt is not None and len(rest) <= limit:
                 nxt = None
-            return {"records": page, "next_page_token": nxt, "total": len(rows)}
+            return {"records": page, "next_page_token": nxt, "total": len(t)}
         offset = int(params.get("offset", 0))
         return {
-            "records": rows[offset : offset + limit],
+            "records": t.slice(offset, limit).to_pylist(),
             "next_page_token": None,
-            "total": len(rows),
+            "total": len(t),
         }
 
     return call
