@@ -392,6 +392,25 @@ def q_sync_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_sync_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel (≡ Iceberg VERSION AS OF; what
+    makes the reference's raw-table 'atomic swap' auditable): after an
+    overwrite replaces the table contents, reading the pre-overwrite
+    version must return exactly the first batch — old snapshots stay
+    readable until vacuum()."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_tt_")
+    t = LakeTable.create(spark, base + "/events_tt", src.schema, PartitionSpec())
+    t.append(src.filter(F.col("event_id") % 2 == 0), checkpoint_key="tt-0")
+    v_even = t.current_version()
+    t.overwrite(src.filter(F.col("event_id") % 2 == 1))
+    return t.read(version=v_even)
+
+
 def q_src_http_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP API stream via distributed offset pagination (≡ airbyte-cdk
     HttpStream page walk, http.py:25-361, with the page as the unit of
@@ -538,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_reset_empty": q_sync_reset_empty,
         "sync_copy_into": q_sync_copy_into,
         "sync_compact_roundtrip": q_sync_compact_roundtrip,
+        "sync_time_travel": q_sync_time_travel,
         "src_http_offset": q_src_http_offset,
         "src_singer_roundtrip": q_src_singer_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -820,6 +840,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sync_compact_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "sync_time_travel": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE event_id % 2 = 0
         """,
         "src_http_offset": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
