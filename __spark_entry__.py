@@ -493,6 +493,17 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs(docs)
 
 
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal dedup step: connected components over the LSH candidate
+    graph → per-doc cluster_id (min reachable doc_id) + canonical keep
+    flag. Iterative min-label propagation, rounds = component diameter
+    (oracle: DuckDB recursive CTE over the same md5-deterministic pairs)."""
+    from airbyte_spark.operators.dedup_text import near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_clusters(docs)
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_spark.operators.dedup_text import simhash
 
@@ -565,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_language_id": q_doc_language_id,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -933,6 +945,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
             FROM bk a JOIN bk b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "doc_dedup_clusters": f"""
+            WITH RECURSIVE {_WORDS_CTE},
+            {_SHINGLES_CTE},
+            {_minhash_cte()},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bk a JOIN bk b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM cand
+              UNION ALL
+              SELECT b_id, a_id FROM cand),
+            reach(u, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v)
+            SELECT u AS doc_id,
+                   MIN(lbl) AS cluster_id,
+                   (u = MIN(lbl)) AS keep
+            FROM reach GROUP BY u
         """,
         "doc_simhash": _simhash_sql(),
         "doc_simhash_pairs": f"""

@@ -331,3 +331,62 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected-component cluster assignment over near-dup candidate
+    pairs (default: MinHash-LSH) — the terminal dedup operator: every doc
+    gets cluster_id = min doc_id reachable through the candidate graph,
+    and keep = (doc_id == cluster_id) marks the canonical survivor. Docs
+    with no near-dup are singleton clusters of themselves.
+
+    Iterative min-label propagation (the join-based connected components
+    of Pregel/GraphFrames): each round a node takes the min of its own
+    label and its neighbors' labels; rounds to fixpoint = component
+    diameter. Near-dup graphs are overwhelmingly tiny cliques (diameter
+    1-2), so convergence is 2-3 rounds in practice. Each round costs two
+    shuffles (edge⋈label on v, then min-groupBy on u) over the EDGE list
+    only — labels for untouched docs never reshuffle — and the round's
+    result is localCheckpoint()ed so lineage (and replanning cost) stays
+    O(1) in the iteration count rather than O(rounds). At 100 TB swap the
+    localCheckpoint for a reliable checkpoint dir; the loop itself is the
+    standard scale shape.
+    """
+    if pairs is None:
+        pairs = lsh_pairs(df, text_col, id_col)
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionAll(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .localCheckpoint(eager=True)  # LSH banding runs once, not per round
+    )
+    labels = df.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("_changed")).limit(1).count()
+        labels = stepped.drop("_changed")
+        if changed == 0:
+            break
+    return labels.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))

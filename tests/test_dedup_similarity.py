@@ -176,3 +176,44 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_near_dup_clusters_connected_components(spark):
+    """Min-label propagation must match union-find on an explicit pair
+    graph: a 4-node chain (needs >1 round to converge), a 2-clique, and
+    singletons; canonical = min id per component."""
+    from airbyte_spark.operators.dedup_text import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    # chain 1-2-3-4 (min label must hop 3 edges), clique {5,6}, singletons 7,8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "a_id long, b_id long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_dup_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        5: (5, True), 6: (5, False), 7: (7, True), 8: (8, True),
+    }
+
+
+def test_near_dup_clusters_lsh_default_covers_all_docs(docs):
+    """With the default LSH pair source every doc gets exactly one row,
+    cluster_id ≤ doc_id, and each cluster's canonical is its min member."""
+    from airbyte_spark.operators.dedup_text import near_dup_clusters
+
+    out = near_dup_clusters(docs).cache()
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    assert out.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("min_id"), F.sum(F.col("keep").cast("int")).alias("n_keep")
+    )
+    bad = per_cluster.filter(
+        (F.col("min_id") != F.col("cluster_id")) | (F.col("n_keep") != 1)
+    ).count()
+    assert bad == 0
