@@ -504,6 +504,17 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs)
 
 
+def q_doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-curation verdict per document (what a training-data
+    pipeline actually ships): quality score + language ID fused into the
+    scan, near-dup canonical flag from the LSH/connected-components
+    branch, one equi-join to assemble — retained = canonical ∧ quality."""
+    from airbyte_spark.operators.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_corpus(docs)
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_spark.operators.dedup_text import simhash
 
@@ -577,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_curate": q_doc_curate,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -967,6 +979,77 @@ def oracle_sql() -> dict[str, str]:
                    (u = MIN(lbl)) AS keep
             FROM reach GROUP BY u
         """,
+        "doc_curate": """
+            WITH RECURSIVE {words},
+            {shingles},
+            {minhash},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bk a JOIN bk b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM cand
+              UNION ALL
+              SELECT b_id, a_id FROM cand),
+            reach(u, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+            clusters AS (
+              SELECT u AS doc_id, MIN(lbl) AS cluster_id, (u = MIN(lbl)) AS keep
+              FROM reach GROUP BY u),
+            q AS (
+              SELECT doc_id,
+                     length(text) AS nc,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                     len(regexp_extract_all(text, '{token_pat}')) AS n_tokens,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop
+              FROM documents),
+            m AS (
+              SELECT doc_id, n_words, n_tokens,
+                     CASE WHEN n_words > 0 THEN CAST(nc AS DOUBLE) / n_words END AS mean_word_len,
+                     CASE WHEN nc > 0 THEN CAST(n_punct AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio
+              FROM q),
+            qual AS (
+              SELECT doc_id, n_tokens,
+                     CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+                      + CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END
+                      + CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END
+                      + CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END AS DOUBLE) AS quality_score
+              FROM m),
+            ls AS (
+              SELECT doc_id,
+                     {lang_scores}
+              FROM documents),
+            lb AS (SELECT *, greatest({lang_names}) AS best FROM ls),
+            lp AS (
+              SELECT doc_id,
+                     CASE {lang_cases}
+                          ELSE 'und' END AS lang_pred
+              FROM lb)
+            SELECT c.doc_id, lang_pred, n_tokens, quality_score, cluster_id,
+                   (keep AND quality_score >= 0.75) AS retained
+            FROM clusters c
+            JOIN qual USING (doc_id)
+            JOIN lp USING (doc_id)
+        """.format(
+            words=_WORDS_CTE,
+            shingles=_SHINGLES_CTE,
+            minhash=_minhash_cte(),
+            token_pat=_TOKEN_PAT,
+            stop_pat=_STOP_PAT,
+            lang_scores=",\n                     ".join(
+                f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
+                for lang, pat in _LANG_MARKERS_SQL
+            ),
+            lang_names=", ".join(f"s_{lang}" for lang, _ in _LANG_MARKERS_SQL),
+            lang_cases=" ".join(
+                f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'"
+                for lang, _ in _LANG_MARKERS_SQL
+            ),
+        ),
         "doc_simhash": _simhash_sql(),
         "doc_simhash_pairs": f"""
             WITH sim AS ({_simhash_sql()}),
