@@ -411,6 +411,56 @@ def q_sync_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(version=v_even)
 
 
+def q_sync_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based read-path file pruning (≡ Iceberg TableScan.filter over
+    footer min/max; the scan-planning half of what merge already does for
+    writes): commits carry per-file event_id stats, so a cursor-range read
+    plans only the overlapping files from manifest JSON — zero data I/O at
+    planning time — then applies the exact residual predicate. The query
+    asserts files were actually skipped, and the result must equal the
+    plain SQL range filter."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_prune_")
+    t = LakeTable.create(spark, base + "/events_pr", src.schema, PartitionSpec())
+    # five commits over contiguous event_id ranges → disjoint per-file stats
+    # (the shape a cursor-ordered CDC ingest produces naturally)
+    span = (src.agg(F.max("event_id")).first()[0] + 1 + 4) // 5
+    for i in range(5):
+        t.append(
+            src.filter(F.col("event_id").between(i * span, (i + 1) * span - 1)),
+            checkpoint_key=f"rng-{i}",
+            stat_cols=["event_id"],
+        )
+    ranges = {"event_id": (2500, 4999)}
+    pruned = t.prune(ranges)
+    assert len(pruned) < len(t.files()), "range read must skip non-overlapping files"
+    return t.read_where(ranges)
+
+
+def q_sync_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot-diff consumption (≡ Iceberg incremental append
+    scan; the lake table acting as a CDC *source* for downstream readers):
+    a consumer that saw version v resumes by reading exactly the files
+    committed after v — planned from manifest set-difference, zero rescan
+    of already-consumed data."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_inc_")
+    t = LakeTable.create(spark, base + "/events_inc", src.schema, PartitionSpec())
+    t.append(src.filter(F.col("event_id") % 3 == 0), checkpoint_key="inc-0")
+    v_seen = t.current_version()
+    t.append(src.filter(F.col("event_id") % 3 == 1), checkpoint_key="inc-1")
+    t.append(src.filter(F.col("event_id") % 3 == 2), checkpoint_key="inc-2")
+    return t.changes_between(v_seen)
+
+
 def q_src_http_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP API stream via distributed offset pagination (≡ airbyte-cdk
     HttpStream page walk, http.py:25-361, with the page as the unit of
@@ -580,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_copy_into": q_sync_copy_into,
         "sync_compact_roundtrip": q_sync_compact_roundtrip,
         "sync_time_travel": q_sync_time_travel,
+        "sync_pruned_read": q_sync_pruned_read,
+        "sync_incremental_changes": q_sync_incremental_changes,
         "src_http_offset": q_src_http_offset,
         "src_singer_roundtrip": q_src_singer_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -868,6 +920,14 @@ def oracle_sql() -> dict[str, str]:
         "sync_time_travel": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
             WHERE event_id % 2 = 0
+        """,
+        "sync_pruned_read": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE event_id BETWEEN 2500 AND 4999
+        """,
+        "sync_incremental_changes": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE event_id % 3 IN (1, 2)
         """,
         "src_http_offset": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

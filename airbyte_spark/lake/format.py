@@ -323,6 +323,74 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def prune(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> list[FileEntry]:
+        """Manifest-only scan planning (≡ Iceberg's TableScan.filter): keep
+        a file unless its footer [min, max] for some ranged column provably
+        misses the requested [lo, hi] (None = open end). Missing stats keep
+        the file — pruning is an optimization, never a correctness gate.
+
+        Runs on the driver against manifest JSON only: at 100 TB / ~200k
+        files this is the planning step that turns a cursor-range read into
+        a scan of just the few files whose ranges overlap, before Spark
+        ever lists a path. NULLs are safe to skip: a range predicate never
+        matches NULL, so files outside the range can be dropped even if
+        they hold NULLs for the column.
+        """
+        out = []
+        for e in self.files(version):
+            keep = True
+            for col, (lo, hi) in ranges.items():
+                st = e.stats.get(col)
+                if st is None or "min" not in st:
+                    continue
+                try:
+                    if (hi is not None and st["min"] > hi) or (
+                        lo is not None and st["max"] < lo
+                    ):
+                        keep = False
+                        break
+                except TypeError:
+                    continue  # stats/bound type mismatch → cannot prune safely
+            if keep:
+                out.append(e)
+        return out
+
+    def read_where(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned read: plan the file subset from manifest min/max
+        (zero data I/O), then apply the exact residual predicate — results
+        are identical to read().filter(...), only the scan is smaller."""
+        df = self.read(version, files=self.prune(ranges, version))
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def changes_between(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Incremental snapshot-diff read (≡ Iceberg's incremental append
+        scan; what lets a downstream consumer tail this table as its own
+        CDC source): rows in files that are live at v_to but were not at
+        v_from. Planning is a manifest set-difference on the driver — no
+        data I/O, no full-table rescan, regardless of table size.
+
+        Exact for append-type commits (each diffed file holds only new
+        rows). A merge/compact rewrite mixes carried-over rows into its
+        output files, so consumers tailing through such commits should
+        diff around them (the `operation` field in history() marks them).
+        """
+        base = {e.path for e in self.files(v_from)} if v_from else set()
+        new = [e for e in self.files(v_to) if e.path not in base]
+        return self.read(v_to, files=new)
+
     def committed(self) -> dict[str, dict]:
         return dict(self.manifest()["committed"])
 
