@@ -601,6 +601,17 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups_bucketed(emb, threshold=0.4, num_centroids=16)
 
 
+def q_emb_srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH near-dups — the hyperplane-sketch
+    alternative to same-IVF-cell restriction: banded bit-slice self-join
+    (cost ∝ Σ bucket²) → exact cosine verify. Hyperplanes are md5-derived
+    ±1 constants, so the oracle reproduces the sketch bit-for-bit."""
+    from airbyte_spark.operators.similarity import srp_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return srp_near_dups(emb, threshold=0.4, bits=60, bands=10)
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_spark.operators.similarity import ivf_topk
 
@@ -645,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dups": q_emb_near_dups,
+        "emb_srp_near_dups": q_emb_srp_near_dups,
         "emb_ivf_topk": q_emb_ivf_topk,
     }
 
@@ -1171,6 +1183,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.vec_id = d.a_id
             JOIN norms nb ON nb.vec_id = d.b_id
             WHERE dp / (na.nr * nb.nr) >= 0.4
+        """,
+        "emb_srp_near_dups": """
+            WITH sig AS (
+              SELECT vec_id, embedding,
+                     SUM(CASE WHEN list_dot_product(
+                           embedding::DOUBLE[],
+                           list_transform(range(64), j ->
+                             CASE WHEN strpos('01234567',
+                                    md5('srp:' || i || ':' || j)[1]) > 0
+                                  THEN 1.0 ELSE -1.0 END)) > 0
+                          THEN 1::BIGINT << i ELSE 0 END) AS sig
+              FROM embeddings CROSS JOIN (SELECT unnest(range(60)) AS i) h
+              GROUP BY vec_id, embedding),
+            bk AS (
+              SELECT vec_id, embedding, band,
+                     (sig >> (band * 6)) & 63 AS key
+              FROM sig CROSS JOIN (SELECT unnest(range(10)) AS band) b),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM bk a JOIN bk b
+                ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+            scored AS (
+              SELECT c.a_id, c.b_id,
+                     list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cos
+              FROM cand c
+              JOIN embeddings ea ON ea.vec_id = c.a_id
+              JOIN embeddings eb ON eb.vec_id = c.b_id)
+            SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.4
         """,
         "emb_ivf_topk": f"""
             WITH {_EMB_BASE_CTE},

@@ -411,6 +411,35 @@ class LakeTable:
                 )
         return out
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The manifest as a queryable DataFrame (≡ Iceberg's `table.files`
+        metadata table): one row per live data file with partition values
+        and min/max/null-count stats serialized as JSON strings. Lets
+        operators inspect layout health (file sizes, stats coverage,
+        partition balance) with plain SQL instead of manifest JSON."""
+        rows = [
+            json.dumps(
+                {
+                    "path": e.path,
+                    "rows": e.rows,
+                    "bytes": e.bytes,
+                    "schema_id": e.schema_id,
+                    "partition": json.dumps(e.partition, sort_keys=True),
+                    "stats": json.dumps(e.stats, sort_keys=True),
+                }
+            )
+            for e in self.files(version)
+        ]
+        schema = (
+            "path string, rows long, bytes long, schema_id long, "
+            "partition string, stats string"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).json(
+            self.spark.sparkContext.parallelize(rows)
+        )
+
     def metrics_df(self) -> DataFrame:
         """Per-commit lineage/metrics as a DataFrame (rows/bytes/files per
         (checkpoint_id, partition) — the north_star's metrics table)."""

@@ -217,3 +217,43 @@ def test_near_dup_clusters_lsh_default_covers_all_docs(docs):
         (F.col("min_id") != F.col("cluster_id")) | (F.col("n_keep") != 1)
     ).count()
     assert bad == 0
+
+
+def test_srp_near_dups_subset_recall_and_exactness(spark, sf_dir):
+    """SRP-LSH pairs: subset of exact all-pairs; near-identical vectors
+    share almost all sketch bits (recall → 1 as cos → 1); deterministic
+    across invocations (md5-derived hyperplanes, no RNG state)."""
+    import pyspark.sql.functions as FF
+
+    from airbyte_spark.operators.similarity import srp_near_dups, srp_signature
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_dups(emb, threshold=0.4).collect()
+    }
+    srp = {
+        (r["a_id"], r["b_id"])
+        for r in srp_near_dups(emb, threshold=0.4, bits=60, bands=10).collect()
+    }
+    assert srp <= exact
+    assert srp, "banded sketch found no pairs at all"
+    # fixture pairs are only moderately similar (cos ≈ 0.4-0.5) — at that
+    # angle the collision model predicts ~0.5 recall with 10 bands of 6
+    # bits; pin a conservative floor
+    assert len(srp) / len(exact) >= 0.25
+
+    # near-identical vectors: v and v + tiny noise must collide and verify
+    base = emb.limit(1).select("embedding").first()[0]
+    close = [x + (0.001 if i % 2 == 0 else -0.001) for i, x in enumerate(base)]
+    tiny = spark.createDataFrame(
+        [(1, [float(x) for x in base]), (2, [float(x) for x in close])],
+        "vec_id long, embedding array<float>",
+    )
+    got = srp_near_dups(tiny, threshold=0.95, bits=60, bands=10).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(1, 2)]
+
+    # determinism: same sketch bits on every invocation
+    s1 = {r["vec_id"]: r["sig"] for r in srp_signature(emb, 64, bits=30).collect()}
+    s2 = {r["vec_id"]: r["sig"] for r in srp_signature(emb, 64, bits=30).collect()}
+    assert s1 == s2

@@ -76,3 +76,21 @@ def test_multi_column_conjunction(spark, tmp_path):
     # k-range keeps file 0 only; r-range keeps file 1 only → conjunction empty
     assert len(t.prune({"k": (0, 150), "r": (0, 150)})) == 0
     assert t.read_where({"k": (0, 150), "r": (0, 150)}).count() == 0
+
+
+def test_files_df_metadata_table(ranged_table, spark):
+    t, _ = ranged_table
+    fdf = t.files_df()
+    assert fdf.count() == len(t.files())
+    import pyspark.sql.functions as FF
+
+    total = fdf.agg(FF.sum("rows")).first()[0]
+    assert total == 1000
+    # stats are queryable with plain SQL over the JSON payload
+    mins = sorted(
+        int(r[0])
+        for r in fdf.select(
+            FF.get_json_object("stats", "$.k.min").alias("m")
+        ).collect()
+    )
+    assert mins == [0, 250, 500, 750]
