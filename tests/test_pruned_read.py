@@ -94,3 +94,34 @@ def test_files_df_metadata_table(ranged_table, spark):
         ).collect()
     )
     assert mins == [0, 250, 500, 750]
+
+
+def test_pruned_read_property(spark, tmp_path):
+    """Property: for ANY commit layout and ANY range, read_where ≡ full
+    scan + filter (pruning can only skip provably-disjoint files)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema, PartitionSpec())
+    # uneven, overlapping commits — including one with no stats
+    t.append(df.filter(F.col("k") < 80), checkpoint_key="a", stat_cols=["k"])
+    t.append(df.filter(F.col("k").between(60, 159)), checkpoint_key="b", stat_cols=["k"])
+    t.append(df.filter(F.col("k") >= 160), checkpoint_key="c")
+    full = sorted(r["k"] for r in t.read().collect())
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        lo=st.one_of(st.none(), st.integers(-50, 250)),
+        hi=st.one_of(st.none(), st.integers(-50, 250)),
+    )
+    def check(lo, hi):
+        got = sorted(r["k"] for r in t.read_where({"k": (lo, hi)}).collect())
+        want = [
+            k
+            for k in full
+            if (lo is None or k >= lo) and (hi is None or k <= hi)
+        ]
+        assert got == want
+
+    check()
