@@ -554,6 +554,30 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs)
 
 
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup against a persistent fingerprint registry: three
+    arriving batches are each admitted against everything registered so
+    far (cost ∝ batch, never ∝ corpus), exactly-once per checkpoint key.
+    Union of admissions must equal one-shot exact dedup of the corpus."""
+    from airbyte_spark.operators.dedup_incremental import create_registry, ingest_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = tempfile.mkdtemp(prefix="airbyte_spark_reg_")
+    reg = create_registry(spark, base + "/registry", n_buckets=8)
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    span = (hi + 1 + 2) // 3
+    parts = []
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id").between(i * span, (i + 1) * span - 1))
+        parts.append(
+            ingest_dedup(reg, batch, f"seg-{i}").select("doc_id", "fingerprint")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full corpus-curation verdict per document (what a training-data
     pipeline actually ships): quality score + language ID fused into the
@@ -651,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_curate": q_doc_curate,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -1050,6 +1075,16 @@ def oracle_sql() -> dict[str, str]:
                    MIN(lbl) AS cluster_id,
                    (u = MIN(lbl)) AS keep
             FROM reach GROUP BY u
+        """,
+        "doc_incremental_dedup": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+                     row_number() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                       ORDER BY doc_id ASC) AS rn
+              FROM documents)
+            SELECT doc_id, fingerprint FROM f WHERE rn = 1
         """,
         "doc_curate": """
             WITH RECURSIVE {words},

@@ -1,0 +1,75 @@
+"""Ingest-time incremental dedup: per-batch admission against the
+fingerprint registry must equal one-shot exact dedup of the union, and
+redelivered batches must admit identically without writing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from airbyte_spark.operators.dedup_incremental import create_registry, ingest_dedup
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_cross_and_intra_batch_dups_dropped(spark, tmp_path):
+    reg = create_registry(spark, str(tmp_path / "reg"), n_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "Alpha  Beta!"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    # doc 2 normalizes identically to doc 1 → intra-batch dup
+    assert _ids(ingest_dedup(reg, b1, "b1")) == [1, 3]
+    b2 = spark.createDataFrame(
+        [(4, "ALPHA beta"), (5, "delta"), (6, "delta!")],
+        "doc_id long, text string",
+    )
+    # doc 4 duplicates batch-1 content; doc 6 duplicates doc 5 in-batch
+    assert _ids(ingest_dedup(reg, b2, "b2")) == [5]
+
+
+def test_redelivery_is_exactly_once(spark, tmp_path):
+    reg = create_registry(spark, str(tmp_path / "reg"), n_buckets=4)
+    b1 = spark.createDataFrame([(1, "aa"), (2, "bb")], "doc_id long, text string")
+    first = _ids(ingest_dedup(reg, b1, "k1"))
+    v = reg.current_version()
+    again = _ids(ingest_dedup(reg, b1, "k1"))
+    assert again == first == [1, 2]
+    assert reg.current_version() == v  # no new commit on redelivery
+    assert reg.read().count() == 2
+
+
+def test_redelivery_after_registry_reopen(spark, tmp_path):
+    from airbyte_spark.lake.format import LakeTable
+
+    path = str(tmp_path / "reg")
+    reg = create_registry(spark, path, n_buckets=4)
+    b1 = spark.createDataFrame([(1, "xx"), (2, "xx copy")], "doc_id long, text string")
+    ingest_dedup(reg, b1, "k1")
+    # crash: new handle over the same path must still recognize the key
+    reg2 = LakeTable.load(spark, path)
+    assert _ids(ingest_dedup(reg2, b1, "k1")) == [1, 2]
+
+
+def test_incremental_equals_one_shot_exact_dedup(spark, sf_dir, tmp_path):
+    from airbyte_spark.operators.dedup_text import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reg = create_registry(spark, str(tmp_path / "reg"), n_buckets=8)
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut = hi // 2
+    got = []
+    for i, pred in enumerate(
+        [F.col("doc_id") <= cut, F.col("doc_id") > cut]
+    ):
+        admitted = ingest_dedup(reg, docs.filter(pred), f"seg-{i}")
+        got.extend(
+            (r["doc_id"], r["fingerprint"])
+            for r in admitted.select("doc_id", "fingerprint").collect()
+        )
+    want = {
+        (r["doc_id"], r["fingerprint"])
+        for r in exact_dedup(docs).select("doc_id", "fingerprint").collect()
+    }
+    assert set(got) == want and len(got) == len(want)
