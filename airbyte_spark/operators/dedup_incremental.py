@@ -93,3 +93,41 @@ def ingest_dedup(
         checkpoint_key=checkpoint_key,
     )
     return admitted
+
+
+def stream_ingest_dedup(
+    registry: LakeTable,
+    doc_stream,
+    spark_checkpoint_dir: str,
+    sink: "callable | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental dedup as a Structured Streaming stage: each micro-batch
+    is admitted via ingest_dedup under a batch-derived checkpoint key, so
+    exactly-once admission holds even if the Spark streaming checkpoint
+    is lost and epochs replay (the registry's committed-set is the source
+    of truth, same contract as CdcPipeline.run_stream). `sink(admitted,
+    epoch_id)` receives each batch's admitted rows (e.g. to append them
+    to the corpus table); drains with trigger(availableNow)."""
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        # key on the batch's content (id range), not the epoch number:
+        # a lost Spark checkpoint renumbers epochs but redelivers the
+        # same file splits, and the content key recognizes them
+        bounds = df.agg(F.min(id_col), F.max(id_col)).first()
+        if bounds[0] is None:
+            return
+        key = f"docs-{bounds[0]}-{bounds[1]}"
+        admitted = ingest_dedup(registry, df, key, text_col, id_col)
+        if sink is not None:
+            sink(admitted, epoch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", spark_checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -73,3 +73,52 @@ def test_incremental_equals_one_shot_exact_dedup(spark, sf_dir, tmp_path):
         for r in exact_dedup(docs).select("doc_id", "fingerprint").collect()
     }
     assert set(got) == want and len(got) == len(want)
+
+
+def test_stream_ingest_dedup_exactly_once(spark, tmp_path):
+    """File-source doc stream → per-micro-batch admission; restarting the
+    stream with a FRESH Spark checkpoint (epoch renumbering) must not
+    re-admit or duplicate anything."""
+    from airbyte_spark.operators.dedup_incremental import stream_ingest_dedup
+
+    src = str(tmp_path / "docs")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta!"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "ALPHA beta"), (5, "delta")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.parquet(src + "/seg=0")
+    b2.coalesce(1).write.parquet(src + "/seg=1")
+
+    reg = create_registry(spark, str(tmp_path / "reg"), n_buckets=4)
+    seen: list[tuple] = []
+
+    def sink(admitted, _epoch):
+        seen.extend(
+            (r["doc_id"],) for r in admitted.select("doc_id").collect()
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", src)
+        .parquet(src)
+    )
+    stream_ingest_dedup(reg, stream, str(tmp_path / "ck1"), sink=sink)
+    assert sorted(seen) == [(1,), (3,), (5,)]
+    assert reg.read().count() == 3
+
+    # crash: new stream, NEW checkpoint dir → all files redeliver
+    seen.clear()
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", src)
+        .parquet(src)
+    )
+    stream_ingest_dedup(reg, stream2, str(tmp_path / "ck2"), sink=sink)
+    assert sorted(seen) == [(1,), (3,), (5,)]  # same admissions, no dupes
+    assert reg.read().count() == 3
+    assert len(reg.committed()) == 2  # still just the two content keys
