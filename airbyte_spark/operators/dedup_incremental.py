@@ -95,6 +95,103 @@ def ingest_dedup(
     return admitted
 
 
+NEARDUP_REGISTRY_SCHEMA = StructType(
+    [
+        StructField("band", LongType(), False),
+        StructField("key", StringType(), False),
+        StructField("doc_id", LongType(), False),
+    ]
+)
+
+
+def create_neardup_registry(
+    spark: SparkSession, path: str, n_buckets: int = 16
+) -> LakeTable:
+    """MinHash band-key registry: one row per (band, key) bucket an
+    ADMITTED document occupies. Bucket-partitioned on the band key so a
+    batch's collision probe co-locates with the registry partitions."""
+    if LakeTable.exists(path):
+        return LakeTable.load(spark, path)
+    return LakeTable.create(
+        spark, path, NEARDUP_REGISTRY_SCHEMA, PartitionSpec.bucket("key", n_buckets)
+    )
+
+
+def ingest_near_dedup(
+    registry: LakeTable,
+    batch: DataFrame,
+    checkpoint_key: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental NEAR-dup admission — the MinHash analog of
+    ingest_dedup, and the operator a 100 TB crawl pipeline actually runs:
+    each arriving batch is (1) clustered intra-batch via the banded LSH
+    self-join + connected components, (2) any cluster that collides with
+    a band key already registered by an earlier batch is rejected whole
+    (its content is already represented), (3) surviving clusters admit
+    their canonical (min-id) member, whose band keys are registered in
+    one idempotent commit.
+
+    Cost per increment: the LSH self-join of the BATCH (∝ Σ batch-bucket²)
+    plus one (band, key)-keyed semi-join against the registry — never a
+    rescan or re-pairing of the admitted corpus. Exactly-once: a
+    redelivered checkpoint key reconstructs the admitted set from the
+    registry without writing. Recall matches the underlying LSH banding
+    (raise num_hashes/bands to tighten).
+    """
+    from airbyte_spark.operators.dedup_text import (
+        lsh_band_keys,
+        lsh_pairs,
+        near_dup_clusters,
+    )
+
+    if checkpoint_key in registry.committed():
+        admitted_ids = (
+            registry.read().select(F.col("doc_id").alias(id_col)).distinct()
+        )
+        return batch.join(admitted_ids, id_col, "left_semi")
+    keys = lsh_band_keys(batch, text_col, id_col, num_hashes=num_hashes, bands=bands)
+    # keys feed the intra-batch self-join, the registry probe, and the
+    # admitted-key append — one execution, three consumers
+    keys = keys.cache()
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    clusters = near_dup_clusters(batch, text_col, id_col, pairs=pairs)
+    hit_docs = keys.join(
+        registry.read().select("band", "key"), ["band", "key"], "left_semi"
+    ).select("doc_id").distinct()
+    bad_clusters = (
+        clusters.join(hit_docs, "doc_id").select("cluster_id").distinct()
+    )
+    admitted_ids = (
+        clusters.filter(F.col("keep"))
+        .join(bad_clusters, "cluster_id", "left_anti")
+        .select("doc_id")
+    )
+    admitted = batch.join(
+        admitted_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    ).cache()
+    registry.append(
+        keys.join(
+            admitted.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        ).select("band", "key", "doc_id"),
+        checkpoint_key=checkpoint_key,
+    )
+    return admitted
+
+
 def stream_ingest_dedup(
     registry: LakeTable,
     doc_stream,

@@ -137,6 +137,34 @@ def minhash_signatures(
     return d.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, band, key) LSH bucket memberships — the probe/index unit
+    shared by the banded self-join (lsh_pairs) and the incremental
+    near-dup registry (dedup_incremental.ingest_near_dedup)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle_df)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])).alias(
+                "key"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -153,20 +181,7 @@ def lsh_pairs(
     distinct (a_id, b_id), a_id < b_id. The band self-join is the scale
     path: cost ∝ Σ bucket², not corpus².
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle_df)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])).alias(
-                "key"
-            ),
-        )
-        for bi in range(bands)
-    ]
-    exploded = sig.select(
-        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    exploded = lsh_band_keys(df, text_col, id_col, n, num_hashes, bands, shingle_df)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(

@@ -122,3 +122,57 @@ def test_stream_ingest_dedup_exactly_once(spark, tmp_path):
     assert sorted(seen) == [(1,), (3,), (5,)]  # same admissions, no dupes
     assert reg.read().count() == 3
     assert len(reg.committed()) == 2  # still just the two content keys
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs far into the "
+    "green hills of the quiet countryside to rest in the shade of a tree"
+)
+OTHER = (
+    "a ship sailed slowly across the wide grey ocean while sailors watched "
+    "the distant storm clouds gather above the cold northern waters at dusk"
+)
+
+
+def test_near_dedup_cross_batch_rejection(spark, tmp_path):
+    from airbyte_spark.operators.dedup_incremental import (
+        create_neardup_registry,
+        ingest_near_dedup,
+    )
+
+    reg = create_neardup_registry(spark, str(tmp_path / "nreg"), n_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD)], "doc_id long, text string"
+    )
+    # intra-batch near-dup pair → canonical (min id) admitted
+    assert _ids(ingest_near_dedup(reg, b1, "n1")) == [1]
+    b2 = spark.createDataFrame(
+        # doc 3 is a near-dup of the ADMITTED doc 1; doc 4 is fresh
+        [(3, GOOD + " extra words at the end"), (4, OTHER)],
+        "doc_id long, text string",
+    )
+    assert _ids(ingest_near_dedup(reg, b2, "n2")) == [4]
+
+
+def test_near_dedup_redelivery_and_single_batch_equivalence(spark, tmp_path):
+    from airbyte_spark.operators.dedup_incremental import (
+        create_neardup_registry,
+        ingest_near_dedup,
+    )
+    from airbyte_spark.operators.dedup_text import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD), (3, OTHER), (4, OTHER + " and then some more")],
+        "doc_id long, text string",
+    )
+    reg = create_neardup_registry(spark, str(tmp_path / "nreg"), n_buckets=4)
+    got = _ids(ingest_near_dedup(reg, docs, "all"))
+    # one-batch ingest ≡ the one-shot connected-components keep set
+    want = sorted(
+        r["doc_id"] for r in near_dup_clusters(docs).filter("keep").collect()
+    )
+    assert got == want
+    # redelivery: identical admissions, no new commit
+    v = reg.current_version()
+    assert _ids(ingest_near_dedup(reg, docs, "all")) == got
+    assert reg.current_version() == v
