@@ -26,6 +26,13 @@ Commands:
                                  modes/PKs/state — ≡ ConfiguredAirbyteCatalog)
   discover-catalog --catalog FILE
                                  print the configured catalog (≡ discover)
+  curate   --docs PARQUET [--out DIR] [--min-quality Q] [--langs en,de]
+                                 per-document retention verdict (quality ∧
+                                 language ∧ near-dup canonical)
+  ingest-docs --docs PARQUET --registry T --checkpoint K [--near] [--out DIR]
+                                 dedup-at-ingest admission against the
+                                 fingerprint (or --near MinHash band-key)
+                                 registry, exactly-once per checkpoint key
 """
 
 from __future__ import annotations
@@ -66,6 +73,18 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--catalog", required=True, help="catalog JSON file (multi-stream)")
     sp = sub.add_parser("discover-catalog")
     sp.add_argument("--catalog", required=True)
+    sp = sub.add_parser("curate")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--min-quality", type=float, default=0.75)
+    sp.add_argument("--langs", default=None, help="comma-separated accept list")
+    sp = sub.add_parser("ingest-docs")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--registry", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--near", action="store_true")
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--n-buckets", type=int, default=16)
     return p
 
 
@@ -182,6 +201,54 @@ def run(spark, args) -> dict:
         if args.cmd == "discover-catalog":
             return {"type": "CATALOG", **cat.discover()}
         return {"type": "SYNC_RESULT", "streams": sync(spark, cat)}
+
+    if args.cmd == "curate":
+        from airbyte_spark.operators.curate import curate_corpus
+
+        docs = spark.read.parquet(args.docs)
+        langs = args.langs.split(",") if args.langs else None
+        verdict = curate_corpus(docs, min_quality=args.min_quality, accept_langs=langs)
+        if args.out:
+            verdict.write.mode("overwrite").parquet(args.out)
+            verdict = spark.read.parquet(args.out)
+        counts = {
+            r["retained"]: r["n"]
+            for r in verdict.groupBy("retained").agg(F.count("*").alias("n")).collect()
+        }
+        return {
+            "type": "CURATE_RESULT",
+            "retained": counts.get(True, 0),
+            "rejected": counts.get(False, 0),
+            "out": args.out,
+        }
+
+    if args.cmd == "ingest-docs":
+        from airbyte_spark.operators.dedup_incremental import (
+            create_neardup_registry,
+            create_registry,
+            ingest_dedup,
+            ingest_near_dedup,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        if args.near:
+            reg = create_neardup_registry(spark, args.registry, args.n_buckets)
+            admitted = ingest_near_dedup(reg, docs, args.checkpoint)
+        else:
+            reg = create_registry(spark, args.registry, args.n_buckets)
+            admitted = ingest_dedup(reg, docs, args.checkpoint)
+        if args.out:
+            admitted.write.mode("overwrite").parquet(args.out)
+        n_in, n_adm = docs.count(), admitted.count()
+        return {
+            "type": "INGEST_RESULT",
+            "mode": "near" if args.near else "exact",
+            "input": n_in,
+            "admitted": n_adm,
+            "dropped": n_in - n_adm,
+            "registry_version": reg.current_version(),
+            "out": args.out,
+        }
 
     raise SystemExit(f"unknown command {args.cmd}")
 

@@ -94,3 +94,48 @@ def test_expire_via_cli(spark, changelog_dir, tmp_path):
     run(spark, ns(cmd="expire", target=target, watermark=str(dt.datetime(2030, 1, 1))))
     pipe2 = CdcPipeline.create_target(spark, target)
     assert pipe2.raw_state().count() == pipe2.final_state().count()
+
+
+def test_curate_cmd(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far into "
+                "the green hills of the quiet countryside to rest in the shade"),
+            (2, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = run(
+        spark,
+        ns(cmd="curate", docs=src, out=str(tmp_path / "verdict"),
+           min_quality=0.75, langs="en"),
+    )
+    assert out["type"] == "CURATE_RESULT"
+    assert out["retained"] == 1 and out["rejected"] == 1
+    got = spark.read.parquet(str(tmp_path / "verdict"))
+    assert got.filter("retained").first()["doc_id"] == 1
+
+
+def test_ingest_docs_cmd_exact_and_near(spark, tmp_path):
+    text = ("a ship sailed slowly across the wide grey ocean while sailors "
+            "watched the distant storm clouds gather above the cold waters")
+    b1 = spark.createDataFrame([(1, text), (2, text + "!")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, text.upper())], "doc_id long, text string")
+    s1, s2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    b1.write.parquet(s1)
+    b2.write.parquet(s2)
+    reg = str(tmp_path / "reg")
+    out1 = run(spark, ns(cmd="ingest-docs", docs=s1, registry=reg,
+                         checkpoint="k1", near=False, out=None, n_buckets=4))
+    assert (out1["input"], out1["admitted"], out1["dropped"]) == (2, 1, 1)
+    # batch 2 normalizes to batch-1 content → dropped against the registry
+    out2 = run(spark, ns(cmd="ingest-docs", docs=s2, registry=reg,
+                         checkpoint="k2", near=False, out=None, n_buckets=4))
+    assert (out2["admitted"], out2["dropped"]) == (0, 1)
+    # near mode over a fresh registry
+    nreg = str(tmp_path / "nreg")
+    outn = run(spark, ns(cmd="ingest-docs", docs=s1, registry=nreg,
+                         checkpoint="k1", near=True, out=None, n_buckets=4))
+    assert outn["mode"] == "near" and outn["admitted"] == 1
