@@ -27,7 +27,13 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _SCRIPT_RE = re.compile(rb"(?is)<(script|style)\b.*?</\1\s*>")
 _TAG_RE = re.compile(rb"(?s)<[^>]*>")
@@ -99,9 +105,137 @@ def image_metadata_udf(data: pd.Series) -> pd.DataFrame:
 
 def decode_image(data: Column) -> Column:
     raise NotImplementedError(
-        "real image decoding requires PIL/opencv, absent in this container; "
-        "use image_metadata_udf for the plumbing-level deterministic stub"
+        "compressed-format decoding (jpeg/png/webp) requires PIL/opencv, "
+        "absent in this container; uncompressed P6-PPM and 24-bit BMP are "
+        "decoded for real by image_features_udf / make_thumbnail_udf, and "
+        "image_metadata_udf remains the plumbing-level deterministic stub"
     )
+
+
+# --- real decode for uncompressed raster formats (numpy only, no codecs) ---------
+
+
+def _decode_rgb(b: "bytes | None"):
+    """(format, HxWx3 uint8 array) for P6 PPM or uncompressed 24-bit BMP;
+    (None, None) for anything else. Pure numpy — the decode path a
+    deployment swaps for PIL keeps this exact signature."""
+    import numpy as np
+
+    if not b:
+        return None, None
+    if b[:2] == b"P6":
+        # P6 <ws> width <ws> height <ws> maxval <single-ws> raw RGB
+        try:
+            fields, pos = [], 2
+            while len(fields) < 3:
+                while pos < len(b) and b[pos : pos + 1].isspace():
+                    pos += 1
+                if b[pos : pos + 1] == b"#":  # comment to EOL
+                    pos = b.index(b"\n", pos) + 1
+                    continue
+                start = pos
+                while pos < len(b) and not b[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(int(b[start:pos]))
+            pos += 1  # the single whitespace after maxval
+            w, h, maxval = fields
+            if maxval != 255 or w <= 0 or h <= 0:
+                return None, None
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+            return "ppm", px.reshape(h, w, 3)
+        except (ValueError, IndexError):
+            return None, None
+    if b[:2] == b"BM":
+        try:
+            data_off = int.from_bytes(b[10:14], "little")
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            bpp = int.from_bytes(b[28:30], "little")
+            compression = int.from_bytes(b[30:34], "little")
+            if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+                return None, None
+            flip = h > 0  # positive height ⇒ bottom-up row order
+            h = abs(h)
+            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            rows = np.frombuffer(
+                b, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            if flip:
+                rows = rows[::-1]
+            return "bmp", rows[:, :, ::-1]  # BGR → RGB
+        except (ValueError, IndexError):
+            return None, None
+    return None, None
+
+
+_IMAGE_FEATURES_TYPE = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+        StructField("mean_r", FloatType()),
+        StructField("mean_g", FloatType()),
+        StructField("mean_b", FloatType()),
+    ]
+)
+
+
+@pandas_udf(_IMAGE_FEATURES_TYPE)
+def image_features_udf(data: pd.Series) -> pd.DataFrame:
+    """REAL decode + feature extraction for uncompressed rasters: parses
+    P6 PPM / 24-bit BMP with numpy and emits dimensions + per-channel
+    means (the simplest \"embedding\" a vision featurizer would produce).
+    Unknown/compressed formats yield NULLs — gate them to a codec-equipped
+    cluster in deployment."""
+    out = {"width": [], "height": [], "format": [], "mean_r": [], "mean_g": [], "mean_b": []}
+    for b in data:
+        fmt, px = _decode_rgb(b)
+        if px is None:
+            for k in out:
+                out[k].append(None)
+            continue
+        means = px.reshape(-1, 3).mean(axis=0)
+        out["width"].append(px.shape[1])
+        out["height"].append(px.shape[0])
+        out["format"].append(fmt)
+        out["mean_r"].append(float(means[0]))
+        out["mean_g"].append(float(means[1]))
+        out["mean_b"].append(float(means[2]))
+    return pd.DataFrame(out).astype(
+        {"width": "Int32", "height": "Int32", "mean_r": "float32",
+         "mean_g": "float32", "mean_b": "float32"}
+    )
+
+
+def make_thumbnail_udf(max_side: int = 64):
+    """Factory for a decode → nearest-neighbor downscale → re-encode (P6)
+    thumbnail UDF — the full transform loop, not a stub: output bytes are
+    a valid PPM whose pixels come from the real input raster. Aspect
+    ratio is preserved; images already within max_side pass through
+    re-encoded."""
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def thumbnail_udf(data: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(b):
+            _fmt, px = _decode_rgb(b)
+            if px is None:
+                return None
+            h, w = px.shape[:2]
+            scale = max(h, w) / max_side
+            if scale > 1:
+                nh, nw = max(1, int(h / scale)), max(1, int(w / scale))
+                ys = (np.arange(nh) * (h / nh)).astype(int)
+                xs = (np.arange(nw) * (w / nw)).astype(int)
+                px = px[ys][:, xs]
+                h, w = nh, nw
+            return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+        return data.map(one)
+
+    return thumbnail_udf
 
 
 _AUDIO_META_TYPE = StructType(

@@ -70,3 +70,58 @@ def test_sample_frames_one_to_many(spark):
     assert sorted((r["doc_id"], r["frame_idx"]) for r in out2) == sorted(
         (r["doc_id"], r["frame_idx"]) for r in out
     )
+
+
+def _ppm(w, h, rgb):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb * (w * h))
+
+
+def _bmp24(w, h, bgr):
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    rows = (bytes(bgr * w) + b"\x00" * pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + info + rows
+
+
+def test_image_features_real_decode(spark):
+    from airbyte_spark.functions.extract import image_features_udf
+
+    df = spark.createDataFrame(
+        [
+            (1, _ppm(4, 2, [10, 20, 30])),           # uniform RGB(10,20,30)
+            (2, _bmp24(3, 3, [30, 20, 10])),          # BGR on disk → same RGB
+            (3, b"\x89PNG not decodable here"),
+            (4, None),
+        ],
+        "id long, data binary",
+    )
+    rows = {r["id"]: r for r in df.select("id", image_features_udf("data").alias("f")).select("id", "f.*").collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["format"]) == (4, 2, "ppm")
+    assert (rows[1]["mean_r"], rows[1]["mean_g"], rows[1]["mean_b"]) == (10.0, 20.0, 30.0)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["format"]) == (3, 3, "bmp")
+    assert (rows[2]["mean_r"], rows[2]["mean_g"], rows[2]["mean_b"]) == (10.0, 20.0, 30.0)
+    assert rows[3]["format"] is None and rows[4]["width"] is None
+
+
+def test_thumbnail_roundtrip(spark):
+    from airbyte_spark.functions.extract import (
+        _decode_rgb,
+        image_features_udf,
+        make_thumbnail_udf,
+    )
+
+    big = _ppm(128, 64, [200, 100, 50])
+    df = spark.createDataFrame([(1, big)], "id long, data binary")
+    thumb = df.select(make_thumbnail_udf(max_side=32)("data").alias("t")).first()["t"]
+    fmt, px = _decode_rgb(bytes(thumb))
+    assert fmt == "ppm"
+    assert px.shape == (16, 32, 3)  # aspect preserved, max side 32
+    assert (px.reshape(-1, 3).mean(axis=0) == [200.0, 100.0, 50.0]).all()
+    # thumbnails feed straight back into the feature UDF (composable stages)
+    tdf = spark.createDataFrame([(1, bytes(thumb))], "id long, data binary")
+    f = tdf.select(image_features_udf("data").alias("f")).select("f.*").first()
+    assert (f["width"], f["height"]) == (32, 16)
