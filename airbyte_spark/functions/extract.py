@@ -262,6 +262,82 @@ def audio_metadata_udf(data: pd.Series) -> pd.DataFrame:
     )
 
 
+def _parse_wav(b: "bytes | None"):
+    """(sample_rate, channels, bits, data_offset, data_len) for a PCM
+    RIFF/WAVE file; None otherwise. Chunk-walks the container for real —
+    the header probe ffprobe would run, minus compressed codecs."""
+    if not b or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt = 12, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            audio_fmt = int.from_bytes(b[body : body + 2], "little")
+            if audio_fmt != 1:  # PCM only
+                return None
+            fmt = (
+                int.from_bytes(b[body + 4 : body + 8], "little"),  # rate
+                int.from_bytes(b[body + 2 : body + 4], "little"),  # channels
+                int.from_bytes(b[body + 14 : body + 16], "little"),  # bits
+            )
+        elif cid == b"data" and fmt is not None:
+            return (*fmt, body, min(size, len(b) - body))
+        pos = body + size + (size & 1)  # chunks are 2-byte aligned
+    return None
+
+
+_AUDIO_FEATURES_TYPE = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms", FloatType()),
+        StructField("zero_cross_rate", FloatType()),
+    ]
+)
+
+
+@pandas_udf(_AUDIO_FEATURES_TYPE)
+def audio_features_udf(data: pd.Series) -> pd.DataFrame:
+    """REAL probe + DSP for PCM16 WAV: chunk-walks the RIFF container,
+    then computes RMS loudness (normalized to [0,1]) and zero-crossing
+    rate over the samples with numpy — the features a speech-quality
+    filter gates on. Non-WAV/compressed bytes yield NULLs."""
+    import numpy as np
+
+    out = {"sample_rate": [], "channels": [], "duration_ms": [], "rms": [], "zero_cross_rate": []}
+    for b in data:
+        meta = _parse_wav(bytes(b)) if b is not None else None
+        if meta is None or meta[2] != 16:
+            for k in out:
+                out[k].append(None)
+            continue
+        rate, ch, _bits, off, dlen = meta
+        samples = np.frombuffer(b, dtype="<i2", count=dlen // 2, offset=off).astype(
+            np.float64
+        )
+        n_frames = len(samples) // ch if ch else 0
+        if n_frames == 0:
+            for k in out:
+                out[k].append(None)
+            continue
+        mono = samples[: n_frames * ch].reshape(n_frames, ch).mean(axis=1)
+        signs = np.sign(mono)
+        nz = signs != 0
+        crossings = int(np.count_nonzero(np.diff(signs[nz]) != 0)) if nz.any() else 0
+        out["sample_rate"].append(rate)
+        out["channels"].append(ch)
+        out["duration_ms"].append(int(n_frames * 1000 / rate))
+        out["rms"].append(float(np.sqrt(np.mean(mono**2)) / 32768.0))
+        out["zero_cross_rate"].append(float(crossings / max(1, n_frames - 1)))
+    return pd.DataFrame(out).astype(
+        {"sample_rate": "Int32", "channels": "Int32", "duration_ms": "Int32",
+         "rms": "float32", "zero_cross_rate": "float32"}
+    )
+
+
 def sample_frames(
     df,
     data_col: str = "data",

@@ -125,3 +125,43 @@ def test_thumbnail_roundtrip(spark):
     tdf = spark.createDataFrame([(1, bytes(thumb))], "id long, data binary")
     f = tdf.select(image_features_udf("data").alias("f")).select("f.*").first()
     assert (f["width"], f["height"]) == (32, 16)
+
+
+def _wav(rate, ch, samples):
+    """Minimal PCM16 RIFF/WAVE with an extra LIST chunk before data (to
+    exercise real chunk-walking)."""
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_audio_features_real_wav(spark):
+    import math
+
+    from airbyte_spark.functions.extract import audio_features_udf
+
+    # 1 kHz-ish square wave: 8 samples/period at 8 kHz, amplitude 16384
+    samples = [16384 if (i // 4) % 2 == 0 else -16384 for i in range(8000)]
+    df = spark.createDataFrame(
+        [(1, _wav(8000, 1, samples)), (2, b"not audio"), (3, None)],
+        "id long, data binary",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select("id", audio_features_udf("data").alias("f"))
+        .select("id", "f.*")
+        .collect()
+    }
+    f = rows[1]
+    assert (f["sample_rate"], f["channels"], f["duration_ms"]) == (8000, 1, 1000)
+    assert math.isclose(f["rms"], 16384 / 32768, rel_tol=1e-6)
+    # square wave flips sign every 4 samples → ZCR ≈ 1/4
+    assert math.isclose(f["zero_cross_rate"], 0.25, rel_tol=0.01)
+    assert rows[2]["sample_rate"] is None and rows[3]["rms"] is None
