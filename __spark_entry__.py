@@ -633,7 +633,7 @@ def q_emb_srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_spark.operators.similarity import srp_near_dups
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return srp_near_dups(emb, threshold=0.4, bits=60, bands=10)
+    return srp_near_dups(emb, threshold=0.4, bits=60, bands=6)
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,8 +1233,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY vec_id, embedding),
             bk AS (
               SELECT vec_id, embedding, band,
-                     (sig >> (band * 6)) & 63 AS key
-              FROM sig CROSS JOIN (SELECT unnest(range(10)) AS band) b),
+                     (sig >> (band * 10)) & 1023 AS key
+              FROM sig CROSS JOIN (SELECT unnest(range(6)) AS band) b),
             cand AS (
               SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
               FROM bk a JOIN bk b

@@ -19,8 +19,10 @@ ranking ties break on vec_id, so the DuckDB oracle reproduces results.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import pandas_udf
 
 
 def _dvec(col: Column) -> Column:
@@ -258,20 +260,25 @@ def srp_signature(
 ) -> DataFrame:
     """Per-vector SRP sketch (SimHash for dense vectors): bit i = sign of
     the dot product with deterministic ±1 hyperplane i, packed into one
-    BIGINT. All arithmetic is JVM column math over the packed array — the
-    sketch costs bits×dim multiply-adds per row inside the scan stage,
-    zero shuffles. P(bit agrees) = 1 − angle(a,b)/π, so near-parallel
-    vectors share most bits."""
-    planes = srp_planes(dim, bits, seed)
-    v = _dvec(F.col(vec_col))
-    sig = None
-    for i, p in enumerate(planes):
-        bit = F.when(
-            dot(v, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
+    BIGINT. Computed as ONE Arrow-batched numpy matmul (batch×dim @
+    dim×bits) — the chained per-bit column-expression form evaluates
+    `bits` interpreted lambda passes per row and is ~100× slower.
+    P(bit agrees) = 1 − angle(a,b)/π, so near-parallel vectors share
+    most bits."""
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    planes_t = np.array(srp_planes(dim, bits, seed), dtype=np.float64).T  # dim×bits
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+
+    @pandas_udf(LongType())
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        bits_m = (mat @ planes_t > 0).astype(np.uint64)
+        return pd.Series((bits_m * weights).sum(axis=1).astype(np.int64))
+
     return corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), sig.alias("sig")
+        F.col(id_col).alias("vec_id"), sig_udf(F.col(vec_col)).alias("sig")
     )
 
 
@@ -279,7 +286,7 @@ def srp_near_dups(
     corpus: DataFrame,
     threshold: float = 0.4,
     bits: int = 60,
-    bands: int = 10,
+    bands: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "srp",
@@ -287,14 +294,18 @@ def srp_near_dups(
     """SRP-LSH near-dup pairs — the second sub-quadratic embedding path
     (hyperplane sketch instead of IVF cells): the packed signature is
     split into `bands` bit-slices, candidates are the band-bucket
-    self-join (cost ∝ Σ bucket², keyed on (band, slice) — no corpus
-    cross-product), survivors verified with exact cosine ≥ threshold.
+    self-join keyed on (band, slice) over vec_id ONLY (the sketch runs
+    once and only 16-byte rows shuffle), survivors are verified with
+    exact cosine after re-joining the embeddings.
 
-    Tuning: P(candidate) = 1 − (1 − p^w)^bands with p = 1 − angle/π and
-    w = bits/bands. Wider slices discriminate harder (random pairs
-    collide at 2^-w per band) but cost recall at moderate similarity —
-    at the true near-dup regime (cos ≥ 0.9, p ≈ 0.86) the defaults give
-    ≳ 0.9 recall; embedding_near_dups is the exact recall oracle."""
+    Tuning ≡ IVF's centroid count: each band hashes the corpus into 2^w
+    buckets (w = bits/bands), so random pairs collide at ≈ bands/2^w and
+    candidate cost is ∝ N²·bands/2^w — widen slices as N grows exactly
+    as IVF grows C. Recall: P(candidate) = 1 − (1 − p^w)^bands with
+    p = 1 − angle/π; at the true near-dup regime (cos ≥ 0.9, p ≈ 0.86)
+    the defaults give ≈ 0.76 recall per the formula and ≈ 1 for
+    near-identical vectors; embedding_near_dups is the exact recall
+    oracle. Raise bands (more bits) to tighten recall at fixed w."""
     dim = len(corpus.select(vec_col).first()[0])
     width = bits // bands
     mask = (1 << width) - 1
@@ -310,26 +321,36 @@ def srp_near_dups(
             for bi in range(bands)
         ]
     )
-    exploded = sig.select(
-        "vec_id", "embedding", F.explode(slices).alias("bk")
-    ).select(
-        "vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    exploded = (
+        sig.select("vec_id", F.explode(slices).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        # the self-join consumes this twice; without the cache both sides
+        # re-run the signature UDF over the whole corpus
+        .cache()
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    ea = corpus.select(F.col(id_col).alias("a_id"), _dvec(F.col(vec_col)).alias("a_vec"))
+    eb = corpus.select(F.col(id_col).alias("b_id"), _dvec(F.col(vec_col)).alias("b_vec"))
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .withColumn(
+            "cos",
+            dot(F.col("a_vec"), F.col("b_vec"))
+            / (norm(F.col("a_vec")) * norm(F.col("b_vec"))),
         )
         .filter(F.col("cos") >= threshold)
-        .distinct()
+        .select("a_id", "b_id", "cos")
     )
 
 
