@@ -192,6 +192,122 @@ def ingest_near_dedup(
     return admitted
 
 
+EMB_REGISTRY_SCHEMA = StructType(
+    [
+        StructField("band", LongType(), False),
+        StructField("key", LongType(), False),
+        StructField("vec_id", LongType(), False),
+        StructField("sig", LongType(), False),
+    ]
+)
+
+
+def create_emb_registry(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
+    """SRP band-key registry for embedding admission. Unlike the MinHash
+    registry (md5 band keys ≈ 2^128 keyspace, collision ⇒ near-dup), SRP
+    band keys live in a 2^w keyspace per band — bucket occupancy
+    approaches 1 as the corpus grows, so a collision is only a CANDIDATE:
+    the registry stores each admitted vector's full signature and
+    admission verifies hamming distance against the colliding entries."""
+    if LakeTable.exists(path):
+        return LakeTable.load(spark, path)
+    return LakeTable.create(
+        spark, path, EMB_REGISTRY_SCHEMA, PartitionSpec.bucket("key", n_buckets)
+    )
+
+
+def ingest_emb_dedup(
+    registry: LakeTable,
+    batch: DataFrame,
+    checkpoint_key: str,
+    max_hamming: int = 20,
+    bits: int = 60,
+    bands: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding near-dup admission — the third leg of the
+    dedup-at-ingest family (exact text / MinHash text / SRP embeddings):
+    each arriving batch is sketched once (matmul pandas UDF), clustered
+    intra-batch via banded slice collisions verified by signature hamming
+    ≤ max_hamming, clusters colliding-and-verifying against REGISTERED
+    signatures are rejected whole, and surviving cluster canonicals are
+    admitted with their band keys + signature in one idempotent commit.
+
+    Per-increment cost: the batch's own band self-join plus one
+    (band, key)-keyed join against the registry with a popcount filter —
+    bit math on packed longs, never embedding arrays, and never a rescan
+    of the admitted corpus. With 60-bit sketches, hamming ≈
+    bits·angle/π ± √(bits)/2, so max_hamming=20 admits ≈ cos ≥ 0.5
+    content as "duplicate" with ~2% false-match per compared pair —
+    a sketch-level filter; tighten with more bits."""
+    from airbyte_spark.operators.dedup_text import near_dup_clusters
+    from airbyte_spark.operators.similarity import srp_signature
+
+    if checkpoint_key in registry.committed():
+        admitted_ids = (
+            registry.read().select(F.col("vec_id").alias(id_col)).distinct()
+        )
+        return batch.join(admitted_ids, id_col, "left_semi")
+    dim = len(batch.select(vec_col).first()[0])
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = srp_signature(batch, dim, bits, id_col, vec_col)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    keys = (
+        sig.select("vec_id", "sig", F.explode(slices).alias("bk"))
+        .select("vec_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .cache()
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))) <= max_hamming
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    ident = batch.select(F.col(id_col).alias("doc_id"))
+    clusters = near_dup_clusters(ident, id_col="doc_id", pairs=pairs)
+    reg = registry.read().select("band", "key", F.col("sig").alias("reg_sig"))
+    hit_docs = (
+        keys.join(reg, ["band", "key"])
+        .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("reg_sig"))) <= max_hamming)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    bad_clusters = clusters.join(hit_docs, "doc_id").select("cluster_id").distinct()
+    admitted_ids = (
+        clusters.filter(F.col("keep"))
+        .join(bad_clusters, "cluster_id", "left_anti")
+        .select(F.col("doc_id").alias(id_col))
+    )
+    admitted = batch.join(admitted_ids, id_col, "left_semi").cache()
+    registry.append(
+        keys.join(
+            admitted.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+        ).select("band", "key", "vec_id", "sig"),
+        checkpoint_key=checkpoint_key,
+    )
+    return admitted
+
+
 def stream_ingest_dedup(
     registry: LakeTable,
     doc_stream,

@@ -176,3 +176,57 @@ def test_near_dedup_redelivery_and_single_batch_equivalence(spark, tmp_path):
     v = reg.current_version()
     assert _ids(ingest_near_dedup(reg, docs, "all")) == got
     assert reg.current_version() == v
+
+
+def _vec(seed, dim=64):
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:4], 16) / 32768.0) - 1.0
+        for j in range(dim)
+    ]
+
+
+def _near(v, eps=0.003):
+    return [x + (eps if i % 2 == 0 else -eps) for i, x in enumerate(v)]
+
+
+def test_emb_registry_cross_batch_rejection(spark, tmp_path):
+    from airbyte_spark.operators.dedup_incremental import (
+        create_emb_registry,
+        ingest_emb_dedup,
+    )
+
+    reg = create_emb_registry(spark, str(tmp_path / "ereg"), n_buckets=4)
+    v1, v2 = _vec("a"), _vec("b")
+    b1 = spark.createDataFrame(
+        [(1, v1), (2, _near(v1))], "vec_id long, embedding array<float>"
+    )
+    # intra-batch near-identical pair → canonical only
+    got1 = sorted(r["vec_id"] for r in ingest_emb_dedup(reg, b1, "e1").collect())
+    assert got1 == [1]
+    b2 = spark.createDataFrame(
+        # 3 is near-identical to ADMITTED 1; 4 is independent content
+        [(3, _near(v1, 0.004)), (4, v2)], "vec_id long, embedding array<float>"
+    )
+    got2 = sorted(r["vec_id"] for r in ingest_emb_dedup(reg, b2, "e2").collect())
+    assert got2 == [4]
+    # redelivery: same admissions, no new commit
+    v = reg.current_version()
+    again = sorted(r["vec_id"] for r in ingest_emb_dedup(reg, b2, "e2").collect())
+    assert again == [1, 4] or again == [4]  # batch ∩ registry (1 not in b2)
+    assert reg.current_version() == v
+
+
+def test_emb_registry_admits_distinct_content(spark, tmp_path):
+    from airbyte_spark.operators.dedup_incremental import (
+        create_emb_registry,
+        ingest_emb_dedup,
+    )
+
+    reg = create_emb_registry(spark, str(tmp_path / "ereg"), n_buckets=4)
+    rows = [(i, _vec(f"s{i}")) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(r["vec_id"] for r in ingest_emb_dedup(reg, df, "all").collect())
+    # independent random vectors: hamming ≈ 30 ≫ 20 → all admitted
+    assert got == list(range(8))
