@@ -310,7 +310,9 @@ def audio_features_udf(data: pd.Series) -> pd.DataFrame:
     out = {"sample_rate": [], "channels": [], "duration_ms": [], "rms": [], "zero_cross_rate": []}
     for b in data:
         meta = _parse_wav(bytes(b)) if b is not None else None
-        if meta is None or meta[2] != 16:
+        # a malformed header can declare rate=0 or channels=0 — treat it as
+        # undecodable rather than dividing by it
+        if meta is None or meta[2] != 16 or meta[0] <= 0 or meta[1] <= 0:
             for k in out:
                 out[k].append(None)
             continue

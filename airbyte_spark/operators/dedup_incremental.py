@@ -1,27 +1,32 @@
-"""Ingest-time incremental dedup against a persistent fingerprint registry.
+"""Ingest-time incremental dedup against persistent registry tables.
 
-The one-shot corpus operators (dedup_text.exact_dedup) rescan everything
-per run; a 100 TB training-data pipeline instead dedups each ARRIVING
-batch against the fingerprints of everything already admitted — cost per
-increment ∝ |batch| + |registry ∩ batch|, never ∝ corpus. The registry
-is a LakeTable, so admission rides the same ACID/exactly-once machinery
-as the CDC sink (≡ the reference's committed-state dedup contract,
-BufferedStreamConsumer.java:158-181, applied to content identity instead
-of checkpoint identity).
+The one-shot corpus operators (dedup_text.exact_dedup, near_dup_clusters)
+rescan everything per run; a 100 TB training-data pipeline instead dedups
+each ARRIVING batch against what was already admitted — cost per increment
+∝ |batch| + |registry ∩ batch|, never ∝ corpus. Three registries, one
+contract (admit first-seen content, exactly-once per checkpoint key):
 
-Scale shape:
-  - the batch side is fingerprinted with scan-fused column expressions
-    (one md5 per doc, no Python);
-  - intra-batch winners are a window over the 32-byte digest (one
-    shuffle of digests, not documents);
-  - the registry probe is a LEFT ANTI join keyed on the digest — the
-    registry is bucket-partitioned on fingerprint, so at scale the probe
-    co-locates per bucket and AQE broadcasts whichever side is small
-    (a batch is tiny next to the corpus registry);
-  - admission is one idempotent append commit carrying the batch's
-    checkpoint key: a redelivered batch is recognized BEFORE any write
-    and its retained set is reconstructed from the registry itself, so
-    at-least-once upstream delivery yields exactly-once admission.
+  exact  — md5 fingerprint rows; a registry hit IS a duplicate.
+  near   — MinHash band-key rows (md5 keys ≈ 2^128 keyspace): a band
+           collision is duplicate evidence, and ALL cluster members' keys
+           are registered under the canonical id so later docs chaining
+           through a non-canonical member still collide.
+  emb    — SRP band-key rows (2^w keyspace: bucket occupancy → 1 as the
+           corpus grows, so a collision is only a CANDIDATE); the stored
+           per-member signature is verified by hamming popcount.
+
+Each registry is a LakeTable, so admission rides the same ACID /
+committed-set machinery as the CDC sink (≡ the reference's
+BufferedStreamConsumer.java:158-181 contract, applied to content
+identity). Every registered row carries the admitting checkpoint_key, so
+a redelivered batch reconstructs EXACTLY its own admitted set — not rows
+admitted by other deliveries of the same content (at-least-once upstream
+is the assumed delivery model).
+
+Memory: intermediate frames are localCheckpoint()ed, not cache()d — the
+long-running streaming path would otherwise accumulate pinned storage
+blocks across epochs; checkpoint blocks are released when the batch's
+DataFrames go out of scope.
 """
 
 from __future__ import annotations
@@ -37,8 +42,21 @@ REGISTRY_SCHEMA = StructType(
     [
         StructField("fingerprint", StringType(), False),
         StructField("doc_id", LongType(), False),
+        StructField("checkpoint_key", StringType(), False),
     ]
 )
+
+
+def _ids_admitted_under(registry: LakeTable, checkpoint_key: str, id_name: str):
+    """Distinct ids the given checkpoint key admitted — the redelivery
+    reconstruction source. Keyed per commit so duplicates admitted by a
+    DIFFERENT delivery of the same content are not resurrected."""
+    return (
+        registry.read()
+        .filter(F.col("checkpoint_key") == checkpoint_key)
+        .select(F.col(id_name))
+        .distinct()
+    )
 
 
 def create_registry(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
@@ -61,19 +79,17 @@ def ingest_dedup(
 ) -> DataFrame:
     """Admit the batch's first-seen documents; drop anything whose content
     fingerprint is already registered (by an earlier batch, or by a
-    lower-id doc within this batch). Returns the admitted rows of `batch`
-    plus their `fingerprint`. Exactly-once: re-delivering a committed
-    checkpoint_key returns the identical admitted set and writes nothing.
-    """
-    fp = batch.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    lower-id doc within this batch). NULL-text rows carry no content and
+    are never admitted. Returns the admitted rows of `batch` plus their
+    `fingerprint`. Exactly-once: re-delivering a committed checkpoint_key
+    returns the identical admitted set and writes nothing."""
+    fp = batch.filter(F.col(text_col).isNotNull()).withColumn(
+        "fingerprint", fingerprint(F.col(text_col))
+    )
     if checkpoint_key in registry.committed():
-        # redelivery: the admitted set is exactly this batch's rows whose
-        # (fingerprint, id) pair made it into the registry
-        reg = registry.read().withColumnRenamed("doc_id", "_reg_id")
-        return (
-            fp.join(reg, "fingerprint")
-            .filter(F.col(id_col) == F.col("_reg_id"))
-            .drop("_reg_id")
+        ids = _ids_admitted_under(registry, checkpoint_key, "doc_id")
+        return fp.join(
+            ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         )
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     head = (
@@ -83,13 +99,13 @@ def ingest_dedup(
     )
     admitted = head.join(
         registry.read().select("fingerprint"), "fingerprint", "left_anti"
-    )
-    # a batch is re-derivable, so cache the admitted set for the two
-    # actions below (registry append + caller's consumption) instead of
-    # recomputing the window + anti-join per action
-    admitted = admitted.cache()
+    ).localCheckpoint(eager=True)
     registry.append(
-        admitted.select("fingerprint", F.col(id_col).alias("doc_id")),
+        admitted.select(
+            "fingerprint",
+            F.col(id_col).alias("doc_id"),
+            F.lit(checkpoint_key).alias("checkpoint_key"),
+        ),
         checkpoint_key=checkpoint_key,
     )
     return admitted
@@ -100,6 +116,7 @@ NEARDUP_REGISTRY_SCHEMA = StructType(
         StructField("band", LongType(), False),
         StructField("key", StringType(), False),
         StructField("doc_id", LongType(), False),
+        StructField("checkpoint_key", StringType(), False),
     ]
 )
 
@@ -107,9 +124,10 @@ NEARDUP_REGISTRY_SCHEMA = StructType(
 def create_neardup_registry(
     spark: SparkSession, path: str, n_buckets: int = 16
 ) -> LakeTable:
-    """MinHash band-key registry: one row per (band, key) bucket an
-    ADMITTED document occupies. Bucket-partitioned on the band key so a
-    batch's collision probe co-locates with the registry partitions."""
+    """MinHash band-key registry: one row per (band, key) bucket occupied
+    by ANY member of an admitted cluster, owned by the cluster's canonical
+    doc_id. Bucket-partitioned on the band key so a batch's collision
+    probe co-locates with the registry partitions."""
     if LakeTable.exists(path):
         return LakeTable.load(spark, path)
     return LakeTable.create(
@@ -132,63 +150,57 @@ def ingest_near_dedup(
     self-join + connected components, (2) any cluster that collides with
     a band key already registered by an earlier batch is rejected whole
     (its content is already represented), (3) surviving clusters admit
-    their canonical (min-id) member, whose band keys are registered in
-    one idempotent commit.
+    their canonical (min-id) member, and the band keys of EVERY cluster
+    member are registered under the canonical id — so a later doc whose
+    only collision is with a rejected (non-canonical) member still hits
+    the registry, keeping cross-batch recall equal to the banding's.
 
     Cost per increment: the LSH self-join of the BATCH (∝ Σ batch-bucket²)
     plus one (band, key)-keyed semi-join against the registry — never a
     rescan or re-pairing of the admitted corpus. Exactly-once: a
-    redelivered checkpoint key reconstructs the admitted set from the
-    registry without writing. Recall matches the underlying LSH banding
-    (raise num_hashes/bands to tighten).
-    """
+    redelivered checkpoint key reconstructs its own admitted set from the
+    key-tagged registry rows without writing."""
     from airbyte_spark.operators.dedup_text import (
+        band_collision_pairs,
         lsh_band_keys,
-        lsh_pairs,
         near_dup_clusters,
     )
 
+    batch = batch.filter(F.col(text_col).isNotNull())
     if checkpoint_key in registry.committed():
-        admitted_ids = (
-            registry.read().select(F.col("doc_id").alias(id_col)).distinct()
+        ids = _ids_admitted_under(registry, checkpoint_key, "doc_id")
+        return batch.join(
+            ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         )
-        return batch.join(admitted_ids, id_col, "left_semi")
-    keys = lsh_band_keys(batch, text_col, id_col, num_hashes=num_hashes, bands=bands)
-    # keys feed the intra-batch self-join, the registry probe, and the
-    # admitted-key append — one execution, three consumers
-    keys = keys.cache()
-    a, b = keys.alias("a"), keys.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    keys = lsh_band_keys(
+        batch, text_col, id_col, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint(eager=True)
+    pairs = band_collision_pairs(keys).distinct()
     clusters = near_dup_clusters(batch, text_col, id_col, pairs=pairs)
     hit_docs = keys.join(
         registry.read().select("band", "key"), ["band", "key"], "left_semi"
     ).select("doc_id").distinct()
-    bad_clusters = (
-        clusters.join(hit_docs, "doc_id").select("cluster_id").distinct()
+    bad_clusters = clusters.join(hit_docs, "doc_id").select("cluster_id").distinct()
+    ok_clusters = (
+        clusters.join(bad_clusters, "cluster_id", "left_anti")
+        .localCheckpoint(eager=True)  # feeds both the admit set and the key append
     )
-    admitted_ids = (
-        clusters.filter(F.col("keep"))
-        .join(bad_clusters, "cluster_id", "left_anti")
-        .select("doc_id")
-    )
+    admitted_ids = ok_clusters.filter(F.col("keep")).select("doc_id")
     admitted = batch.join(
         admitted_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
-    ).cache()
-    registry.append(
-        keys.join(
-            admitted.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
-        ).select("band", "key", "doc_id"),
-        checkpoint_key=checkpoint_key,
+    ).localCheckpoint(eager=True)
+    # every member's keys, owned by the cluster canonical (= cluster_id)
+    member_keys = (
+        keys.join(ok_clusters.select("doc_id", "cluster_id"), "doc_id")
+        .select(
+            "band",
+            "key",
+            F.col("cluster_id").alias("doc_id"),
+            F.lit(checkpoint_key).alias("checkpoint_key"),
+        )
+        .distinct()
     )
+    registry.append(member_keys, checkpoint_key=checkpoint_key)
     return admitted
 
 
@@ -196,8 +208,9 @@ EMB_REGISTRY_SCHEMA = StructType(
     [
         StructField("band", LongType(), False),
         StructField("key", LongType(), False),
-        StructField("vec_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
         StructField("sig", LongType(), False),
+        StructField("checkpoint_key", StringType(), False),
     ]
 )
 
@@ -205,10 +218,10 @@ EMB_REGISTRY_SCHEMA = StructType(
 def create_emb_registry(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
     """SRP band-key registry for embedding admission. Unlike the MinHash
     registry (md5 band keys ≈ 2^128 keyspace, collision ⇒ near-dup), SRP
-    band keys live in a 2^w keyspace per band — bucket occupancy
-    approaches 1 as the corpus grows, so a collision is only a CANDIDATE:
-    the registry stores each admitted vector's full signature and
-    admission verifies hamming distance against the colliding entries."""
+    band keys live in a 2^w keyspace — bucket occupancy approaches 1 as
+    the corpus grows, so a collision is only a CANDIDATE: each row stores
+    the occupying member's full signature and admission verifies hamming
+    distance against the colliding entries."""
     if LakeTable.exists(path):
         return LakeTable.load(spark, path)
     return LakeTable.create(
@@ -230,57 +243,41 @@ def ingest_emb_dedup(
     dedup-at-ingest family (exact text / MinHash text / SRP embeddings):
     each arriving batch is sketched once (matmul pandas UDF), clustered
     intra-batch via banded slice collisions verified by signature hamming
-    ≤ max_hamming, clusters colliding-and-verifying against REGISTERED
-    signatures are rejected whole, and surviving cluster canonicals are
-    admitted with their band keys + signature in one idempotent commit.
+    ≤ max_hamming, clusters whose members hamming-match a REGISTERED
+    signature are rejected whole, and every member's (band, key, sig) of
+    surviving clusters is registered under the canonical id in one
+    idempotent commit.
 
     Per-increment cost: the batch's own band self-join plus one
     (band, key)-keyed join against the registry with a popcount filter —
     bit math on packed longs, never embedding arrays, and never a rescan
     of the admitted corpus. With 60-bit sketches, hamming ≈
-    bits·angle/π ± √(bits)/2, so max_hamming=20 admits ≈ cos ≥ 0.5
-    content as "duplicate" with ~2% false-match per compared pair —
-    a sketch-level filter; tighten with more bits."""
-    from airbyte_spark.operators.dedup_text import near_dup_clusters
-    from airbyte_spark.operators.similarity import srp_signature
+    bits·angle/π ± √(bits)/2, so max_hamming=20 treats ≈ cos ≥ 0.5
+    content as duplicate with ~2% false-match per compared pair — a
+    sketch-level filter; tighten with more bits."""
+    from airbyte_spark.operators.dedup_text import (
+        band_collision_pairs,
+        near_dup_clusters,
+    )
+    from airbyte_spark.operators.similarity import srp_band_keys
 
+    batch = batch.filter(F.col(vec_col).isNotNull())
     if checkpoint_key in registry.committed():
-        admitted_ids = (
-            registry.read().select(F.col("vec_id").alias(id_col)).distinct()
+        ids = _ids_admitted_under(registry, checkpoint_key, "doc_id")
+        return batch.join(
+            ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         )
-        return batch.join(admitted_ids, id_col, "left_semi")
-    dim = len(batch.select(vec_col).first()[0])
-    width = bits // bands
-    mask = (1 << width) - 1
-    sig = srp_signature(batch, dim, bits, id_col, vec_col)
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.shiftrightunsigned(F.col("sig"), bi * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for bi in range(bands)
-        ]
+    first = batch.select(vec_col).first()
+    if first is None:
+        return batch  # empty batch: nothing to admit or commit
+    dim = len(first[0])
+    keys = srp_band_keys(batch, dim, bits, bands, id_col, vec_col).localCheckpoint(
+        eager=True
     )
-    keys = (
-        sig.select("vec_id", "sig", F.explode(slices).alias("bk"))
-        .select("vec_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .cache()
-    )
-    a, b = keys.alias("a"), keys.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))) <= max_hamming
-        )
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        band_collision_pairs(keys, id_col="vec_id", carry=("sig",))
+        .filter(F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= max_hamming)
+        .select("a_id", "b_id")
         .distinct()
     )
     ident = batch.select(F.col(id_col).alias("doc_id"))
@@ -293,18 +290,31 @@ def ingest_emb_dedup(
         .distinct()
     )
     bad_clusters = clusters.join(hit_docs, "doc_id").select("cluster_id").distinct()
-    admitted_ids = (
-        clusters.filter(F.col("keep"))
-        .join(bad_clusters, "cluster_id", "left_anti")
-        .select(F.col("doc_id").alias(id_col))
+    ok_clusters = (
+        clusters.join(bad_clusters, "cluster_id", "left_anti")
+        .localCheckpoint(eager=True)
     )
-    admitted = batch.join(admitted_ids, id_col, "left_semi").cache()
-    registry.append(
+    admitted_ids = ok_clusters.filter(F.col("keep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    admitted = batch.join(admitted_ids, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    member_keys = (
         keys.join(
-            admitted.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
-        ).select("band", "key", "vec_id", "sig"),
-        checkpoint_key=checkpoint_key,
+            ok_clusters.select(F.col("doc_id").alias("vec_id"), "cluster_id"),
+            "vec_id",
+        )
+        .select(
+            "band",
+            "key",
+            F.col("cluster_id").alias("doc_id"),
+            "sig",
+            F.lit(checkpoint_key).alias("checkpoint_key"),
+        )
+        .distinct()
     )
+    registry.append(member_keys, checkpoint_key=checkpoint_key)
     return admitted
 
 
@@ -317,21 +327,30 @@ def stream_ingest_dedup(
     id_col: str = "doc_id",
 ):
     """Incremental dedup as a Structured Streaming stage: each micro-batch
-    is admitted via ingest_dedup under a batch-derived checkpoint key, so
-    exactly-once admission holds even if the Spark streaming checkpoint
+    is admitted via ingest_dedup under a CONTENT-derived checkpoint key,
+    so exactly-once admission holds even if the Spark streaming checkpoint
     is lost and epochs replay (the registry's committed-set is the source
     of truth, same contract as CdcPipeline.run_stream). `sink(admitted,
     epoch_id)` receives each batch's admitted rows (e.g. to append them
     to the corpus table); drains with trigger(availableNow)."""
 
     def handle(df: DataFrame, epoch_id: int) -> None:
-        # key on the batch's content (id range), not the epoch number:
-        # a lost Spark checkpoint renumbers epochs but redelivers the
-        # same file splits, and the content key recognizes them
-        bounds = df.agg(F.min(id_col), F.max(id_col)).first()
-        if bounds[0] is None:
+        # key on the batch's id MULTISET (count + order-independent hash +
+        # bounds), not the epoch number or the bounds alone: a lost Spark
+        # checkpoint may REGROUP file splits, and a bounds-only key would
+        # mistake a regrouped superset for a redelivery and drop its new
+        # docs. A regrouped batch gets a fresh key and re-runs admission,
+        # which is convergent (already-registered fingerprints anti-join
+        # away); an identical redelivery reconstructs its exact set.
+        agg = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1 << 32))),
+            F.min(id_col),
+            F.max(id_col),
+        ).first()
+        if agg[0] == 0:
             return
-        key = f"docs-{bounds[0]}-{bounds[1]}"
+        key = f"docs-{agg[2]}-{agg[3]}-n{agg[0]}-h{agg[1]:x}"
         admitted = ingest_dedup(registry, df, key, text_col, id_col)
         if sink is not None:
             sink(admitted, epoch_id)

@@ -165,6 +165,28 @@ def lsh_band_keys(
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def band_collision_pairs(
+    keys: DataFrame,
+    id_col: str = "doc_id",
+    carry: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Self-join rows sharing an LSH bucket: input (id, band, key [, carry…]),
+    output (a_id, b_id [, a_<c>, b_<c>…]) with a_id < b_id — NOT distinct
+    (a pair appears once per colliding band; callers dedupe after their
+    filters). The one banded-join implementation shared by lsh_pairs,
+    srp_near_dups, and the incremental registries."""
+    a, b = keys.alias("a"), keys.alias("b")
+    sel = [F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")]
+    for c in carry:
+        sel += [F.col(f"a.{c}").alias(f"a_{c}"), F.col(f"b.{c}").alias(f"b_{c}")]
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(*sel)
+
+
 def lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -182,17 +204,7 @@ def lsh_pairs(
     path: cost ∝ Σ bucket², not corpus².
     """
     exploded = lsh_band_keys(df, text_col, id_col, n, num_hashes, bands, shingle_df)
-    a, b = exploded.alias("a"), exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    return band_collision_pairs(exploded).distinct()
 
 
 def lsh_jaccard_pairs(

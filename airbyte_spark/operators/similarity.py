@@ -282,6 +282,37 @@ def srp_signature(
     )
 
 
+def srp_band_keys(
+    corpus: DataFrame,
+    dim: int,
+    bits: int = 60,
+    bands: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "srp",
+) -> DataFrame:
+    """(vec_id, sig, band, key) bucket memberships of the SRP sketch — the
+    probe/index unit shared by srp_near_dups and the incremental
+    embedding registry."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = srp_signature(corpus, dim, bits, id_col, vec_col, seed)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select("vec_id", "sig", F.explode(slices).alias("bk")).select(
+        "vec_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def srp_near_dups(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -306,39 +337,20 @@ def srp_near_dups(
     the defaults give ≈ 0.76 recall per the formula and ≈ 1 for
     near-identical vectors; embedding_near_dups is the exact recall
     oracle. Raise bands (more bits) to tighten recall at fixed w."""
-    dim = len(corpus.select(vec_col).first()[0])
-    width = bits // bands
-    mask = (1 << width) - 1
-    sig = srp_signature(corpus, dim, bits, id_col, vec_col, seed)
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.shiftrightunsigned(F.col("sig"), bi * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    exploded = (
-        sig.select("vec_id", F.explode(slices).alias("bk"))
-        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        # the self-join consumes this twice; without the cache both sides
-        # re-run the signature UDF over the whole corpus
-        .cache()
-    )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    first = corpus.select(vec_col).first()
+    if first is None:  # empty corpus → empty pair set, not a dim-probe crash
+        return corpus.sparkSession.createDataFrame(
+            [], "a_id long, b_id long, cos double"
         )
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        .distinct()
-    )
+    dim = len(first[0])
+    exploded = srp_band_keys(
+        corpus, dim, bits, bands, id_col, vec_col, seed
+    # the self-join consumes this twice; without the cache both sides
+    # re-run the signature UDF over the whole corpus
+    ).cache()
+    from airbyte_spark.operators.dedup_text import band_collision_pairs
+
+    cand = band_collision_pairs(exploded, id_col="vec_id").distinct()
     ea = corpus.select(F.col(id_col).alias("a_id"), _dvec(F.col(vec_col)).alias("a_vec"))
     eb = corpus.select(F.col(id_col).alias("b_id"), _dvec(F.col(vec_col)).alias("b_vec"))
     return (

@@ -211,10 +211,11 @@ def test_emb_registry_cross_batch_rejection(spark, tmp_path):
     )
     got2 = sorted(r["vec_id"] for r in ingest_emb_dedup(reg, b2, "e2").collect())
     assert got2 == [4]
-    # redelivery: same admissions, no new commit
+    # redelivery: EXACTLY this key's admissions (key-tagged registry rows),
+    # no new commit
     v = reg.current_version()
     again = sorted(r["vec_id"] for r in ingest_emb_dedup(reg, b2, "e2").collect())
-    assert again == [1, 4] or again == [4]  # batch ∩ registry (1 not in b2)
+    assert again == [4]
     assert reg.current_version() == v
 
 
@@ -230,3 +231,89 @@ def test_emb_registry_admits_distinct_content(spark, tmp_path):
     got = sorted(r["vec_id"] for r in ingest_emb_dedup(reg, df, "all").collect())
     # independent random vectors: hamming ≈ 30 ≫ 20 → all admitted
     assert got == list(range(8))
+
+
+def test_redelivery_excludes_other_keys_admissions(spark, tmp_path):
+    """The same doc delivered in two batches (at-least-once upstream):
+    redelivering the SECOND batch must not return the doc that the FIRST
+    batch admitted."""
+    reg = create_registry(spark, str(tmp_path / "reg"), n_buckets=4)
+    doc42 = (42, "some unique content here")
+    b1 = spark.createDataFrame([doc42, (1, "aa")], "doc_id long, text string")
+    b2 = spark.createDataFrame([doc42, (2, "bb")], "doc_id long, text string")
+    assert _ids(ingest_dedup(reg, b1, "k1")) == [1, 42]
+    assert _ids(ingest_dedup(reg, b2, "k2")) == [2]  # 42 already admitted by k1
+    # redeliver k2: must be [2], NOT [2, 42]
+    assert _ids(ingest_dedup(reg, b2, "k2")) == [2]
+
+
+def test_null_text_never_admitted(spark, tmp_path):
+    reg = create_registry(spark, str(tmp_path / "reg"), n_buckets=4)
+    b = spark.createDataFrame(
+        [(1, "real content"), (2, None)], "doc_id long, text string"
+    )
+    assert _ids(ingest_dedup(reg, b, "k1")) == [1]
+    assert reg.read().filter("fingerprint IS NULL").count() == 0
+    # redelivery reproduces the same set (no NULL-key join dropout)
+    assert _ids(ingest_dedup(reg, b, "k1")) == [1]
+
+
+def test_near_dedup_registers_all_member_keys(spark, tmp_path):
+    """Non-canonical members' band keys must be registered (owned by the
+    canonical), so later docs chaining through a rejected member still
+    collide with the registry."""
+    from airbyte_spark.operators.dedup_incremental import (
+        create_neardup_registry,
+        ingest_near_dedup,
+    )
+    from airbyte_spark.operators.dedup_text import lsh_band_keys
+
+    reg = create_neardup_registry(spark, str(tmp_path / "nreg"), n_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD + " with a small tail difference")],
+        "doc_id long, text string",
+    )
+    admitted = _ids(ingest_near_dedup(reg, b1, "n1"))
+    assert admitted == [1]  # 2 clustered with 1, canonical admitted
+    # the registry must hold BOTH docs' band keys, all owned by doc 1
+    want = {
+        (r["band"], r["key"])
+        for r in lsh_band_keys(b1).select("band", "key").distinct().collect()
+    }
+    got = {(r["band"], r["key"]) for r in reg.read().select("band", "key").collect()}
+    assert got == want
+    assert {r["doc_id"] for r in reg.read().collect()} == {1}
+
+
+def test_stream_key_survives_regrouping(spark, tmp_path):
+    """A lost Spark checkpoint may regroup file splits; the content-derived
+    key must re-run admission for the regrouped batch (convergent) instead
+    of mistaking it for a redelivery and dropping its new docs."""
+    from airbyte_spark.operators.dedup_incremental import stream_ingest_dedup
+
+    src = str(tmp_path / "docs")
+    b1 = spark.createDataFrame([(1, "aa"), (2, "bb")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, "cc")], "doc_id long, text string")
+    b1.coalesce(1).write.parquet(src + "/seg=0")
+    b2.coalesce(1).write.parquet(src + "/seg=1")
+    reg = create_registry(spark, str(tmp_path / "reg"), n_buckets=4)
+    seen: list[int] = []
+
+    def sink(admitted, _e):
+        seen.extend(r["doc_id"] for r in admitted.select("doc_id").collect())
+
+    def rd(n_files):
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", n_files)
+            .option("basePath", src)
+            .parquet(src)
+        )
+
+    stream_ingest_dedup(reg, rd(1), str(tmp_path / "ck1"), sink=sink)
+    assert sorted(seen) == [1, 2, 3]
+    # regroup: both files in ONE batch (different key than either original)
+    seen.clear()
+    stream_ingest_dedup(reg, rd(2), str(tmp_path / "ck2"), sink=sink)
+    assert seen == []  # everything already registered — and nothing lost
+    assert reg.read().count() == 3

@@ -165,3 +165,24 @@ def test_audio_features_real_wav(spark):
     # square wave flips sign every 4 samples → ZCR ≈ 1/4
     assert math.isclose(f["zero_cross_rate"], 0.25, rel_tol=0.01)
     assert rows[2]["sample_rate"] is None and rows[3]["rms"] is None
+
+
+def test_audio_features_malformed_rate_zero(spark):
+    """A header declaring sample_rate=0 must yield NULLs, not a task
+    crash."""
+    import struct
+
+    from airbyte_spark.functions.extract import audio_features_udf
+
+    pcm = struct.pack("<h", 100) * 4
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)  # rate = 0
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    bad = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    row = (
+        spark.createDataFrame([(1, bad)], "id long, data binary")
+        .select(audio_features_udf("data").alias("f"))
+        .select("f.*")
+        .first()
+    )
+    assert row["sample_rate"] is None and row["rms"] is None
