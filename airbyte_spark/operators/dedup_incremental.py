@@ -42,32 +42,46 @@ REGISTRY_SCHEMA = StructType(
     [
         StructField("fingerprint", StringType(), False),
         StructField("doc_id", LongType(), False),
-        StructField("checkpoint_key", StringType(), False),
+        # nullable: rows written by a pre-checkpoint_key registry version
+        # NULL-fill after schema evolution; they still dedup (the probe
+        # keys on fingerprint) but cannot be reconstructed per-key
+        StructField("checkpoint_key", StringType(), True),
     ]
 )
 
 
-def _ids_admitted_under(registry: LakeTable, checkpoint_key: str, id_name: str):
-    """Distinct ids the given checkpoint key admitted — the redelivery
-    reconstruction source. Keyed per commit so duplicates admitted by a
-    DIFFERENT delivery of the same content are not resurrected."""
+def _ids_admitted_under(registry: LakeTable, checkpoint_key: str, id_col: str):
+    """Distinct ids the given checkpoint key admitted, aliased to the
+    caller's id column — the redelivery reconstruction source. Keyed per
+    commit so duplicates admitted by a DIFFERENT delivery of the same
+    content are not resurrected."""
     return (
         registry.read()
         .filter(F.col("checkpoint_key") == checkpoint_key)
-        .select(F.col(id_name))
+        .select(F.col("doc_id").alias(id_col))
         .distinct()
     )
+
+
+def _open_or_create(
+    spark: SparkSession, path: str, schema: StructType, bucket_col: str, n_buckets: int
+) -> LakeTable:
+    """Load-or-create with forward schema evolution: a registry created by
+    an older code version gains newly-added (nullable) columns via the
+    lake layer's evolve — old rows NULL-fill on read, no rewrite."""
+    if LakeTable.exists(path):
+        t = LakeTable.load(spark, path)
+        if set(t.schema().fieldNames()) != set(schema.fieldNames()):
+            t.evolve_schema(schema)
+        return t
+    return LakeTable.create(spark, path, schema, PartitionSpec.bucket(bucket_col, n_buckets))
 
 
 def create_registry(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
     """Fingerprint registry table, bucket-partitioned on the digest so
     batch probes co-locate and admission writes touch only the buckets a
     batch's fingerprints hash to."""
-    if LakeTable.exists(path):
-        return LakeTable.load(spark, path)
-    return LakeTable.create(
-        spark, path, REGISTRY_SCHEMA, PartitionSpec.bucket("fingerprint", n_buckets)
-    )
+    return _open_or_create(spark, path, REGISTRY_SCHEMA, "fingerprint", n_buckets)
 
 
 def ingest_dedup(
@@ -87,9 +101,8 @@ def ingest_dedup(
         "fingerprint", fingerprint(F.col(text_col))
     )
     if checkpoint_key in registry.committed():
-        ids = _ids_admitted_under(registry, checkpoint_key, "doc_id")
         return fp.join(
-            ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+            _ids_admitted_under(registry, checkpoint_key, id_col), id_col, "left_semi"
         )
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     head = (
@@ -116,7 +129,7 @@ NEARDUP_REGISTRY_SCHEMA = StructType(
         StructField("band", LongType(), False),
         StructField("key", StringType(), False),
         StructField("doc_id", LongType(), False),
-        StructField("checkpoint_key", StringType(), False),
+        StructField("checkpoint_key", StringType(), True),
     ]
 )
 
@@ -128,11 +141,7 @@ def create_neardup_registry(
     by ANY member of an admitted cluster, owned by the cluster's canonical
     doc_id. Bucket-partitioned on the band key so a batch's collision
     probe co-locates with the registry partitions."""
-    if LakeTable.exists(path):
-        return LakeTable.load(spark, path)
-    return LakeTable.create(
-        spark, path, NEARDUP_REGISTRY_SCHEMA, PartitionSpec.bucket("key", n_buckets)
-    )
+    return _open_or_create(spark, path, NEARDUP_REGISTRY_SCHEMA, "key", n_buckets)
 
 
 def ingest_near_dedup(
@@ -168,9 +177,8 @@ def ingest_near_dedup(
 
     batch = batch.filter(F.col(text_col).isNotNull())
     if checkpoint_key in registry.committed():
-        ids = _ids_admitted_under(registry, checkpoint_key, "doc_id")
         return batch.join(
-            ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+            _ids_admitted_under(registry, checkpoint_key, id_col), id_col, "left_semi"
         )
     keys = lsh_band_keys(
         batch, text_col, id_col, num_hashes=num_hashes, bands=bands
@@ -210,7 +218,7 @@ EMB_REGISTRY_SCHEMA = StructType(
         StructField("key", LongType(), False),
         StructField("doc_id", LongType(), False),
         StructField("sig", LongType(), False),
-        StructField("checkpoint_key", StringType(), False),
+        StructField("checkpoint_key", StringType(), True),
     ]
 )
 
@@ -222,11 +230,7 @@ def create_emb_registry(spark: SparkSession, path: str, n_buckets: int = 16) -> 
     the corpus grows, so a collision is only a CANDIDATE: each row stores
     the occupying member's full signature and admission verifies hamming
     distance against the colliding entries."""
-    if LakeTable.exists(path):
-        return LakeTable.load(spark, path)
-    return LakeTable.create(
-        spark, path, EMB_REGISTRY_SCHEMA, PartitionSpec.bucket("key", n_buckets)
-    )
+    return _open_or_create(spark, path, EMB_REGISTRY_SCHEMA, "key", n_buckets)
 
 
 def ingest_emb_dedup(
@@ -263,13 +267,18 @@ def ingest_emb_dedup(
 
     batch = batch.filter(F.col(vec_col).isNotNull())
     if checkpoint_key in registry.committed():
-        ids = _ids_admitted_under(registry, checkpoint_key, "doc_id")
         return batch.join(
-            ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+            _ids_admitted_under(registry, checkpoint_key, id_col), id_col, "left_semi"
         )
     first = batch.select(vec_col).first()
     if first is None:
-        return batch  # empty batch: nothing to admit or commit
+        # empty batch: commit the key (parity with the text registries —
+        # committed() consumers must see it as processed), admit nothing
+        registry.append(
+            registry.spark.createDataFrame([], EMB_REGISTRY_SCHEMA),
+            checkpoint_key=checkpoint_key,
+        )
+        return batch
     dim = len(first[0])
     keys = srp_band_keys(batch, dim, bits, bands, id_col, vec_col).localCheckpoint(
         eager=True

@@ -32,13 +32,19 @@ def words(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (possibly with duplicates)."""
+    """Word n-gram shingle array (possibly with duplicates). Docs with
+    fewer than n words yield an EMPTY array — sequence(1, 0) would count
+    DOWN and the out-of-range element_at aborts the job under ANSI mode,
+    so the short-doc case is branched explicitly."""
     w = words(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
-    )
+    cnt = F.size(w) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -342,18 +348,12 @@ def simhash_pairs(
     exploded = sh.select("doc_id", "simhash", F.explode(slices).alias("bk")).select(
         "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        band_collision_pairs(exploded, carry=("simhash",))
         .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

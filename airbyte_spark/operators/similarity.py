@@ -337,6 +337,7 @@ def srp_near_dups(
     the defaults give ≈ 0.76 recall per the formula and ≈ 1 for
     near-identical vectors; embedding_near_dups is the exact recall
     oracle. Raise bands (more bits) to tighten recall at fixed w."""
+    corpus = corpus.filter(F.col(vec_col).isNotNull())  # NULLs carry no content
     first = corpus.select(vec_col).first()
     if first is None:  # empty corpus → empty pair set, not a dim-probe crash
         return corpus.sparkSession.createDataFrame(

@@ -317,3 +317,83 @@ def test_stream_key_survives_regrouping(spark, tmp_path):
     stream_ingest_dedup(reg, rd(2), str(tmp_path / "ck2"), sink=sink)
     assert seen == []  # everything already registered — and nothing lost
     assert reg.read().count() == 3
+
+
+def test_short_docs_do_not_crash_near_dedup(spark, tmp_path):
+    """Docs with < n words used to abort the whole batch under ANSI mode
+    (descending sequence → element_at out of range); they must shingle to
+    empty and sail through as unique singletons."""
+    from airbyte_spark.operators.dedup_incremental import (
+        create_neardup_registry,
+        ingest_near_dedup,
+    )
+
+    reg = create_neardup_registry(spark, str(tmp_path / "nreg"), n_buckets=4)
+    b = spark.createDataFrame(
+        [(1, "aa"), (2, ""), (3, GOOD)], "doc_id long, text string"
+    )
+    assert _ids(ingest_near_dedup(reg, b, "k1")) == [1, 2, 3]
+
+
+def test_registry_schema_migration(spark, tmp_path):
+    """A registry created by the pre-checkpoint_key code version must be
+    evolved on open: old rows NULL-fill (still dedup by fingerprint),
+    new commits reconstruct per-key, nothing crashes."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    path = str(tmp_path / "reg")
+    old_schema = StructType(
+        [
+            StructField("fingerprint", StringType(), False),
+            StructField("doc_id", LongType(), False),
+        ]
+    )
+    old = LakeTable.create(
+        spark, path, old_schema, PartitionSpec.bucket("fingerprint", 4)
+    )
+    legacy = spark.createDataFrame(
+        [(1, "legacy content")], "doc_id long, text string"
+    )
+    from airbyte_spark.operators.textops import fingerprint as fp_col
+
+    old.append(
+        legacy.select(
+            fp_col(F.col("text")).alias("fingerprint"), F.col("doc_id")
+        ),
+        checkpoint_key="legacy-k",
+    )
+    reg = create_registry(spark, path, n_buckets=4)  # evolves schema
+    b = spark.createDataFrame(
+        [(2, "legacy content"), (3, "fresh content")], "doc_id long, text string"
+    )
+    assert _ids(ingest_dedup(reg, b, "k2")) == [3]  # legacy row still dedups
+    assert _ids(ingest_dedup(reg, b, "k2")) == [3]  # redelivery reconstructs
+    # legacy key predates per-key tagging → reconstructs to empty, not crash
+    assert _ids(ingest_dedup(reg, legacy, "legacy-k")) == []
+
+
+def test_emb_empty_batch_commits_key(spark, tmp_path):
+    from airbyte_spark.operators.dedup_incremental import (
+        create_emb_registry,
+        ingest_emb_dedup,
+    )
+
+    reg = create_emb_registry(spark, str(tmp_path / "ereg"), n_buckets=4)
+    empty = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    assert ingest_emb_dedup(reg, empty, "e0").count() == 0
+    assert "e0" in reg.committed()  # key recorded despite zero admissions
+
+
+def test_srp_near_dups_null_and_empty_inputs(spark):
+    from airbyte_spark.operators.similarity import srp_near_dups
+
+    mixed = spark.createDataFrame(
+        [(1, None), (2, _vec("z"))], "vec_id long, embedding array<float>"
+    )
+    assert srp_near_dups(mixed).count() == 0  # no crash, singleton corpus
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert srp_near_dups(empty).count() == 0
