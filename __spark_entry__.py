@@ -441,6 +441,28 @@ def q_sync_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_where(ranges)
 
 
+def q_sync_respec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (≡ Iceberg REPLACE PARTITION FIELD +
+    rewriteDataFiles): grow the bucket count 2→8 in one atomic commit —
+    the operational move when a table outgrows its layout. Contents must
+    be byte-identical before and after; the query asserts the spec
+    actually flipped and every live file is clustered under it."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_respec_")
+    t = LakeTable.create(
+        spark, base + "/events_rs", src.schema, PartitionSpec.bucket("event_id", 2)
+    )
+    t.append(src, checkpoint_key="rs-0", stat_cols=["event_id"])
+    t.rewrite_partition_spec(PartitionSpec.bucket("event_id", 8))
+    assert t.partition_spec().fields[0].n == 8
+    assert all(int(e.partition["p_bucket"]) < 8 for e in t.files())
+    return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def q_sync_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental snapshot-diff consumption (≡ Iceberg incremental append
     scan; the lake table acting as a CDC *source* for downstream readers):
@@ -667,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_time_travel": q_sync_time_travel,
         "sync_pruned_read": q_sync_pruned_read,
         "sync_incremental_changes": q_sync_incremental_changes,
+        "sync_respec_roundtrip": q_sync_respec_roundtrip,
         "src_http_offset": q_src_http_offset,
         "src_singer_roundtrip": q_src_singer_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -965,6 +988,9 @@ def oracle_sql() -> dict[str, str]:
         "sync_incremental_changes": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
             WHERE event_id % 3 IN (1, 2)
+        """,
+        "sync_respec_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
         """,
         "src_http_offset": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

@@ -511,11 +511,15 @@ class LakeTable:
     # ---- writes ----
 
     def _stage_write(
-        self, df: DataFrame, stat_cols: list[str], one_file_per_partition: bool
+        self,
+        df: DataFrame,
+        stat_cols: list[str],
+        one_file_per_partition: bool,
+        spec: "PartitionSpec | None" = None,
     ) -> list[FileEntry]:
         """Write df's data files (partitioned per spec) into data/<uuid>/ and
         return entries; visibility only happens at manifest commit."""
-        spec = self.partition_spec()
+        spec = spec if spec is not None else self.partition_spec()
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = f"{_DATA_DIR}/{commit_id}"
         out_dir = os.path.join(self.path, rel_dir)
@@ -704,6 +708,60 @@ class LakeTable:
             operation="compact",
             summary={"files_compacted": len(candidates)},
         )
+
+    def rewrite_partition_spec(
+        self, new_spec: PartitionSpec, stat_cols: list[str] | None = None
+    ) -> int:
+        """Partition-spec evolution (≡ Iceberg ALTER TABLE … REPLACE
+        PARTITION FIELD + rewriteDataFiles): re-cluster every live file
+        under the new spec — the operational move when a table grows 100×
+        and its bucket count must grow with it. The data swap and the
+        spec flip land in ONE atomic manifest commit, so readers see
+        either the old layout or the new, never a mix; old snapshots stay
+        readable (reads resolve manifest-recorded paths, not the spec).
+
+        Invariant protected here: every LIVE file's partition values were
+        produced by the CURRENT spec (merge's driver-side bucket pruning
+        depends on it). A file appended concurrently under the old spec
+        would break that, so the commit loop raises CommitConflict if the
+        live set no longer matches what this rewrite read — re-run to
+        include the newcomer.
+        """
+        old_entries = self.files()
+        old_paths = {e.path for e in old_entries}
+        stat_cols = (
+            stat_cols
+            if stat_cols is not None
+            else sorted({c for e in old_entries for c in e.stats})
+        )
+        staged = self._stage_write(
+            self.read(), stat_cols, one_file_per_partition=True, spec=new_spec
+        )
+        added_json = [e.to_json() for e in staged]
+        while True:
+            m = self.manifest()
+            live = {f["path"] for f in m["files"]}
+            if live != old_paths:
+                raise CommitConflict(
+                    "live file set changed during spec rewrite — re-run to "
+                    "re-cluster the concurrently committed files"
+                )
+            m["files"] = added_json
+            m["partition_spec"] = new_spec.to_json()
+            m["operation"] = "rewrite-spec"
+            m["commit"] = {
+                "key": None,
+                "rows_written": sum(e.rows for e in staged),
+                "bytes_written": sum(e.bytes for e in staged),
+                "files_added": len(staged),
+                "files_removed": len(old_paths),
+            }
+            m["parent"] = m["version"]
+            m["version"] = m["version"] + 1
+            try:
+                return self._write_manifest(m)
+            except CommitConflict:
+                continue  # metadata race only; re-check the live set
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the current snapshot
