@@ -26,6 +26,13 @@ Commands:
                                  modes/PKs/state — ≡ ConfiguredAirbyteCatalog)
   discover-catalog --catalog FILE
                                  print the configured catalog (≡ discover)
+  compact  --target T [--target-file-mb N]
+                                 bin-pack small data files (one metadata commit)
+  vacuum   --target T            delete data files unreferenced by the
+                                 current snapshot
+  respec   --target T --bucket-col C --n-buckets N
+                                 partition-spec evolution: atomic bucket-resize
+                                 rewrite of the whole table
   curate   --docs PARQUET [--out DIR] [--min-quality Q] [--langs en,de]
                                  per-document retention verdict (quality ∧
                                  language ∧ near-dup canonical)
@@ -73,6 +80,12 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--catalog", required=True, help="catalog JSON file (multi-stream)")
     sp = sub.add_parser("discover-catalog")
     sp.add_argument("--catalog", required=True)
+    sp = add("compact", "--target")
+    sp.add_argument("--target-file-mb", type=int, default=128)
+    add("vacuum", "--target")
+    sp = add("respec", "--target")
+    sp.add_argument("--bucket-col", required=True)
+    sp.add_argument("--n-buckets", type=int, required=True)
     sp = sub.add_parser("curate")
     sp.add_argument("--docs", required=True)
     sp.add_argument("--out", default=None)
@@ -201,6 +214,41 @@ def run(spark, args) -> dict:
         if args.cmd == "discover-catalog":
             return {"type": "CATALOG", **cat.discover()}
         return {"type": "SYNC_RESULT", "streams": sync(spark, cat)}
+
+    if args.cmd == "compact":
+        t = LakeTable.load(spark, args.target)
+        n_before = len(t.files())
+        v = t.compact(target_file_bytes=args.target_file_mb * 1024 * 1024)
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": "compact",
+            "files_before": n_before,
+            "files_after": len(t.files()),
+            "version": v,
+        }
+
+    if args.cmd == "vacuum":
+        t = LakeTable.load(spark, args.target)
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": "vacuum",
+            "files_removed": t.vacuum(),
+        }
+
+    if args.cmd == "respec":
+        from airbyte_spark.lake.format import PartitionSpec
+
+        t = LakeTable.load(spark, args.target)
+        v = t.rewrite_partition_spec(
+            PartitionSpec.bucket(args.bucket_col, args.n_buckets)
+        )
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": "respec",
+            "version": v,
+            "n_buckets": args.n_buckets,
+            "files": len(t.files()),
+        }
 
     if args.cmd == "curate":
         from airbyte_spark.operators.curate import curate_corpus

@@ -139,3 +139,23 @@ def test_ingest_docs_cmd_exact_and_near(spark, tmp_path):
     outn = run(spark, ns(cmd="ingest-docs", docs=s1, registry=nreg,
                          checkpoint="k1", near=True, out=None, n_buckets=4))
     assert outn["mode"] == "near" and outn["admitted"] == 1
+
+
+def test_maintenance_cmds(spark, tmp_path):
+    import pyspark.sql.functions as FF
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 200).select(FF.col("id").alias("k"))
+    t = LakeTable.create(spark, path, df.schema, PartitionSpec.bucket("k", 2))
+    for i in range(4):
+        t.append(df.filter(FF.col("k") % 4 == i), checkpoint_key=f"c{i}")
+
+    out = run(spark, ns(cmd="compact", target=path, target_file_mb=128))
+    assert out["files_after"] < out["files_before"]
+    out = run(spark, ns(cmd="respec", target=path, bucket_col="k", n_buckets=8))
+    assert out["n_buckets"] == 8
+    out = run(spark, ns(cmd="vacuum", target=path))
+    assert out["files_removed"] > 0
+    assert LakeTable.load(spark, path).read().count() == 200
