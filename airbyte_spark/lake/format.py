@@ -134,8 +134,13 @@ class FileEntry:
         return FileEntry(**d)
 
 
-def _collect_parquet_stats(abs_path: str, stat_cols: list[str]) -> tuple[int, int, dict]:
-    """rows, bytes, {col: {min,max}} from the parquet footer (no data read)."""
+def _collect_parquet_stats(
+    abs_path: str, stat_cols: list[str], bloom_col: str | None = None
+) -> tuple[int, int, dict]:
+    """rows, bytes, {col: {min,max}} from the parquet footer (no data read,
+    except bloom_col: that one column is read back to build a per-file key
+    Bloom filter, written as a `<file>.bloom` sidecar and referenced in the
+    stats as {bloom: {m, k}} — see lake/bloom.py for why and the size cap)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -170,6 +175,15 @@ def _collect_parquet_stats(abs_path: str, stat_cols: list[str]) -> tuple[int, in
             entry["nulls"] = nulls
         if entry:
             stats[col] = entry
+    if bloom_col is not None and bloom_col in names and rows:
+        from airbyte_spark.lake.bloom import KeyBloom
+
+        values = pq.read_table(abs_path, columns=[bloom_col])[bloom_col].to_pylist()
+        bf = KeyBloom.build(values)
+        if bf is not None:
+            with open(abs_path + ".bloom", "wb") as fh:
+                fh.write(bf.to_bytes())
+            stats.setdefault(bloom_col, {})["bloom"] = {"m": bf.m, "k": bf.k}
     return rows, size, stats
 
 
@@ -359,6 +373,21 @@ class LakeTable:
                 out.append(e)
         return out
 
+    def load_bloom(self, entry: FileEntry, col: str) -> "object | None":
+        """The file's key Bloom filter (lake/bloom.py sidecar), or None if
+        the file was written without one. Manifest stats carry {m, k} so
+        callers can check availability without touching the sidecar."""
+        if "bloom" not in (entry.stats.get(col) or {}):
+            return None
+        from airbyte_spark.lake.bloom import KeyBloom
+
+        side = os.path.join(self.path, entry.path) + ".bloom"
+        try:
+            with open(side, "rb") as fh:
+                return KeyBloom.from_bytes(fh.read())
+        except (FileNotFoundError, ValueError):
+            return None  # sidecar lost → pruning degrades, never wrong
+
     def read_where(
         self,
         ranges: dict[str, tuple],
@@ -535,6 +564,7 @@ class LakeTable:
             writer_df.write.mode("overwrite").parquet(out_dir)
         m = self.manifest()
         sid = int(m["schema_id"])
+        bloom_col = m.get("properties", {}).get("bloom.key")
         found: list[tuple[str, str, dict]] = []
         for root, _dirs, names in os.walk(out_dir):
             for name in names:
@@ -554,7 +584,7 @@ class LakeTable:
 
         def one(item):
             abs_path, rel_path, partition = item
-            rows, size, stats = _collect_parquet_stats(abs_path, stat_cols)
+            rows, size, stats = _collect_parquet_stats(abs_path, stat_cols, bloom_col)
             return FileEntry(rel_path, rows, size, sid, partition, stats) if rows else None
 
         if len(found) > 1:
@@ -611,8 +641,9 @@ class LakeTable:
             if keys and all(k in m["committed"] for k in keys):
                 for e in added:
                     p = os.path.join(self.path, e.path)
-                    if os.path.exists(p):
-                        os.remove(p)
+                    for stale in (p, p + ".bloom"):
+                        if os.path.exists(stale):
+                            os.remove(stale)
                 return m["version"]
             live = {f["path"] for f in m["files"]}
             if removed_paths - live:
@@ -775,6 +806,8 @@ class LakeTable:
                 if name.endswith(".parquet") and rel not in live:
                     os.remove(os.path.join(self.path, rel))
                     removed += 1
+                elif name.endswith(".bloom") and rel[: -len(".bloom")] not in live:
+                    os.remove(os.path.join(self.path, rel))  # sidecar follows its data file
         return removed
 
     def drop(self) -> None:

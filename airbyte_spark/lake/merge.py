@@ -67,32 +67,64 @@ def payload_columns(batch: DataFrame) -> list[str]:
 
 
 def _prune_candidates(
-    table: LakeTable, batch_bounds: dict[int, tuple[str, str]], key_col: str
+    table: LakeTable,
+    batch_bounds: dict[int, tuple[str, str]],
+    key_col: str,
+    winner_hashes: "dict[int, object] | None" = None,
 ) -> list[FileEntry]:
-    """Driver-side file skipping: bucket containment + key-range overlap."""
+    """Driver-side file skipping, three gates in tightening order:
+    bucket containment → key-range overlap → per-file Bloom probe on the
+    batch's affected keys (winner_hashes: bucket → (n,2) uint64 hash-pair
+    array from lake/bloom.py; a None value marks a bucket unprunable
+    because one of its winners has a NULL key). The Bloom gate is what
+    makes steady-state merges cheap: urls hash-spread uniformly, so
+    min/max ranges within a bucket almost always overlap and only a
+    membership filter can prove a file holds none of the touched keys."""
+    import numpy as np
+
     spec = table.partition_spec()
     bucket_fields = [f for f in spec.fields if f.transform == "bucket" and f.source == key_col]
+
+    def pairs_for(bucket):
+        if winner_hashes is None:
+            return None
+        if bucket is not None:
+            return winner_hashes.get(bucket)
+        vals = list(winner_hashes.values())
+        if not vals or any(v is None for v in vals):
+            return None
+        return np.concatenate(vals)
+
     out = []
     for e in table.files():
         if bucket_fields:
             b = e.partition.get(bucket_fields[0].name)
             if b is not None and int(b) not in batch_bounds:
                 continue
-            lo_hi = batch_bounds.get(int(b)) if b is not None else None
+            b = int(b) if b is not None else None
+            lo_hi = batch_bounds.get(b) if b is not None else _merge_bounds(batch_bounds)
         else:
+            b = None
             lo_hi = _merge_bounds(batch_bounds)
         st = e.stats.get(key_col)
-        if st is not None and "min" in st and lo_hi is not None:
+        if st is not None and "min" in st and lo_hi is not None and lo_hi[0] is not None:
             if st["max"] < lo_hi[0] or st["min"] > lo_hi[1]:
                 continue
+        if st is not None and "bloom" in st:
+            pairs = pairs_for(b)
+            if pairs is not None:
+                bloom = table.load_bloom(e, key_col)
+                if bloom is not None and not bloom.might_contain_any(pairs):
+                    continue
         out.append(e)
     return out
 
 
 def _merge_bounds(bounds: dict[int, tuple[str, str]]) -> tuple[str, str] | None:
-    if not bounds:
+    vals = [v for v in bounds.values() if v and v[0] is not None]
+    if not vals:
         return None
-    los, his = zip(*bounds.values())
+    los, his = zip(*vals)
     return min(los), max(his)
 
 
@@ -100,6 +132,11 @@ def _merge_bounds(bounds: dict[int, tuple[str, str]]) -> tuple[str, str] | None:
 # size-based strategy instead of a forced broadcast (a 10^10-event batch
 # with a large distinct-key set would blow the broadcast limit otherwise).
 BROADCAST_WINNER_MAX = 2_000_000
+
+# Above this winner count, skip collecting key hashes for Bloom pruning:
+# a catch-up batch touching millions of keys rewrites most files anyway,
+# so membership pruning stops paying for its driver round-trip.
+BLOOM_PRUNE_KEY_MAX = 100_000
 
 
 def merge_upsert(
@@ -231,7 +268,9 @@ def merge_upsert(
             )
             .collect()
         )
-        bounds = {int(r["b"]): (r["lo"], r["hi"]) for r in bounds_rows if r["lo"] is not None}
+        # A bucket whose only winners carry NULL keys still needs its files
+        # read (NULL merges null-safe), so it stays in bounds with open ends.
+        bounds = {int(r["b"]): (r["lo"], r["hi"]) for r in bounds_rows}
         n_winners = sum(r["nw"] for r in bounds_rows)
         if observe_metrics and bounds_rows:
             rows_in = sum(r["n"] for r in bounds_rows)
@@ -239,7 +278,33 @@ def merge_upsert(
         else:
             rows_in, max_lsn = None, None
         winners = winners_owned.select(*pk_cols, lsn)
-    candidates = _prune_candidates(table, bounds, lead_key) if table.files() else []
+
+    # Bloom-prune prep: when the live files carry key Bloom sidecars and the
+    # batch touches few enough keys to ship to the driver (hash pairs only,
+    # 16 B/key), collect them per bucket so pruning can skip files that
+    # provably hold none of the affected keys. One extra tiny job reading
+    # the cached/persisted winner set; bloom-less tables pay nothing.
+    files_live = table.files()
+    winner_hashes = None
+    if (
+        files_live
+        and n_winners <= BLOOM_PRUNE_KEY_MAX
+        and any("bloom" in (e.stats.get(lead_key) or {}) for e in files_live)
+    ):
+        from airbyte_spark.lake.bloom import hash_pairs
+
+        krows = winners.select(bexpr.alias("_kb"), F.col(lead_key).alias("_kv")).collect()
+        by_bucket: dict[int, list] = {}
+        null_buckets: set[int] = set()
+        for r in krows:
+            if r["_kv"] is None:
+                null_buckets.add(int(r["_kb"]))
+            else:
+                by_bucket.setdefault(int(r["_kb"]), []).append(r["_kv"])
+        winner_hashes = {b: hash_pairs(vs) for b, vs in by_bucket.items()}
+        for b in null_buckets:
+            winner_hashes[b] = None  # NULL-keyed winner → bucket unprunable
+    candidates = _prune_candidates(table, bounds, lead_key, winner_hashes) if files_live else []
 
     # Null-safe equality on the lsn (a winning event with a NULL last
     # tiebreaker must still survive the slim — plain `=` drops NULLs);

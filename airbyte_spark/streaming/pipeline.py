@@ -85,6 +85,9 @@ class BatchResult:
     rows_in: int | None
     max_lsn: int | None
     seconds: float
+    # files the merge read+rewrote (post bucket/range/Bloom pruning) —
+    # the number to watch: steady-state small batches should touch few
+    candidate_files: int | None = None
 
 
 @dataclass
@@ -119,6 +122,10 @@ class CdcPipeline:
                 # partitioning would only multiply rewritten files; url-hash
                 # buckets give merge pruning AND spread hot domains.
                 PartitionSpec.bucket(cfg.primary_key[0], n_buckets),
+                # key Bloom sidecars per data file: within a bucket, url
+                # min/max ranges always overlap, so membership is the only
+                # stat that can skip files on a small merge (lake/bloom.py)
+                properties={"bloom.key": cfg.primary_key[0]},
             )
         return CdcPipeline(table=table, cfg=cfg)
 
@@ -161,7 +168,8 @@ class CdcPipeline:
             precomputed=precomputed,
         )
         res = BatchResult(
-            label, False, stats.rows_in, stats.max_lsn, time.time() - t0
+            label, False, stats.rows_in, stats.max_lsn, time.time() - t0,
+            candidate_files=stats.candidate_files,
         )
         self.results.append(res)
         return res
@@ -278,8 +286,9 @@ class CdcPipeline:
                 int(r["g"]),
                 {"bounds": {}, "n_winners_max": 0, "rows_in": 0, "max_lsn": None},
             )
-            if r["lo"] is not None:
-                p["bounds"][int(r["b"])] = (r["lo"], r["hi"])
+            # keep NULL-lo buckets (all-NULL-key winners) with open bounds:
+            # their files must still be read, NULL merges null-safe
+            p["bounds"][int(r["b"])] = (r["lo"], r["hi"])
             p["n_winners_max"] += r["nw"]
             p["rows_in"] += r["n"]
             p["max_lsn"] = (
