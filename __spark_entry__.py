@@ -58,6 +58,23 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replayed_final_state(spark, sf_dir)
 
 
+def q_cdc_mor_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read replay (lake/merge.py append_winners): per-checkpoint
+    winners are appended — no existing file is ever read or rewritten, so
+    commit cost is O(batch) at any table size — then LWW resolves at read
+    time (resolve_stored). The table is compacted to one version per key
+    mid-query (compact_versions), proving compaction changes no state.
+    Must equal the copy-on-write replay's final state exactly."""
+    from airbyte_spark.lake.merge import compact_versions
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    path = tempfile.mkdtemp(prefix="airbyte_spark_mor_") + "/pages"
+    pipe = CdcPipeline.create_target(spark, path, n_buckets=8, write_mode="mor")
+    pipe.replay(read_changelog(spark, sf_dir))
+    compact_versions(pipe.table, pipe.cfg)
+    return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
+
+
 def q_cdc_final_state_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as the engine, expressed as one window query —
     the SCD active-row rule (stream_processor.py:695-768)."""
@@ -668,6 +685,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
         "cdc_final_state_window": q_cdc_final_state_window,
         "cdc_dedup_batch": q_cdc_dedup_batch,
         "cdc_dedup_salted": q_cdc_dedup_salted,
@@ -818,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "cdc_replay_final_state": final_state,
+        "cdc_mor_replay_final_state": final_state,
         "cdc_final_state_window": f"""
             WITH ch AS ({_CH}),
             r AS (SELECT *, row_number() OVER (

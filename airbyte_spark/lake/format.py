@@ -307,6 +307,9 @@ class LakeTable:
 
     # ---- reads ----
 
+    def properties(self) -> dict[str, str]:
+        return dict(self.manifest().get("properties") or {})
+
     def files(self, version: int | None = None) -> list[FileEntry]:
         return [FileEntry.from_json(d) for d in self.manifest(version)["files"]]
 

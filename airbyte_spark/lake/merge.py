@@ -361,6 +361,152 @@ def merge_upsert(
     )
 
 
+def append_winners(
+    table: LakeTable,
+    batch: DataFrame,
+    cfg: StreamConfig,
+    checkpoint_key: "str | list[str] | None" = None,
+    finalize: "callable | None" = None,
+    observe_metrics: bool = True,
+    precomputed: dict | None = None,
+) -> MergeStats:
+    """Merge-on-read write path (≡ Iceberg v2 MoR upserts; ≡ the reference's
+    append-to-raw-then-dedup-at-normalization model — BufferedStreamConsumer
+    appends raw, stream_processor.py:695-768 dedups downstream): the batch's
+    per-key WINNERS (same max_by pre-pass + semi-join slim as merge_upsert,
+    so micro-batch dedup still happens at write) are APPENDED — existing
+    files are never read or rewritten. Commit cost is O(batch) regardless of
+    table size, which is the write-optimized end of the CDC trade: LWW
+    conflict resolution moves to read time (resolve_stored) and
+    compact_versions() restores the read-optimized single-version form.
+
+    Same exactly-once contract as merge_upsert: idempotent per
+    checkpoint_key (grouped catch-up lists record every segment id), same
+    finalize hook (text extraction runs once per appended winning version —
+    a later losing version never re-extracts, so the byte-identical
+    text-per-url invariant holds through read-time resolution, which picks
+    whole stored rows)."""
+    keys = (
+        [checkpoint_key]
+        if isinstance(checkpoint_key, str)
+        else list(checkpoint_key or [])
+    )
+    if keys:
+        committed = table.committed()
+        if all(k in committed for k in keys):
+            return MergeStats(version=table.current_version(), candidate_files=0, skipped=True)
+
+    pk_cols = cfg.primary_key
+    lead_key = pk_cols[0]
+    table.evolve_schema(batch.select(*payload_columns(batch)).schema)
+    target_schema = table.schema()
+
+    lsn = cfg.order_tiebreakers[-1]
+    floor_ts = F.lit("0001-01-01 00:00:00").cast("timestamp_ntz")
+    ordc = F.struct(
+        F.coalesce(F.col(cfg.cursor_field), floor_ts).alias("c"),
+        *[F.col(c).alias(f"t{i}") for i, c in enumerate(cfg.order_tiebreakers)],
+    )
+    winners_owned = None
+    if precomputed is not None:
+        winners = precomputed.get("winners")
+        if winners is None:
+            winners = batch.groupBy(*pk_cols).agg(F.max_by(F.col(lsn), ordc).alias(lsn))
+        n_winners = precomputed["n_winners_max"]
+        rows_in, max_lsn = precomputed.get("rows_in"), precomputed.get("max_lsn")
+    else:
+        winners_owned = (
+            batch.groupBy(*pk_cols)
+            .agg(
+                F.max_by(F.col(lsn), ordc).alias(lsn),
+                F.count(F.lit(1)).alias("_cnt"),
+                F.max(lsn).alias("_mx"),
+            )
+            .persist()
+        )
+        row = winners_owned.agg(
+            F.count(F.lit(1)).alias("nw"), F.sum("_cnt").alias("n"), F.max("_mx").alias("mx")
+        ).collect()[0]
+        n_winners = row["nw"]
+        rows_in, max_lsn = (row["n"], row["mx"]) if observe_metrics else (None, None)
+        winners = winners_owned.select(*pk_cols, lsn)
+
+    wside = winners.select(*pk_cols, lsn).alias("_w")
+    wjoin = F.broadcast(wside) if n_winners <= BROADCAST_WINNER_MAX else wside
+    cond = None
+    for c in [*pk_cols, lsn]:
+        eq = F.col(f"_b.{c}").eqNullSafe(F.col(f"_w.{c}"))
+        cond = eq if cond is None else cond & eq
+    slim = batch.alias("_b").join(wjoin, cond, "left_semi")
+    if finalize is not None:
+        slim = finalize(slim, F.lit(True))  # every appended row is a fresh winner
+
+    entries = table._stage_write(
+        _align(slim, target_schema),
+        stat_cols=[lead_key, cfg.deleted_at_field],
+        one_file_per_partition=True,
+    )
+    if winners_owned is not None:
+        winners_owned.unpersist()
+    version = table.commit(
+        entries,
+        operation="append-winners",
+        checkpoint_key=keys or None,
+        summary={"rows_in": rows_in},
+    )
+    return MergeStats(version=version, candidate_files=0, rows_in=rows_in, max_lsn=max_lsn)
+
+
+def resolve_stored(table: LakeTable, cfg: StreamConfig, version: int | None = None) -> DataFrame:
+    """Read-time LWW resolution for merge-on-read tables: ONE window pass
+    (the same resolve the CoW merge runs at write time) picks the latest
+    stored version per key across all accumulated append-winners commits.
+    Tombstones survive as soft-delete rows — callers filter active rows.
+    Cost grows with retained versions per key; compact_versions() resets it."""
+    df = table.read(version)
+    lead = cfg.primary_key[0]
+    spec = table.partition_spec()
+    bucket_fields = [f for f in spec.fields if f.transform == "bucket" and f.source == lead]
+    shuffle_parts = int(table.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_buckets = bucket_fields[0].n if bucket_fields else 1
+    sub_k = max(1, shuffle_parts // max(1, n_buckets)) if bucket_fields else shuffle_parts
+    empty = table.spark.createDataFrame([], df.schema)
+    return resolve_merge(
+        empty,
+        df,
+        cfg,
+        df.columns,
+        bucket_expr=bucket_fields[0].expr() if bucket_fields else None,
+        sub_split=sub_k,
+    )
+
+
+def compact_versions(table: LakeTable, cfg: StreamConfig) -> int:
+    """Rewrite a merge-on-read table to its resolved form — one (latest)
+    version per key — in one atomic commit (≡ Iceberg rewrite_data_files
+    applying accumulated deletes). Reads re-resolve, so the rewrite changes
+    no observable state; it only resets read cost to O(keys).
+
+    Concurrent append-winners commits are safe: they are not in this
+    commit's removed set, stay live in the manifest, and the next read
+    resolves them against the compacted base exactly as before."""
+    old = table.files()
+    if not old:
+        return table.current_version()
+    resolved = resolve_stored(table, cfg)
+    entries = table._stage_write(
+        resolved,
+        stat_cols=[cfg.primary_key[0], cfg.deleted_at_field],
+        one_file_per_partition=True,
+    )
+    return table.commit(
+        entries,
+        removed_paths={e.path for e in old},
+        operation="compact-versions",
+        summary={"files_compacted": len(old)},
+    )
+
+
 def resolve_merge(
     existing: DataFrame,
     batch: DataFrame,

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airbyte_spark.functions.extract import extract_text
 from airbyte_spark.lake.format import LakeTable, PartitionSpec
-from airbyte_spark.lake.merge import merge_upsert
+from airbyte_spark.lake.merge import append_winners, merge_upsert, resolve_stored
 from airbyte_spark.protocol import StreamConfig
 from airbyte_spark.schema import CHANGE_SCHEMA, PAGE_SCHEMA, TARGET_META_COLS
 
@@ -99,6 +99,10 @@ class CdcPipeline:
     # two-phase salted pre-dedup for pathological per-key event counts
     # (north-star url-hash salting); None = rely on the merge window alone
     salt_hot_keys: int | None = None
+    # "cow": merge rewrites affected files (read-optimized, the default);
+    # "mor": append per-batch winners only, resolve LWW at read time
+    # (write-optimized — O(batch) commits; see merge.append_winners)
+    write_mode: str = "cow"
     results: list[BatchResult] = field(default_factory=list)
 
     # ---- construction helpers ----
@@ -109,11 +113,24 @@ class CdcPipeline:
         path: str,
         n_buckets: int = 16,
         cfg: StreamConfig | None = None,
+        write_mode: str = "cow",
     ) -> "CdcPipeline":
         cfg = cfg or StreamConfig(name="pages", schema=default_target_schema())
         if LakeTable.exists(path):
             table = LakeTable.load(spark, path)
+            # the table's recorded mode wins — a reader/writer must not
+            # reinterpret an existing table's files under the other mode
+            write_mode = table.properties().get("write.mode", "cow")
         else:
+            props = (
+                # key Bloom sidecars per data file: within a bucket, url
+                # min/max ranges always overlap, so membership is the only
+                # stat that can skip files on a small merge (lake/bloom.py).
+                # MoR never prunes-to-rewrite, so it skips the sidecar cost.
+                {"bloom.key": cfg.primary_key[0]}
+                if write_mode != "mor"
+                else {"write.mode": "mor"}
+            )
             table = LakeTable.create(
                 spark,
                 path,
@@ -122,12 +139,9 @@ class CdcPipeline:
                 # partitioning would only multiply rewritten files; url-hash
                 # buckets give merge pruning AND spread hot domains.
                 PartitionSpec.bucket(cfg.primary_key[0], n_buckets),
-                # key Bloom sidecars per data file: within a bucket, url
-                # min/max ranges always overlap, so membership is the only
-                # stat that can skip files on a small merge (lake/bloom.py)
-                properties={"bloom.key": cfg.primary_key[0]},
+                properties=props,
             )
-        return CdcPipeline(table=table, cfg=cfg)
+        return CdcPipeline(table=table, cfg=cfg, write_mode=write_mode)
 
     # ---- core batch application ----
 
@@ -158,7 +172,8 @@ class CdcPipeline:
 
             batch = presalted_dedup(batch, self.cfg, self.salt_hot_keys)
         finalize = _extract_winners if self.extract else None
-        stats = merge_upsert(
+        write = append_winners if self.write_mode == "mor" else merge_upsert
+        stats = write(
             self.table,
             batch,
             self.cfg,
@@ -356,19 +371,27 @@ class CdcPipeline:
 
     def final_state(self) -> DataFrame:
         """Active rows — tombstones filtered (≡ _airbyte_active_row = 1)."""
-        df = self.table.read()
+        df = self.raw_state()
         if self.cfg.deleted_at_field in df.columns:
             df = df.filter(F.col(self.cfg.deleted_at_field).isNull())
         return df.drop(self.cfg.deleted_at_field)
 
     def raw_state(self) -> DataFrame:
-        """All stored rows including soft-delete tombstones."""
+        """Latest stored version per key including soft-delete tombstones
+        (MoR tables resolve their retained versions at read time)."""
+        if self.write_mode == "mor":
+            return resolve_stored(self.table, self.cfg)
         return self.table.read()
 
     def expire_tombstones(self, watermark) -> int:
         """GC tombstones older than the watermark (retention contract)."""
-        from airbyte_spark.lake.merge import expire_tombstones
+        from airbyte_spark.lake.merge import compact_versions, expire_tombstones
 
+        if self.write_mode == "mor":
+            # collapse retained versions first: dropping a tombstone row
+            # while an OLDER live version of the same key is still stored
+            # would resurrect the key at the next read-time resolve
+            compact_versions(self.table, self.cfg)
         return expire_tombstones(self.table, self.cfg, watermark)
 
     def final_pages(self) -> DataFrame:

@@ -65,6 +65,19 @@ def main() -> None:
         pipe = CdcPipeline.create_target(spark, f"{work}/pages", n_buckets=int(cpus))
         queries["cdc_replay"] = time_one(lambda: pipe.replay(changelog))
         final_rows = pipe.final_state().count()
+
+        # merge-on-read comparison on the same cached changelog: append-only
+        # write path (no existing-file rewrites), LWW resolved at read time
+        from airbyte_spark.lake.merge import compact_versions
+
+        mor = CdcPipeline.create_target(
+            spark, f"{work}/pages_mor", n_buckets=int(cpus), write_mode="mor"
+        )
+        queries["cdc_replay_mor"] = time_one(lambda: mor.replay(changelog))
+        queries["mor_resolve_read"] = time_one(lambda: mor.final_state().count())
+        queries["mor_compact_versions"] = time_one(
+            lambda: compact_versions(mor.table, mor.cfg)
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -73,8 +86,8 @@ def main() -> None:
 
     qs = entry.queries()
     for name, fn in qs.items():
-        if name == "cdc_replay_final_state":
-            continue  # covered by the headline
+        if name in ("cdc_replay_final_state", "cdc_mor_replay_final_state"):
+            continue  # covered by the headlines
         queries[name] = time_one(lambda fn=fn: fn(spark, sf_dir).count())
 
     total = round(sum(queries.values()), 3)
@@ -87,6 +100,7 @@ def main() -> None:
         "events": n_events,
         "final_rows": final_rows,
         "events_per_sec": round(n_events / queries["cdc_replay"], 1),
+        "events_per_sec_mor": round(n_events / queries["cdc_replay_mor"], 1),
         "cpus": int(cpus),
         "batches": n_batches,
     }
