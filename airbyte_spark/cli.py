@@ -33,6 +33,8 @@ Commands:
   respec   --target T --bucket-col C --n-buckets N
                                  partition-spec evolution: atomic bucket-resize
                                  rewrite of the whole table
+  compact-versions --target T    collapse a merge-on-read table to one
+                                 (latest) version per key
   curate   --docs PARQUET [--out DIR] [--min-quality Q] [--langs en,de]
                                  per-document retention verdict (quality ∧
                                  language ∧ near-dup canonical)
@@ -69,8 +71,10 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("read", "--source", "--target")
     sp.add_argument("--from-checkpoint", type=int, default=None)
     sp.add_argument("--n-buckets", type=int, default=16)
+    sp.add_argument("--write-mode", choices=("cow", "mor"), default="cow")
     sp = add("stream", "--source", "--target", "--spark-checkpoint")
     sp.add_argument("--n-buckets", type=int, default=16)
+    sp.add_argument("--write-mode", choices=("cow", "mor"), default="cow")
     sp = add("full-refresh", "--source", "--target")
     sp.add_argument("--n-buckets", type=int, default=16)
     add("reset", "--target")
@@ -86,6 +90,7 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("respec", "--target")
     sp.add_argument("--bucket-col", required=True)
     sp.add_argument("--n-buckets", type=int, required=True)
+    add("compact-versions", "--target")
     sp = sub.add_parser("curate")
     sp.add_argument("--docs", required=True)
     sp.add_argument("--out", default=None)
@@ -148,7 +153,10 @@ def run(spark, args) -> dict:
             return {"type": "CONNECTION_STATUS", "status": "FAILED", "message": str(e)}
 
     if args.cmd == "read":
-        pipe = CdcPipeline.create_target(spark, args.target, n_buckets=args.n_buckets)
+        pipe = CdcPipeline.create_target(
+            spark, args.target, n_buckets=args.n_buckets,
+            write_mode=getattr(args, "write_mode", "cow"),
+        )
         results = pipe.replay_dir(args.source, from_checkpoint=args.from_checkpoint)
         return {
             "type": "SYNC_RESULT",
@@ -159,7 +167,10 @@ def run(spark, args) -> dict:
         }
 
     if args.cmd == "stream":
-        pipe = CdcPipeline.create_target(spark, args.target, n_buckets=args.n_buckets)
+        pipe = CdcPipeline.create_target(
+            spark, args.target, n_buckets=args.n_buckets,
+            write_mode=getattr(args, "write_mode", "cow"),
+        )
         pipe.run_stream(args.source, args.spark_checkpoint, available_now=True)
         return {
             "type": "SYNC_RESULT",
@@ -248,6 +259,22 @@ def run(spark, args) -> dict:
             "version": v,
             "n_buckets": args.n_buckets,
             "files": len(t.files()),
+        }
+
+    if args.cmd == "compact-versions":
+        from airbyte_spark.lake.merge import compact_versions
+        from airbyte_spark.protocol import StreamConfig
+        from airbyte_spark.streaming.pipeline import default_target_schema
+
+        t = LakeTable.load(spark, args.target)
+        n_before = t.read().count()
+        v = compact_versions(t, StreamConfig(name="pages", schema=default_target_schema()))
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": "compact-versions",
+            "rows_before": n_before,
+            "rows_after": t.read().count(),
+            "version": v,
         }
 
     if args.cmd == "curate":

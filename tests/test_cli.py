@@ -159,3 +159,27 @@ def test_maintenance_cmds(spark, tmp_path):
     out = run(spark, ns(cmd="vacuum", target=path))
     assert out["files_removed"] > 0
     assert LakeTable.load(spark, path).read().count() == 200
+
+
+def test_read_mor_and_compact_versions(spark, changelog_dir, tmp_path):
+    from airbyte_spark.lake.format import LakeTable
+
+    target = str(tmp_path / "pages_mor")
+    r1 = run(
+        spark,
+        ns(cmd="read", source=changelog_dir, target=target, from_checkpoint=None,
+           n_buckets=4, write_mode="mor"),
+    )
+    assert r1["applied"] == 2
+    t = LakeTable.load(spark, target)
+    assert t.properties().get("write.mode") == "mor"
+    stored_before = t.read().count()
+    out = run(spark, ns(cmd="compact-versions", target=target))
+    assert out["rows_after"] <= out["rows_before"] == stored_before
+    # resumed read over the compacted table is still exactly-once
+    r2 = run(
+        spark,
+        ns(cmd="read", source=changelog_dir, target=target, from_checkpoint=None,
+           n_buckets=4, write_mode="mor"),
+    )
+    assert r2["applied"] == 0 and r2["skipped"] == 2
