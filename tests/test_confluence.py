@@ -27,8 +27,10 @@ def gen_events(rng: random.Random, n_urls=8, n_events=60):
     return events
 
 
-def final_of(spark, tmp_path, name, batches):
-    pipe = CdcPipeline.create_target(spark, str(tmp_path / name), n_buckets=4)
+def final_of(spark, tmp_path, name, batches, write_mode="cow"):
+    pipe = CdcPipeline.create_target(
+        spark, str(tmp_path / name), n_buckets=4, write_mode=write_mode
+    )
     for i, rows in enumerate(batches):
         if not rows:
             continue
@@ -67,6 +69,11 @@ def test_batching_confluence(spark, tmp_path, seed):
 
     assert one_shot == chunked
     assert len(one_shot) > 0
+
+    # merge-on-read is confluent with copy-on-write on the SAME chunking:
+    # append-winners + read-time resolve must land on the identical state
+    mor = final_of(spark, tmp_path, f"m{seed}", chunks, write_mode="mor")
+    assert mor == one_shot
 
 
 def test_tombstone_expiry(spark, tmp_path):
