@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airbyte_spark.functions.extract import extract_text
 from airbyte_spark.lake.format import LakeTable, PartitionSpec
-from airbyte_spark.lake.merge import append_winners, merge_upsert, resolve_stored
+from airbyte_spark.lake.merge import (
+    BLOOM_PRUNE_KEY_MAX as _PLAN_KEYS_MAX,
+    append_winners,
+    merge_upsert,
+    resolve_stored,
+)
 from airbyte_spark.protocol import StreamConfig
 from airbyte_spark.schema import CHANGE_SCHEMA, PAGE_SCHEMA, TARGET_META_COLS
 
@@ -46,11 +51,15 @@ def _extract_winners(df: DataFrame, is_batch) -> DataFrame:
 def _merge_plans(plans: list[dict]) -> dict:
     """Combine per-segment planning stats into one grouped-commit plan."""
     out = {"bounds": {}, "n_winners_max": 0, "rows_in": 0, "max_lsn": None}
+    keys: "dict | None" = {}
     for p in plans:
         for b, (lo, hi) in p["bounds"].items():
             if b in out["bounds"]:
                 olo, ohi = out["bounds"][b]
-                out["bounds"][b] = (min(olo, lo), max(ohi, hi))
+                # a (None, None) entry (all-NULL-key winners) widens to open
+                lo = None if (olo is None or lo is None) else min(olo, lo)
+                hi = None if (ohi is None or hi is None) else max(ohi, hi)
+                out["bounds"][b] = (lo, hi)
             else:
                 out["bounds"][b] = (lo, hi)
         out["n_winners_max"] += p["n_winners_max"]
@@ -61,6 +70,20 @@ def _merge_plans(plans: list[dict]) -> dict:
                 if out["max_lsn"] is None
                 else max(out["max_lsn"], p["max_lsn"])
             )
+        # winner keys union per bucket; None (overflow / NULL key) poisons
+        pk = p.get("winner_keys")
+        if keys is not None:
+            if pk is None:
+                keys = None
+            else:
+                for b, vals in pk.items():
+                    if vals is None or keys.get(b, ...) is None:
+                        keys[b] = None
+                    else:
+                        keys[b] = keys.get(b, []) + list(vals)
+    if keys is not None and sum(len(v) for v in keys.values() if v) > _PLAN_KEYS_MAX:
+        keys = None
+    out["winner_keys"] = keys
     return out
 
 
@@ -284,22 +307,42 @@ class CdcPipeline:
             )
             .persist()
         )
+        aggs = [
+            F.min(lead).alias("lo"),
+            F.max(lead).alias("hi"),
+            F.count(F.lit(1)).alias("nw"),
+            F.sum("_cnt").alias("n"),
+            F.max("_mx").alias("mx"),
+        ]
+        # when the target already carries key Bloom sidecars, the winner
+        # keys ride this same planning aggregate (capped) so per-commit
+        # membership pruning needs no extra job — see merge._prune_candidates.
+        # Aggregate-buffer memory is bounded here by construction: groups are
+        # (segment, bucket), and a segment is one bounded micro-batch.
+        has_blooms = any(
+            "bloom" in (e.stats.get(lead) or {}) for e in self.table.files()
+        )
+        if has_blooms:
+            aggs += [
+                F.slice(F.collect_set(F.col(lead)), 1, _PLAN_KEYS_MAX + 1).alias("ks"),
+                F.max(F.col(lead).isNull()).alias("knull"),
+            ]
         rows = (
             winners_all.groupBy(F.col("_seg").alias("g"), bexpr.alias("b"))
-            .agg(
-                F.min(lead).alias("lo"),
-                F.max(lead).alias("hi"),
-                F.count(F.lit(1)).alias("nw"),
-                F.sum("_cnt").alias("n"),
-                F.max("_mx").alias("mx"),
-            )
+            .agg(*aggs)
             .collect()
         )
         plans: dict[int, dict] = {}
         for r in rows:
             p = plans.setdefault(
                 int(r["g"]),
-                {"bounds": {}, "n_winners_max": 0, "rows_in": 0, "max_lsn": None},
+                {
+                    "bounds": {},
+                    "n_winners_max": 0,
+                    "rows_in": 0,
+                    "max_lsn": None,
+                    "winner_keys": {} if has_blooms else None,
+                },
             )
             # keep NULL-lo buckets (all-NULL-key winners) with open bounds:
             # their files must still be read, NULL merges null-safe
@@ -309,6 +352,11 @@ class CdcPipeline:
             p["max_lsn"] = (
                 r["mx"] if p["max_lsn"] is None else max(p["max_lsn"], r["mx"])
             )
+            if has_blooms:
+                if len(r["ks"]) > _PLAN_KEYS_MAX:
+                    p["winner_keys"] = None  # overflow → skip membership pruning
+                elif p["winner_keys"] is not None:
+                    p["winner_keys"][int(r["b"])] = None if r["knull"] else list(r["ks"])
         return plans, winners_all
 
     def replay_dir(self, changelog_dir: str, **kw) -> list[BatchResult]:
