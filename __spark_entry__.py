@@ -628,6 +628,46 @@ def q_doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(docs)
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top word/2-gram fraction, duplicate
+    3-gram fraction) + rejection flag — the repetition-removal filter of a
+    training-data pipeline (operators/repetition.py)."""
+    from airbyte_spark.operators.repetition import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs)
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone numbers → typed placeholders)
+    with per-kind audit counts, all vectorized regexp chains fused into the
+    scan. Deterministic PII is injected per doc_id so the oracle exercises
+    every rule on every row."""
+    from airbyte_spark.operators.textops import pii_counts, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    injected = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.lit("reach"),
+        F.concat(
+            F.lit("user"),
+            did.cast("string"),
+            F.lit("@mail"),
+            (did % 7).cast("string"),
+            F.lit(".example.com"),
+        ),
+        F.lit("from"),
+        F.concat(F.lit("10."), (did % 200).cast("string"), F.lit(".0.1")),
+        F.lit("tel"),
+        F.concat(F.lit("+1-555-"), F.lpad((did % 9999).cast("string"), 4, "0")),
+    )
+    return docs.select(
+        "doc_id", *pii_counts(injected), scrub_pii(injected).alias("scrubbed")
+    )
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_spark.operators.dedup_text import simhash
 
@@ -718,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_curate": q_doc_curate,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -747,6 +789,19 @@ shd AS (
 
 _TOKEN_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 _STOP_PAT = r"\b(the|a|an|of|and|to|in|is|that|it)\b"
+
+
+def _pii_pats() -> tuple[str, str, str]:
+    from airbyte_spark.operators.textops import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    return EMAIL_PATTERN, IPV4_PATTERN, PHONE_PATTERN
+
+
+_EMAIL_PAT, _IPV4_PAT, _PHONE_PAT = _pii_pats()
 
 
 def _reserved_sql() -> str:
@@ -1202,6 +1257,57 @@ def oracle_sql() -> dict[str, str]:
                 for lang, _ in _LANG_MARKERS_SQL
             ),
         ),
+        "doc_repetition": f"""
+            WITH {_WORDS_CTE},
+            g AS (
+              SELECT doc_id, 1 AS n, unnest(ws) AS g FROM w
+              UNION ALL
+              SELECT doc_id, 2 AS n,
+                     unnest([ws[i] || ' ' || ws[i+1]
+                             FOR i IN range(1, greatest(len(ws), 1))]) AS g
+              FROM w
+              UNION ALL
+              SELECT doc_id, 3 AS n,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             FOR i IN range(1, greatest(len(ws) - 1, 1))]) AS g
+              FROM w),
+            c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+            p AS (SELECT doc_id, n, max(c) AS top, sum(c) AS tot, count(*) AS nd
+                  FROM c GROUP BY doc_id, n),
+            s AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 1 THEN CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) END) AS top_word_frac,
+                     max(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) END) AS top_bigram_frac,
+                     max(CASE WHEN n = 3 THEN 1.0 - CAST(nd AS DOUBLE) / CAST(tot AS DOUBLE) END) AS dup_trigram_frac
+              FROM p GROUP BY doc_id)
+            SELECT d.doc_id, top_word_frac, top_bigram_frac, dup_trigram_frac,
+                   (coalesce(top_word_frac > 0.20, false)
+                    OR coalesce(top_bigram_frac > 0.18, false)
+                    OR coalesce(dup_trigram_frac > 0.30, false)) AS repetitive
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "doc_pii_scrub": """
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' reach user' || CAST(doc_id AS VARCHAR)
+                          || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                          || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+                          || ' tel +1-555-' || lpad(CAST(doc_id % 9999 AS VARCHAR), 4, '0') AS t
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                          len(regexp_extract_all(t, '@EMAIL@')) AS n_emails,
+                          regexp_replace(t, '@EMAIL@', '<EMAIL>', 'g') AS t
+                   FROM inj),
+            s2 AS (SELECT doc_id, n_emails,
+                          len(regexp_extract_all(t, '@IP@')) AS n_ips,
+                          regexp_replace(t, '@IP@', '<IP>', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_emails, n_ips,
+                          len(regexp_extract_all(t, '@PHONE@')) AS n_phones,
+                          regexp_replace(t, '@PHONE@', '<PHONE>', 'g') AS t
+                   FROM s2)
+            SELECT doc_id, n_emails, n_ips, n_phones, t AS scrubbed FROM s3
+        """.replace("@EMAIL@", _EMAIL_PAT).replace("@IP@", _IPV4_PAT).replace("@PHONE@", _PHONE_PAT),
         "doc_simhash": _simhash_sql(),
         "doc_simhash_pairs": f"""
             WITH sim AS ({_simhash_sql()}),

@@ -94,6 +94,45 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns, deliberately restricted to syntax shared by Java regex
+# (Spark codegen) and RE2 (DuckDB oracle): char classes, bounded repeats,
+# non-capturing groups, \b — no lookaround, no backreferences.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_PATTERN = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,6}"
+
+_PII_RULES: list[tuple[str, str]] = [
+    # order matters: emails contain dotted hosts that the IP/number rules
+    # must never see, so the email rule runs first
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails / IPv4 addresses / international-format phone numbers
+    with typed placeholders. Pure vectorized regexp_replace chain (JVM-side,
+    fused into the scan — zero shuffles, no UDF); idempotent, since no
+    placeholder matches any PII pattern."""
+    out = text
+    for pat, tag in _PII_RULES:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind redaction counters (audit trail for the scrub): how many
+    emails / IPs / phones the document carried. Counted on the SAME rule
+    order the scrub applies, so counts always equal placeholders inserted."""
+    remaining = text
+    out = []
+    for (pat, tag), name in zip(_PII_RULES, ["n_emails", "n_ips", "n_phones"]):
+        out.append(F.size(F.regexp_extract_all(remaining, F.lit(pat), 0)).alias(name))
+        remaining = F.regexp_replace(remaining, pat, tag)
+    return out
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, non-alnum runs → one
     space, trimmed. One rule, pinned here (byte-identity discipline)."""
