@@ -287,6 +287,46 @@ def q_cdc_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join (operators/temporal.py): for each click event,
+    the page version in force at click time — latest warc_ts ≤ event_ts
+    per url, ties inclusive. One union+window pass (|L|+|R| sort-shuffle,
+    no range join); oracle is DuckDB's native ASOF LEFT JOIN."""
+    from airbyte_spark.operators.temporal import asof_join
+    from airbyte_spark.sources.changelog import page_url_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", page_url_expr().alias("url"), F.col("ts").alias("event_ts")
+    )
+    ch = read_changelog(spark, sf_dir)
+    w = Window.partitionBy("url", "warc_ts").orderBy(F.col("_ab_cdc_lsn").desc())
+    versions = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)  # unique (url, warc_ts): as-of answer well-defined
+        .select("url", "warc_ts", F.col("_ab_cdc_lsn").alias("page_lsn"))
+        .withColumn("page_ts", F.col("warc_ts"))
+    )
+    return asof_join(
+        probes,
+        versions,
+        on=["url"],
+        left_time="event_ts",
+        right_time="warc_ts",
+        right_payload=["page_lsn", "page_ts"],
+    ).select("event_id", "url", "event_ts", "page_ts", "page_lsn")
+
+
+def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min silence splits a session) + per-
+    session rollup — the batch restatement of Structured Streaming's
+    session_window, one lag+running-sum window pass (operators/temporal.py)."""
+    from airbyte_spark.operators.temporal import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, "user_id", "ts", 1800, order_tiebreak="event_id")
+
+
 def q_sync_identifier_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier normalization for arbitrary JSON keys → SQL-safe names
     (≡ destination_name_transformer.py:19-110: specials→'_', reserved-word
@@ -738,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_timestamp_parse": q_cdc_timestamp_parse,
+        "cdc_asof_join": q_cdc_asof_join,
+        "evt_sessionize": q_evt_sessionize,
         "sync_identifier_normalize": q_sync_identifier_normalize,
         "sync_full_refresh_overwrite": q_sync_full_refresh_overwrite,
         "sync_append_raw": q_sync_append_raw,
@@ -1009,6 +1051,45 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 4 THEN sqlf ELSE '' END AS raw,
                    CASE WHEN var = 5 THEN NULL ELSE tsec END AS parsed
             FROM v
+        """,
+        "cdc_asof_join": f"""
+            WITH ch AS ({_CH}),
+            v AS (SELECT url, warc_ts, _ab_cdc_lsn AS page_lsn,
+                         row_number() OVER (
+                           PARTITION BY url, warc_ts
+                           ORDER BY _ab_cdc_lsn DESC) AS rn
+                  FROM ch),
+            vr AS (SELECT url, warc_ts, page_lsn, warc_ts AS page_ts
+                   FROM v WHERE rn = 1),
+            probes AS (
+              SELECT event_id,
+                     'https://site-' || CAST(user_id % 10 AS VARCHAR)
+                       || '.example.com/p/' || CAST(user_id AS VARCHAR) AS url,
+                     ts AS event_ts
+              FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.url, p.event_ts, vr.page_ts, vr.page_lsn
+            FROM probes p
+            ASOF LEFT JOIN vr ON p.url = vr.url AND p.event_ts >= vr.warc_ts
+        """,
+        "evt_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            m AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev IS NULL
+                              OR date_diff('second', prev, ts) > 1800
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM o)
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM m GROUP BY user_id, session_seq
         """,
         "sync_identifier_normalize": """
             WITH r AS (

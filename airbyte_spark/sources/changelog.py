@@ -49,6 +49,12 @@ def _url_expr():
     )
 
 
+def page_url_expr():
+    """Public alias: the url a row of `events` maps to (used by queries
+    that probe the page stream by key, e.g. the as-of join)."""
+    return _url_expr()
+
+
 def _lang_expr():
     expr = F.when(F.col("user_id") % 5 == 0, _LANGS[0])
     for i, lang in enumerate(_LANGS[1:], start=1):
