@@ -242,6 +242,37 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("url", "warc_ts", "_ab_cdc_lsn", "domain")
 
 
+def q_cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution mid-stream through the ENGINE: early
+    binlog segments carry `score` as BIGINT, later segments emit DOUBLE;
+    the lake promotes bigint→double per the widening lattice (boolean <
+    integer < number < string, ≡ stream_processor.py:492) and old files
+    cast on read — no rewrite (≡ the catalog_schema_change.json retyping
+    leg of the reference's golden scenario, test_normalization.py:126-137,
+    which re-casts `USD` number→integer by regenerating the models)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.streaming.pipeline import CdcPipeline, default_target_schema
+
+    ch = read_changelog(spark, sf_dir)
+    early = ch.filter(F.col("checkpoint_id") < 5).withColumn(
+        "score", F.col("_ab_cdc_lsn") % 100
+    )
+    late = ch.filter(F.col("checkpoint_id") >= 5).withColumn(
+        "score", (F.col("_ab_cdc_lsn") % 100) + F.lit(0.5)
+    )
+    base = default_target_schema()
+    schema0 = StructType([*base.fields, StructField("score", LongType(), True)])
+    path = tempfile.mkdtemp(prefix="airbyte_spark_wid_") + "/pages_widen"
+    table = LakeTable.create(spark, path, schema0, PartitionSpec.bucket("url", 8))
+    pipe = CdcPipeline(table=table, cfg=StreamConfig(name="pages", schema=schema0))
+    pipe.apply_batch(early, "wid-0")
+    pipe.apply_batch(late, "wid-1")
+    return pipe.final_state().select("url", "warc_ts", "_ab_cdc_lsn", "score")
+
+
 def q_cdc_unnest_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested/array normalization: JSON field extraction + unnest into a
     child table with parent hashid and null-safety filter (≡ reference
@@ -350,6 +381,56 @@ def q_sync_identifier_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- sync-mode queries (full refresh / append / reset through the lake) ---------
+
+
+def q_sync_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stream catalog sync — the reference's actual unit of work
+    (ConfiguredAirbyteCatalog, airbyte_protocol.yaml:160-198; per-stream
+    routing BufferedStreamConsumer.java:166-174): one SyncCatalog carrying
+    two streams with different PKs and destination modes, synced in one
+    call. Stream 1 = pages append_dedup (checkpointed CDC replay); stream
+    2 = the SAME source keyed by composite (url, lang) as full-refresh
+    OVERWRITE. Returns the union of both synced tables' key/cursor rows —
+    one gated result proving per-stream targets, modes and state."""
+    from airbyte_spark.catalog import ConfiguredStream, SyncCatalog, sync
+    from airbyte_spark.protocol import DestinationSyncMode, StreamConfig, SyncMode
+    from airbyte_spark.sources.registry import synthetic_changelog_source
+    from airbyte_spark.streaming.pipeline import CdcPipeline, default_target_schema
+
+    tmp = tempfile.mkdtemp(prefix="airbyte_spark_cat_")
+    pages = ConfiguredStream(
+        cfg=StreamConfig(name="pages", schema=default_target_schema()),
+        source=synthetic_changelog_source(sf_dir),
+        target_path=f"{tmp}/pages",
+        n_buckets=8,
+    )
+    by_lang = ConfiguredStream(
+        cfg=StreamConfig(
+            name="pages_by_lang",
+            schema=default_target_schema(),
+            sync_mode=SyncMode.FULL_REFRESH,
+            destination_sync_mode=DestinationSyncMode.OVERWRITE,
+            primary_key=["url", "lang"],
+        ),
+        source=synthetic_changelog_source(sf_dir),
+        target_path=f"{tmp}/by_lang",
+        n_buckets=8,
+        extract=False,
+    )
+    sync(spark, SyncCatalog([pages, by_lang]))
+    a = (
+        CdcPipeline.create_target(spark, pages.target_path)
+        .final_state()
+        .select(
+            F.lit("pages").alias("stream"), "url", "lang", "warc_ts", "_ab_cdc_lsn"
+        )
+    )
+    from airbyte_spark.lake.format import LakeTable
+
+    b = LakeTable.load(spark, by_lang.target_path).read().select(
+        F.lit("pages_by_lang").alias("stream"), "url", "lang", "warc_ts", "_ab_cdc_lsn"
+    )
+    return a.unionByName(b)
 
 
 def q_sync_full_refresh_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,6 +759,19 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs)
 
 
+def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-window min-hash) document fingerprints — the
+    MOSS local fingerprinting scheme (Schleimer et al., SIGMOD'03): md5
+    every word 4-gram, keep the min hash of each window of 5 consecutive
+    k-gram hashes, emit distinct selections. Guarantees a shared
+    fingerprint for any shared run of >= w+k-1 tokens at ~2/(w+1) density.
+    Pure column expressions fused into the scan — zero shuffles."""
+    from airbyte_spark.operators.dedup_text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=4, w=5)
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails / IPv4 / phone numbers → typed placeholders)
     with per-kind audit counts, all vectorized regexp chains fused into the
@@ -776,11 +870,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stream_window_metrics": q_cdc_stream_window_metrics,
         "cdc_composite_pk_final_state": q_cdc_composite_pk_final_state,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_type_widening": q_cdc_type_widening,
         "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_timestamp_parse": q_cdc_timestamp_parse,
         "cdc_asof_join": q_cdc_asof_join,
         "evt_sessionize": q_evt_sessionize,
         "sync_identifier_normalize": q_sync_identifier_normalize,
+        "sync_multistream": q_sync_multistream,
         "sync_full_refresh_overwrite": q_sync_full_refresh_overwrite,
         "sync_append_raw": q_sync_append_raw,
         "sync_reset_empty": q_sync_reset_empty,
@@ -800,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_curate": q_doc_curate,
+        "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_simhash": q_doc_simhash,
@@ -1022,6 +1119,17 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(url, 'https://([^/]+)/', 1) END AS domain
             FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
         """,
+        "cdc_type_widening": f"""
+            WITH ch AS ({_CH}),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch)
+            SELECT url, warc_ts, _ab_cdc_lsn,
+                   CASE WHEN checkpoint_id >= 5
+                        THEN (_ab_cdc_lsn % 100) + 0.5
+                        ELSE CAST(_ab_cdc_lsn % 100 AS DOUBLE) END AS score
+            FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
         "cdc_unnest_children": """
             WITH src AS (
               SELECT event_id,
@@ -1108,6 +1216,20 @@ def oracle_sql() -> dict[str, str]:
                    substr(CASE WHEN n IN ({reserved}) THEN n || '_' ELSE n END, 1, 63) AS ident
             FROM n2
         """.format(reserved=_RESERVED_SQL),
+        "sync_multistream": f"""
+            WITH ch AS ({_CH}),
+            p AS (SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch),
+            l AS (SELECT *, row_number() OVER (
+                    PARTITION BY url, lang ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch)
+            SELECT 'pages' AS stream, url, lang, warc_ts, _ab_cdc_lsn
+            FROM p WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+            UNION ALL
+            SELECT 'pages_by_lang' AS stream, url, lang, warc_ts, _ab_cdc_lsn
+            FROM l WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
         "sync_full_refresh_overwrite": f"""
             WITH ch AS ({_CH}),
             r AS (SELECT *, row_number() OVER (
@@ -1338,6 +1460,24 @@ def oracle_sql() -> dict[str, str]:
                 for lang, _ in _LANG_MARKERS_SQL
             ),
         ),
+        "doc_winnow_fingerprint": f"""
+            WITH {_WORDS_CTE},
+            kg AS (
+              SELECT doc_id,
+                     [md5(array_to_string(ws[i:i+3], ' '))
+                      FOR i IN range(1, greatest(len(ws) - 3, 0) + 1)] AS hs
+              FROM w
+            ),
+            sel AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       [list_min(hs[j:j+4])
+                        FOR j IN range(1, greatest(len(hs) - 4, least(len(hs), 1)) + 1)]
+                     )) AS fps
+              FROM kg
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM sel
+        """,
         "doc_repetition": f"""
             WITH {_WORDS_CTE},
             g AS (
