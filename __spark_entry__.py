@@ -772,6 +772,30 @@ def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=4, w=5)
 
 
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment/partial-overlap candidate pairs over the winnowing
+    fingerprints: pairs sharing >= 2 fingerprints, boilerplate
+    fingerprints (document frequency > 50) dropped. Detects a small doc
+    quoted inside a large one, where Jaccard-LSH misses (set sizes differ
+    wildly). Join keyed on the fingerprint — cost ∝ Σ_fp bucket², never a
+    corpus cross-product."""
+    from airbyte_spark.operators.dedup_text import winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_overlap_pairs(docs, k=4, w=5, min_shared=2, max_df=50)
+
+
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 words by occurrence count with document
+    frequency — the vocabulary/stopword-discovery primitive of tokenizer
+    training. One groupBy shuffle with map-side combine; the global top-k
+    runs over the aggregated vocabulary, never over raw tokens."""
+    from airbyte_spark.operators.textops import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, top=200)
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails / IPv4 / phone numbers → typed placeholders)
     with per-kind audit counts, all vectorized regexp chains fused into the
@@ -897,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_curate": q_doc_curate,
         "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
+        "doc_vocab_topk": q_doc_vocab_topk,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_simhash": q_doc_simhash,
@@ -1478,6 +1504,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, unnest(fps) AS fp FROM sel
         """,
+        "doc_winnow_pairs": """
+            WITH {words},
+            kg AS (
+              SELECT doc_id,
+                     [md5(array_to_string(ws[i:i+3], ' '))
+                      FOR i IN range(1, greatest(len(ws) - 3, 0) + 1)] AS hs
+              FROM w
+            ),
+            sel AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [list_min(hs[j:j+4])
+                        FOR j IN range(1, greatest(len(hs) - 4, least(len(hs), 1)) + 1)]
+                     ) AS fps
+              FROM kg
+            ),
+            fpx AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            keep AS (SELECT fp FROM fpx GROUP BY fp HAVING count(*) <= 50),
+            f2 AS (SELECT fpx.doc_id, fpx.fp FROM fpx JOIN keep USING (fp))
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+            FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """.format(words=_WORDS_CTE),
+        "doc_vocab_topk": """
+            WITH {words},
+            wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            agg AS (SELECT word,
+                           count(*) AS n_occurrences,
+                           count(DISTINCT doc_id) AS n_docs
+                    FROM wx GROUP BY word)
+            SELECT word, n_occurrences, n_docs,
+                   row_number() OVER (ORDER BY n_occurrences DESC, word ASC) AS rank
+            FROM agg QUALIFY rank <= 200
+        """.format(words=_WORDS_CTE),
         "doc_repetition": f"""
             WITH {_WORDS_CTE},
             g AS (

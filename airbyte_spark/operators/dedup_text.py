@@ -103,6 +103,51 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Containment / partial-overlap candidate pairs: document pairs
+    sharing >= min_shared winnowing fingerprints, with the shared count.
+
+    Complements the Jaccard family: a small document quoted inside a much
+    larger one has low Jaccard (set sizes differ wildly) but strong LOCAL
+    overlap — exactly what winnowing's shared-run guarantee detects.
+
+    Scale shape: self-join keyed on the fingerprint, cost ∝ Σ_fp bucket².
+    Fingerprints are already sparse (~2/(w+1) of k-grams), and max_df
+    drops boilerplate fingerprints that appear in more than max_df docs
+    (navigation chrome, license headers) — the same hot-key guard as
+    dropping stop-shingles. Pass max_df=None to disable.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fp")
+        )
+        # no broadcast hint: the hot-fp set grows with corpus size, so let
+        # AQE pick broadcast-vs-shuffle from its measured size at runtime
+        fps = fps.join(hot, "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per identical normalized text.
     One shuffle on the md5 digest; at 100 TB the digest groupBy is the

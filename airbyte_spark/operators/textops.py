@@ -143,3 +143,42 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized text. Whitespace/markup
     variations collapse to the same fingerprint."""
     return F.md5(normalize_text(text))
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the top-k most frequent words with counts and
+    document frequency — the vocabulary-building / stopword-discovery
+    primitive of a training-data pipeline (and the input to tokenizer
+    training).
+
+    Scale shape: explode → ONE groupBy shuffle with map-side partial
+    aggregation (word cardinality ≪ token count, so combiners collapse
+    almost everything before the exchange); the global top-k is a
+    WindowGroupLimit over the already-aggregated vocabulary, never over
+    raw tokens. Ties break lexicographically so results are deterministic
+    and oracle-reproducible.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("word"),
+    )
+    agg = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col("_doc")).alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+    )

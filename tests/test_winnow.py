@@ -91,3 +91,61 @@ def test_density_and_short_docs(spark):
     assert 2 not in fps and 4 not in fps and 5 not in fps
     assert len(fps[3]) == 1
     assert fps[3] == ref_winnow("p q r s")
+
+
+def test_overlap_pairs_detect_containment(spark):
+    from airbyte_spark.operators.dedup_text import winnow_overlap_pairs
+
+    quote = " ".join(f"quoted tok{i} span" for i in range(12))  # 36 tokens
+    big = " ".join(f"filler w{i} body" for i in range(40)) + " " + quote
+    rows = [
+        (1, big),
+        (2, "intro words here " + quote + " closing remarks follow now"),
+        (3, " ".join(f"unrelated u{i} line" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["a_id"], r["b_id"]): r["n_shared"]
+        for r in winnow_overlap_pairs(df, min_shared=2, max_df=None).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+
+
+def test_overlap_pairs_max_df_drops_boilerplate(spark):
+    from airbyte_spark.operators.dedup_text import winnow_overlap_pairs
+
+    boiler = "all rights reserved copyright notice legal footer text here"
+    rows = [(i, f"doc body d{i} x{i} y{i} z{i} " + boiler) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # boilerplate shared by all 6 docs: with max_df=3 those fps are dropped
+    with_guard = winnow_overlap_pairs(df, min_shared=1, max_df=3).count()
+    without = winnow_overlap_pairs(df, min_shared=1, max_df=None).count()
+    assert without == 15 and with_guard == 0  # all C(6,2) pairs vs none
+
+
+def test_vocab_topk_exact_counts(spark):
+    from collections import Counter
+
+    from airbyte_spark.operators.textops import vocab_topk
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana apple! date?"),
+        (3, "cherry CHERRY cherry banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["word"]: (r["n_occurrences"], r["n_docs"], r["rank"])
+        for r in vocab_topk(df, top=3).collect()
+    }
+    cnt = Counter()
+    docs = Counter()
+    for _, t in rows:
+        ws = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        cnt.update(ws)
+        docs.update(set(ws))
+    order = sorted(cnt, key=lambda w: (-cnt[w], w))[:3]
+    assert set(got) == set(order)
+    for i, wd in enumerate(order, 1):
+        assert got[wd] == (cnt[wd], docs[wd], i)
