@@ -880,6 +880,114 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, num_centroids=16, nprobe=4)
 
 
+def q_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level exact dedup (CCNet/RefinedWeb style): a
+    segment survives only at its first (doc_id, position) occurrence and
+    documents are reassembled from survivors. One aggregate keyed on the
+    segment hash + one keyed on the doc id — no window over duplicate-heavy
+    keys, no driver state (operators/corpus.py)."""
+    from airbyte_spark.operators.corpus import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return segment_dedup(docs, words_per_segment=10)
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the held-out eval slice (doc_id % 97 == 0) are flagged. Eval
+    n-gram set is broadcast-sized by construction; train side is one
+    map stage + a per-doc count (operators/corpus.py)."""
+    from airbyte_spark.operators.corpus import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(tr, ev, n=5)
+
+
+def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5(doc_id) hex range —
+    stable under resharding/replay, zero shuffles (operators/corpus.py)."""
+    from airbyte_spark.operators.corpus import train_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_split(docs.select("doc_id")).select("doc_id", "split")
+
+
+def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level stats a shard-export step reports: doc count, total
+    chars, and exact discrete length percentiles (smallest value with
+    cume_dist ≥ q). Exact percentile_disc is the oracle-checkable form;
+    at 100 TB the same line swaps to approx_percentile (sort-free sketch)
+    with identical output schema."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("p50_chars"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("p90_chars"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("p99_chars"),
+    )
+
+
+def q_cdc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain stream stats (events, distinct pages, deletes, cursor
+    high-water mark) — the hot-domain skew-detection input the north_star
+    names ("url-hash salting plus AQE handles hot-domain skew"). Exact
+    distinct via two-level aggregate (functions/urls.py)."""
+    from airbyte_spark.functions.urls import domain_stats
+
+    return domain_stats(read_changelog(spark, sf_dir))
+
+
+def q_cdc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over a deliberately-messy variant stream:
+    uppercase host + default port, trailing slash, fragments, tracking
+    params (utm_*/fbclid) mixed with real ones. The oracle derives the
+    expected canonical form INDEPENDENTLY from the generating columns —
+    it never runs the regex chain — so this checks the rules, not the
+    implementation against itself (functions/urls.py)."""
+    from airbyte_spark.functions.urls import canonicalize_url
+    from airbyte_spark.sources.changelog import page_url_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = page_url_expr()
+    v = F.col("event_id") % 5
+    messy = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTPS://SITE-"),
+                (F.col("user_id") % 10).cast("string"),
+                F.lit(".EXAMPLE.COM:443/p/"),
+                F.col("user_id").cast("string"),
+            ),
+        )
+        .when(v == 1, F.concat(base, F.lit("/?utm_source=feed")))
+        .when(v == 2, F.concat(base, F.lit("?a=1&utm_campaign=y&b=2")))
+        .when(v == 3, F.concat(base, F.lit("#sec-"), F.col("event_id").cast("string")))
+        .otherwise(
+            F.concat(
+                base,
+                F.lit("?fbclid="),
+                F.col("event_id").cast("string"),
+                F.lit("&page=2"),
+            )
+        )
+    )
+    return ev.select(
+        "event_id",
+        messy.alias("url"),
+        canonicalize_url(messy).alias("canon_url"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -931,6 +1039,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": q_emb_near_dups,
         "emb_srp_near_dups": q_emb_srp_near_dups,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "doc_segment_dedup": q_doc_segment_dedup,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_train_split": q_doc_train_split,
+        "doc_corpus_stats": q_doc_corpus_stats,
+        "cdc_url_domains": q_cdc_url_domains,
+        "cdc_url_canonical": q_cdc_url_canonical,
     }
 
 
@@ -1720,5 +1834,105 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS "rank"
                   FROM scored)
             SELECT q_id, n_id, "rank", cos FROM r WHERE "rank" <= 10
+        """,
+        "doc_segment_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            segs AS (
+              SELECT doc_id,
+                     unnest(range(0, (len(ws) + 9) // 10)) AS seg_idx,
+                     unnest([array_to_string(ws[i*10+1 : i*10+10], ' ')
+                             FOR i IN range(0, (len(ws) + 9) // 10)]) AS seg
+              FROM w),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+              FROM segs)
+            SELECT doc_id,
+                   coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE rn = 1), '') AS dedup_text,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+            FROM ranked GROUP BY doc_id
+        """,
+        "doc_decontaminate": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            ng AS (
+              SELECT doc_id,
+                     unnest([array_to_string(ws[i : i+4], ' ')
+                             FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS ng
+              FROM d),
+            evn AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
+            trn AS (SELECT DISTINCT doc_id, ng FROM ng WHERE doc_id % 97 <> 0),
+            hits AS (SELECT doc_id, count(*) AS n
+                     FROM trn JOIN evn USING (ng) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_ngram_hits,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+        """,
+        "doc_train_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                          THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "doc_corpus_stats": """
+            WITH s AS (SELECT n_chars,
+                              cume_dist() OVER (ORDER BY n_chars) AS cd
+                       FROM documents)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                   (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS total_chars,
+                   CAST(min(n_chars) FILTER (WHERE cd >= 0.5)  AS BIGINT) AS p50_chars,
+                   CAST(min(n_chars) FILTER (WHERE cd >= 0.9)  AS BIGINT) AS p90_chars,
+                   CAST(min(n_chars) FILTER (WHERE cd >= 0.99) AS BIGINT) AS p99_chars
+            FROM s
+        """,
+        "cdc_url_domains": f"""
+            WITH ch AS ({_CH}),
+            per_url AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS domain,
+                     url,
+                     count(*) AS n_events_url,
+                     sum(CASE WHEN _ab_cdc_deleted_at IS NOT NULL
+                              THEN 1 ELSE 0 END) AS n_deletes_url,
+                     max(warc_ts) AS max_ts_url
+              FROM ch GROUP BY 1, 2)
+            SELECT domain,
+                   CAST(sum(n_events_url) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(n_deletes_url) AS BIGINT) AS n_deletes,
+                   max(max_ts_url) AS max_warc_ts
+            FROM per_url GROUP BY domain
+        """,
+        # expected canonical form derived INDEPENDENTLY from the generating
+        # columns (never runs the engine's regex chain)
+        "cdc_url_canonical": """
+            WITH b AS (
+              SELECT event_id, user_id,
+                     'https://site-' || CAST(user_id % 10 AS VARCHAR)
+                       || '.example.com/p/' || CAST(user_id AS VARCHAR) AS base
+              FROM events)
+            SELECT event_id,
+                   CASE CAST(event_id % 5 AS INT)
+                     WHEN 0 THEN 'HTTPS://SITE-' || CAST(user_id % 10 AS VARCHAR)
+                                   || '.EXAMPLE.COM:443/p/'
+                                   || CAST(user_id AS VARCHAR)
+                     WHEN 1 THEN base || '/?utm_source=feed'
+                     WHEN 2 THEN base || '?a=1&utm_campaign=y&b=2'
+                     WHEN 3 THEN base || '#sec-' || CAST(event_id AS VARCHAR)
+                     ELSE base || '?fbclid=' || CAST(event_id AS VARCHAR)
+                                || '&page=2'
+                   END AS url,
+                   CASE CAST(event_id % 5 AS INT)
+                     WHEN 2 THEN base || '?a=1&b=2'
+                     WHEN 4 THEN base || '?page=2'
+                     ELSE base
+                   END AS canon_url
+            FROM b
         """,
     }

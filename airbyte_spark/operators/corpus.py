@@ -1,0 +1,184 @@
+"""Corpus-preparation operators for a training-data pipeline.
+
+Beyond the reference's CDC surface: the whole-corpus operations a web-text
+ingest runs after per-document curation (operators/curate.py) and before
+tokenizer/training shard export —
+
+  segment_dedup   line-level exact dedup across the corpus (CCNet/RefinedWeb
+                  style: duplicated boilerplate lines are removed everywhere
+                  but their first occurrence, and documents are reassembled).
+  decontaminate   benchmark n-gram decontamination: flag training documents
+                  that share any word n-gram with a (small) held-out eval
+                  set, the standard train/test-leak guard.
+  train_split     deterministic hash split into train/val/test — stable
+                  under reordering, resharding and replay (pure function of
+                  the document id, no RNG state).
+
+All three are compositions of built-in column expressions + one or two
+key-partitioned shuffles — no Python in the hot path, no driver loops, no
+collect. Scale notes per function.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _segments_expr(text_col: str, words_per_segment: int) -> F.Column:
+    """Array of fixed-width word windows ("lines") of `text`, in order.
+
+    The test corpus has no newlines, so the segmentation unit is a
+    fixed-width word window; for real web text pass the array produced by
+    ``F.split(text, '\\n')`` to the same downstream logic instead.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(words_per_segment)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * words_per_segment + 1, words_per_segment), " "
+        ),
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_segment: int = 10,
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup (first occurrence wins).
+
+    Every document is segmented; a segment survives only in the document
+    where it first occurs (ordered by (id, position) — deterministic under
+    any input partitioning); documents are reassembled from their surviving
+    segments in original order. Output: one row per input document with
+    `dedup_text` ('' when nothing survives), `n_segments`, `n_kept`.
+
+    Scale shape (100 TB): segment explode is a map-side transform fused
+    into the scan; the keep-first rule is ONE shuffle partitioned by the
+    segment hash (a 32-byte digest — uniform, no hot keys even when one
+    boilerplate line dominates, because equal lines land on one key but
+    row_number over a sorted partition is O(n log n) in that key only —
+    for truly degenerate boilerplate pre-aggregate min(id,pos) per hash
+    instead, which is what the window reduces to); reassembly is one
+    shuffle partitioned by doc id. No driver-side state.
+    """
+    segs = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(_segments_expr(text_col, words_per_segment)).alias(
+                "seg_idx", "seg"
+            ),
+        )
+        .withColumn("seg_hash", F.md5(F.col("seg")))
+    )
+    # keep-first: min (id, seg_idx) per hash via one aggregate (no wide
+    # window sort over duplicate-heavy keys), then mark survivors.
+    firsts = segs.groupBy("seg_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("first")
+    )
+    marked = segs.join(firsts, "seg_hash").withColumn(
+        "kept",
+        (F.col("first")[id_col] == F.col(id_col))
+        & (F.col("first.seg_idx") == F.col("seg_idx")),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("seg_idx", "seg", "kept"))
+                        ),
+                        lambda s: s["kept"],
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        )
+    )
+
+
+def _ngrams_expr(text_col: str, n: int) -> F.Column:
+    """Array of word n-grams of `text` (empty when fewer than n words)."""
+    words = F.split(F.col(text_col), " ")
+    cnt = F.size(words) - F.lit(n - 1)
+    # sequence(1, 0) DESCENDS in Spark — guard short docs with an empty array
+    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word n-grams appear anywhere in the eval set, and a
+    `contaminated` flag (any hit → drop/flag before training).
+
+    Scale shape: the eval n-gram set is small by construction (benchmarks
+    are MBs, the corpus is TBs) — distinct it and let AQE broadcast it;
+    the train side streams through a map stage + one semi-join-shaped
+    aggregation keyed by n-gram hash. Left join back preserves documents
+    with zero hits. At 100 TB the only shuffle larger than the eval set is
+    the per-doc hit count, keyed on doc id.
+    """
+    ev = (
+        eval_set.select(
+            F.explode(_ngrams_expr(text_col, n)).alias("ng")
+        ).distinct()
+    )
+    tr = train.select(
+        F.col(id_col), F.explode(_ngrams_expr(text_col, n)).alias("ng")
+    ).distinct()
+    hits = (
+        tr.join(ev, "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_ngram_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_eval_ngram_hits", F.lit(0).cast("bigint")).alias(
+                "n_eval_ngram_hits"
+            ),
+            (F.coalesce("n_eval_ngram_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    boundaries: tuple[str, str] = ("cc", "e6"),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5(id) hex range.
+
+    The first two hex chars of md5(id) are uniform over '00'..'ff'; split
+    at lexicographic boundaries ('cc' ≈ 79.7 %, 'e6' ≈ 89.8 %). A pure
+    per-row expression — stable under resharding/replay, zero shuffles,
+    and portable (identical semantics in any engine with md5).
+    """
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(h < boundaries[0], names[0])
+        .when(h < boundaries[1], names[1])
+        .otherwise(names[2]),
+    )

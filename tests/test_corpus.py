@@ -1,0 +1,159 @@
+"""Corpus-preparation operators: line-level dedup, decontamination,
+deterministic split, url canonicalization + domain stats."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from airbyte_spark.functions.urls import canonicalize_url, domain_stats, url_domain
+from airbyte_spark.operators.corpus import decontaminate, segment_dedup, train_split
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# --- segment_dedup ---------------------------------------------------------------
+
+
+def _py_segment_dedup(rows, wps):
+    """Pure-Python reference: first occurrence of a segment wins globally."""
+    segs = {}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        for idx in range((len(ws) + wps - 1) // wps):
+            seg = " ".join(ws[idx * wps : (idx + 1) * wps])
+            segs.setdefault(seg, (doc_id, idx))
+    out = {}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        kept, total = [], 0
+        for idx in range((len(ws) + wps - 1) // wps):
+            seg = " ".join(ws[idx * wps : (idx + 1) * wps])
+            total += 1
+            if segs[seg] == (doc_id, idx):
+                kept.append(seg)
+        out[doc_id] = (" ".join(kept), total, len(kept))
+    return out
+
+
+def test_segment_dedup_matches_python_reference(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c x y z"),  # shares first 3-word segment with doc 1
+        (3, "x y z x y z"),  # internal duplicate + shares with doc 2
+        (4, "q r"),  # short doc, single partial segment
+        (5, "a b c d e f"),  # full duplicate of doc 1 → nothing survives
+    ]
+    got = {
+        r["doc_id"]: (r["dedup_text"], r["n_segments"], r["n_kept"])
+        for r in segment_dedup(_docs(spark, rows), words_per_segment=3).collect()
+    }
+    assert got == _py_segment_dedup(rows, 3)
+    assert got[5] == ("", 2, 0)  # full dup: reassembles to empty, still a row
+
+
+def test_segment_dedup_order_invariant(spark):
+    rows = [(1, "a b c d"), (2, "a b e f"), (3, "e f g h")]
+    base = segment_dedup(_docs(spark, rows), words_per_segment=2).collect()
+    shuf = segment_dedup(
+        _docs(spark, rows).repartition(7).sortWithinPartitions(F.desc("doc_id")),
+        words_per_segment=2,
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shuf))
+
+
+# --- decontaminate ---------------------------------------------------------------
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here and more padding tokens"),
+            (3, "quick brown fox jumps over something else entirely now"),
+        ],
+    )
+    eval_set = _docs(spark, [(100, "a quick brown fox jumps over fences")])
+    got = {r["doc_id"]: r for r in decontaminate(train, eval_set, n=5).collect()}
+    # doc1 contains 'quick brown fox jumps over' (and 'brown fox jumps over the'? no
+    # — eval has 'fox jumps over fences'): exactly the shared 5-grams count.
+    assert got[1]["contaminated"] and got[1]["n_eval_ngram_hits"] == 1
+    assert got[3]["contaminated"] and got[3]["n_eval_ngram_hits"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_eval_ngram_hits"] == 0
+
+
+def test_decontaminate_short_docs_never_match(spark):
+    train = _docs(spark, [(1, "one two three")])
+    eval_set = _docs(spark, [(9, "one two three")])
+    got = decontaminate(train, eval_set, n=5).collect()
+    assert len(got) == 1 and not got[0]["contaminated"]
+
+
+# --- train_split -----------------------------------------------------------------
+
+
+def test_train_split_matches_md5_rule_and_is_total(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r["split"] for r in train_split(df).collect()}
+    assert len(got) == 500
+    for i, s in got.items():
+        h = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        assert s == ("train" if h < "cc" else "val" if h < "e6" else "test")
+    # sane proportions for a uniform hash (79.7 / 10.2 / 10.2 expected)
+    n_train = sum(1 for s in got.values() if s == "train")
+    assert 0.72 <= n_train / 500 <= 0.88
+
+
+# --- urls ------------------------------------------------------------------------
+
+
+def test_canonicalize_url_rules(spark):
+    cases = {
+        "HTTPS://Example.COM:443/a/b/": "https://example.com/a/b",
+        "http://example.com:80/": "http://example.com/",
+        "https://example.com/p?utm_source=x&a=1": "https://example.com/p?a=1",
+        "https://example.com/p?a=1&utm_campaign=y&b=2": "https://example.com/p?a=1&b=2",
+        "https://example.com/p?a=1&fbclid=zzz": "https://example.com/p?a=1",
+        "https://example.com/p?gclid=1": "https://example.com/p",
+        "https://example.com/p#frag": "https://example.com/p",
+        "https://example.com/p/?ref=home#x": "https://example.com/p",
+        "https://example.com:8080/p": "https://example.com:8080/p",
+        "https://example.com/a?x=1&y=2": "https://example.com/a?x=1&y=2",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = dict(
+        df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    )
+    assert got == cases
+    # idempotent
+    got2 = dict(
+        df.select(
+            "url", canonicalize_url(canonicalize_url(F.col("url"))).alias("c")
+        ).collect()
+    )
+    assert got2 == cases
+
+
+def test_domain_stats_counts(spark):
+    rows = [
+        ("https://a.com/1", "2024-01-01 00:00:00", None),
+        ("https://a.com/1", "2024-01-02 00:00:00", "2024-01-02 00:00:00"),
+        ("https://a.com/2", "2024-01-03 00:00:00", None),
+        ("https://B.com/9", "2024-01-01 12:00:00", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, _ab_cdc_deleted_at string"
+    ).select(
+        "url",
+        F.to_timestamp("warc_ts").alias("warc_ts"),
+        F.to_timestamp("_ab_cdc_deleted_at").alias("_ab_cdc_deleted_at"),
+    )
+    got = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert got["a.com"]["n_events"] == 3
+    assert got["a.com"]["n_pages"] == 2
+    assert got["a.com"]["n_deletes"] == 1
+    assert got["b.com"]["n_events"] == 1
+    assert str(got["a.com"]["max_warc_ts"]).startswith("2024-01-03")
+    assert url_domain(F.lit("x")) is not None  # expression constructs
