@@ -144,8 +144,11 @@ def decontaminate(
     tr = train.select(
         F.col(id_col), F.explode(_ngrams_expr(text_col, n)).alias("ng")
     ).distinct()
+    # the broadcast hint is safe here BY CONSTRUCTION (eval sets are MBs,
+    # not TBs) — unlike a data-dependent winner set, its size doesn't grow
+    # with the corpus, so we don't defer to AQE's runtime estimate.
     hits = (
-        tr.join(ev, "ng")
+        tr.join(F.broadcast(ev), "ng")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_ngram_hits"))
     )

@@ -87,7 +87,10 @@ def winnow_fingerprints(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    stage = df.select(F.col(id_col).alias("doc_id"), kh.alias("_kh"))
+    # the rolling-min HOF tree is interpreter-bound (higher-order functions
+    # don't codegen) — spread the narrow source first so it parallelizes
+    # instead of running on the 1-2 input splits of a small parquet file
+    stage = _spread(df).select(F.col(id_col).alias("doc_id"), kh.alias("_kh"))
     nh = F.size(F.col("_kh"))
     # windows: len-w+1 full windows; 1 catch-all window when 1<=len<w
     nwin = F.when(nh >= 1, F.greatest(nh - (w - 1), F.lit(1))).otherwise(F.lit(0))
@@ -125,7 +128,12 @@ def winnow_overlap_pairs(
     (navigation chrome, license headers) — the same hot-key guard as
     dropping stop-shingles. Pass max_df=None to disable.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # materialize the fingerprint set ONCE: it feeds the hot-fp aggregate,
+    # the anti-join probe and BOTH sides of the self-join — uncached, the
+    # (interpreter-bound HOF) rolling-min expression tree would re-evaluate
+    # four times. At cluster scale this is the same "fingerprints are an
+    # intermediate table" shape as the LSH composition above.
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).cache()
     if max_df is not None:
         hot = (
             fps.groupBy("fp")
