@@ -579,6 +579,35 @@ def q_sync_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_where(ranges)
 
 
+def q_sync_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order rewrite (LakeTable.cluster ≡ Iceberg rewriteDataFiles
+    with a sort strategy): ingest arrives id-striped so EVERY file spans
+    the whole event_id range and a range read can prune nothing; after
+    cluster(["event_id"]) the same manifest stats skip most files. The
+    query asserts the before/after pruning counts and returns the
+    post-cluster range read — which must equal the plain SQL filter
+    (layout changes, data never does)."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_cluster_")
+    t = LakeTable.create(spark, base + "/events_cl", src.schema, PartitionSpec())
+    # id-striped commits: the worst case for range pruning
+    for i in range(5):
+        t.append(
+            src.filter(F.col("event_id") % 5 == i),
+            checkpoint_key=f"stripe-{i}",
+            stat_cols=["event_id"],
+        )
+    ranges = {"event_id": (2500, 4999)}
+    assert len(t.prune(ranges)) == len(t.files()), "striped layout: nothing prunable"
+    t.cluster(["event_id"], target_file_bytes=64 * 1024)
+    assert len(t.prune(ranges)) < len(t.files()), "clustered layout must prune"
+    return t.read_where(ranges)
+
+
 def q_sync_respec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution (≡ Iceberg REPLACE PARTITION FIELD +
     rewriteDataFiles): grow the bucket count 2→8 in one atomic commit —
@@ -1016,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_compact_roundtrip": q_sync_compact_roundtrip,
         "sync_time_travel": q_sync_time_travel,
         "sync_pruned_read": q_sync_pruned_read,
+        "sync_clustered_prune": q_sync_clustered_prune,
         "sync_incremental_changes": q_sync_incremental_changes,
         "sync_respec_roundtrip": q_sync_respec_roundtrip,
         "src_http_offset": q_src_http_offset,
@@ -1399,6 +1429,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id % 2 = 0
         """,
         "sync_pruned_read": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE event_id BETWEEN 2500 AND 4999
+        """,
+        "sync_clustered_prune": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
             WHERE event_id BETWEEN 2500 AND 4999
         """,

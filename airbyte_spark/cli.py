@@ -33,6 +33,9 @@ Commands:
   respec   --target T --bucket-col C --n-buckets N
                                  partition-spec evolution: atomic bucket-resize
                                  rewrite of the whole table
+  cluster  --target T --sort-cols C1,C2 [--target-file-mb N]
+                                 sort-order rewrite: range-cluster files by the
+                                 sort key so stats pruning skips files
   compact-versions --target T    collapse a merge-on-read table to one
                                  (latest) version per key
   curate   --docs PARQUET [--out DIR] [--min-quality Q] [--langs en,de]
@@ -90,6 +93,9 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("respec", "--target")
     sp.add_argument("--bucket-col", required=True)
     sp.add_argument("--n-buckets", type=int, required=True)
+    sp = add("cluster", "--target")
+    sp.add_argument("--sort-cols", required=True, help="comma-separated sort key")
+    sp.add_argument("--target-file-mb", type=int, default=128)
     add("compact-versions", "--target")
     sp = sub.add_parser("curate")
     sp.add_argument("--docs", required=True)
@@ -258,6 +264,20 @@ def run(spark, args) -> dict:
             "mode": "respec",
             "version": v,
             "n_buckets": args.n_buckets,
+            "files": len(t.files()),
+        }
+
+    if args.cmd == "cluster":
+        t = LakeTable.load(spark, args.target)
+        v = t.cluster(
+            args.sort_cols.split(","),
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": "cluster",
+            "version": v,
+            "sort_order": args.sort_cols,
             "files": len(t.files()),
         }
 

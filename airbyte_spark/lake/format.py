@@ -743,6 +743,75 @@ class LakeTable:
             summary={"files_compacted": len(candidates)},
         )
 
+    def cluster(
+        self,
+        sort_cols: list[str],
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Sort-order rewrite (≡ Iceberg rewriteDataFiles with a sort
+        strategy / Delta OPTIMIZE ... ZORDER BY for the 1-2 column case):
+        globally range-repartition the live rows by (partition fields,
+        sort_cols) and sort within partitions, so each output file covers
+        a NARROW, largely non-overlapping [min, max] of the sort key.
+
+        This is what makes manifest stats pruning (prune/read_where)
+        selective on non-partition columns: after random-arrival appends
+        every file spans the whole key range and a range read keeps all
+        of them; after clustering a range read keeps ~selectivity of the
+        files. One atomic metadata commit; old snapshots stay readable;
+        read-equivalence is oracle-checked (query sync_clustered_prune).
+
+        Scale shape (100 TB): repartitionByRange samples the key
+        distribution and produces balanced ranges regardless of skew; the
+        rewrite is one shuffle of the live bytes — the same cost class as
+        compact(), run at the same maintenance cadence, amortized across
+        every subsequent range read. Raises CommitConflict if files were
+        committed concurrently (same invariant as rewrite_partition_spec).
+        """
+        old_entries = self.files()
+        if not old_entries:
+            return self.manifest()["version"]
+        old_paths = {e.path for e in old_entries}
+        stat_cols = sorted({c for e in old_entries for c in e.stats} | set(sort_cols))
+        spec = self.partition_spec()
+        n_out = max(
+            1, -(-sum(e.bytes for e in old_entries) // target_file_bytes)
+        )
+        keys = [f.expr() for f in spec.fields] + [F.col(c) for c in sort_cols]
+        arranged = (
+            self.read()
+            .repartitionByRange(int(n_out), *keys)
+            .sortWithinPartitions(*keys)
+        )
+        staged = self._stage_write(
+            arranged, stat_cols, one_file_per_partition=False
+        )
+        added_json = [e.to_json() for e in staged]
+        while True:
+            m = self.manifest()
+            live = {f["path"] for f in m["files"]}
+            if live != old_paths:
+                raise CommitConflict(
+                    "live file set changed during cluster rewrite — re-run "
+                    "to include the concurrently committed files"
+                )
+            m["files"] = added_json
+            m["operation"] = "cluster"
+            m.setdefault("properties", {})["sort.order"] = ",".join(sort_cols)
+            m["commit"] = {
+                "key": None,
+                "rows_written": sum(e.rows for e in staged),
+                "bytes_written": sum(e.bytes for e in staged),
+                "files_added": len(staged),
+                "files_removed": len(old_paths),
+            }
+            m["parent"] = m["version"]
+            m["version"] = m["version"] + 1
+            try:
+                return self._write_manifest(m)
+            except CommitConflict:
+                continue  # metadata race only; re-check the live set
+
     def rewrite_partition_spec(
         self, new_spec: PartitionSpec, stat_cols: list[str] | None = None
     ) -> int:

@@ -156,6 +156,8 @@ def test_maintenance_cmds(spark, tmp_path):
     assert out["files_after"] < out["files_before"]
     out = run(spark, ns(cmd="respec", target=path, bucket_col="k", n_buckets=8))
     assert out["n_buckets"] == 8
+    out = run(spark, ns(cmd="cluster", target=path, sort_cols="k", target_file_mb=128))
+    assert out["sort_order"] == "k"
     out = run(spark, ns(cmd="vacuum", target=path))
     assert out["files_removed"] > 0
     assert LakeTable.load(spark, path).read().count() == 200
