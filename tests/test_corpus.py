@@ -157,3 +157,37 @@ def test_domain_stats_counts(spark):
     assert got["b.com"]["n_events"] == 1
     assert str(got["a.com"]["max_warc_ts"]).startswith("2024-01-03")
     assert url_domain(F.lit("x")) is not None  # expression constructs
+
+
+# --- canonicalization at ingest (composes at the source seam) ---------------------
+
+
+def test_canonicalize_at_ingest_collapses_url_variants(spark, tmp_path):
+    """The pipeline needs no plumbing for url hygiene: canonicalize the key
+    column on the changelog DataFrame before replay (the same seam any
+    source mapper uses) and cosmetic url variants merge onto ONE key —
+    final state equals the replay of the already-clean stream."""
+    import pyspark.sql.functions as FF
+
+    from airbyte_spark.sources.changelog import read_changelog
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    sf = "/root/testdata/sf0.001"
+    clean = read_changelog(spark, sf)
+    variant = FF.when(FF.col("_ab_cdc_lsn") % 3 == 1, FF.concat("url", FF.lit("#frag"))).when(
+        FF.col("_ab_cdc_lsn") % 3 == 2,
+        FF.concat("url", FF.lit("?utm_source=feed")),
+    ).otherwise(FF.col("url"))
+    messy = clean.withColumn("url", variant)
+
+    def final(ch, name):
+        pipe = CdcPipeline.create_target(spark, str(tmp_path / name), n_buckets=4)
+        pipe.replay(ch)
+        return sorted(
+            map(tuple, pipe.final_state().select("url", "warc_ts", "_ab_cdc_lsn").collect())
+        )
+
+    cleaned = messy.withColumn("url", canonicalize_url(FF.col("url")))
+    assert final(cleaned, "canon") == final(clean, "clean")
+    # sanity: WITHOUT canonicalization the variants fan out into extra keys
+    assert len(final(messy, "messy")) > len(final(clean, "clean2"))
