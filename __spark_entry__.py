@@ -630,6 +630,82 @@ def q_sync_respec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_sync_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DELETE (≡ Iceberg CoW DELETE / Delta DELETE
+    — the GDPR-erasure / bad-batch-purge op the reference's append-only
+    raw tables lack): stats-pruned planning finds candidate files, one
+    column-pruned pass finds files actually containing matches, only those
+    are rewritten (survivors), one atomic manifest commit swaps them. Cost
+    scales with the files the predicate touches, not with table size."""
+    from airbyte_spark.lake.dml import delete_where
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_dml_")
+    t = LakeTable.create(spark, base + "/events_del", src.schema, PartitionSpec())
+    for i in range(4):
+        t.append(
+            src.filter(F.col("event_id") % 4 == i),
+            checkpoint_key=f"seg-{i}",
+            stat_cols=["event_id"],
+        )
+    n_files = len(t.files())
+    res = delete_where(t, "event_type = 'error' OR user_id % 100 = 7")
+    assert 1 <= res["files_rewritten"] <= n_files
+    return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def q_sync_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic predicate backfill (≡ Delta replaceWhere / Iceberg
+    overwrite-by-filter): the 'purchase' region is deleted and re-inserted
+    with recomputed values in ONE snapshot — readers see the old region or
+    the new one, never a mix. Replacement rows outside the predicate are
+    rejected before staging."""
+    from airbyte_spark.lake.dml import replace_where
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_dml_")
+    t = LakeTable.create(spark, base + "/events_rw", src.schema, PartitionSpec())
+    for i in range(3):
+        t.append(src.filter(F.col("event_id") % 3 == i), checkpoint_key=f"seg-{i}")
+    replacement = src.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("user_id").cast("double")
+    )
+    res = replace_where(t, replacement, "event_type = 'purchase'")
+    assert res["rows_inserted"] == res["rows_deleted"]  # 1:1 backfill here
+    return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def q_sync_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename via field ids (≡ Iceberg ALTER TABLE ...
+    RENAME COLUMN; ≡ the reference's catalog-diff handling of a renamed
+    source field, which must NOT degrade to drop+add and lose history):
+    half the rows are written under the OLD name, the column is renamed
+    touching zero data files, the other half lands under the NEW name —
+    the read projects both generations onto the current name by field id."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_rename_")
+    t = LakeTable.create(spark, base + "/events_rn", src.schema, PartitionSpec())
+    t.append(src.filter(F.col("event_id") % 2 == 0), checkpoint_key="old-name")
+    files_before = {e.path for e in t.files()}
+    t.rename_column("value", "score")
+    assert {e.path for e in t.files()} == files_before  # no data rewrite
+    t.append(
+        src.filter(F.col("event_id") % 2 == 1).withColumnRenamed("value", "score"),
+        checkpoint_key="new-name",
+    )
+    return t.read().select("event_id", "ts", "user_id", "event_type", "score", "props")
+
+
 def q_sync_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental snapshot-diff consumption (≡ Iceberg incremental append
     scan; the lake table acting as a CDC *source* for downstream readers):
@@ -1048,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_clustered_prune": q_sync_clustered_prune,
         "sync_incremental_changes": q_sync_incremental_changes,
         "sync_respec_roundtrip": q_sync_respec_roundtrip,
+        "sync_delete_where": q_sync_delete_where,
+        "sync_replace_where": q_sync_replace_where,
+        "sync_rename_column": q_sync_rename_column,
         "src_http_offset": q_src_http_offset,
         "src_singer_roundtrip": q_src_singer_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1442,6 +1521,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sync_respec_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "sync_delete_where": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE COALESCE(event_type = 'error' OR user_id % 100 = 7, FALSE) = FALSE
+        """,
+        "sync_replace_where": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE event_type <> 'purchase'
+            UNION ALL
+            SELECT event_id, ts, user_id, event_type,
+                   CAST(user_id AS DOUBLE) AS value, props
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "sync_rename_column": """
+            SELECT event_id, ts, user_id, event_type, value AS score, props
+            FROM events
         """,
         "src_http_offset": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

@@ -1,0 +1,178 @@
+"""Row-level DML over LakeTable: copy-on-write DELETE and REPLACE WHERE.
+
+Parity: the reference resets/overwrites whole streams (EmptyAirbyteSource
+reset, DestinationSyncMode.OVERWRITE) and soft-deletes rows through CDC
+tombstones (_ab_cdc_deleted_at, stream_processor.py dedup rules); a lake
+destination additionally needs hard row-level DML — GDPR erasure, partition
+backfills — which Iceberg/Delta express as copy-on-write DELETE and
+`replaceWhere` overwrites. Re-expressed Spark-first here:
+
+- plan on the manifest (stats pruning) — zero data I/O,
+- ONE column-pruned pass finds the files that actually contain matches
+  (`input_file_name()` + the predicate; only predicate columns are read),
+- only those files are rewritten (survivor rows), everything else is
+  untouched metadata,
+- the swap is a single atomic manifest commit (remove matched files, add
+  rewritten survivors + replacement rows), CAS-protected like every commit.
+
+At 100 TB the cost is proportional to the files the predicate touches, not
+to the table: a cursor/key-ranged delete on a clustered table rewrites a
+handful of files; the find-matches pass scans only candidate files and only
+the predicate's columns.
+
+SQL three-valued logic is honored: DELETE removes rows where the predicate
+is TRUE; rows where it is FALSE **or NULL** survive (a bare `~p` filter
+would silently drop NULL-predicate rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from airbyte_spark.lake.format import FileEntry, LakeTable
+
+
+def _as_column(predicate: "str | Column") -> Column:
+    return F.expr(predicate) if isinstance(predicate, str) else predicate
+
+
+def _stat_cols(table: LakeTable, entries: list[FileEntry]) -> list[str]:
+    """Preserve stats coverage on rewrite: whatever columns the live files
+    carry min/max for, the rewritten files carry too (otherwise a delete
+    would silently degrade future pruning)."""
+    cols: list[str] = []
+    for e in entries:
+        for c in e.stats:
+            if c not in cols:
+                cols.append(c)
+    return cols
+
+
+def _matching_files(
+    table: LakeTable, pred: Column, candidates: list[FileEntry]
+) -> list[FileEntry]:
+    """The subset of candidate files that actually contain predicate-TRUE
+    rows — one column-pruned job (predicate columns + file identity only).
+    The collect is ≤ |candidates| short paths, a planning-sized result."""
+    if not candidates:
+        return []
+    hits = (
+        table.read(files=candidates)
+        .withColumn("_dml_file", F.input_file_name())
+        .filter(pred)
+        .select("_dml_file")
+        .distinct()
+        .collect()
+    )
+    # input_file_name is an absolute file: URI; manifest paths are relative
+    hit_suffixes = {os.path.basename(r["_dml_file"]) for r in hits}
+    return [e for e in candidates if os.path.basename(e.path) in hit_suffixes]
+
+
+def delete_where(
+    table: LakeTable,
+    predicate: "str | Column",
+    ranges: "dict[str, tuple] | None" = None,
+) -> dict:
+    """Copy-on-write DELETE: remove rows where `predicate` is TRUE.
+
+    `ranges` ({col: (lo, hi)}) is an optional stats-pruning hint: files
+    whose footer min/max provably miss the range are never even scanned by
+    the find-matches pass. Correctness never depends on it — the exact
+    predicate decides row fate; ranges only shrink the candidate set.
+
+    Returns {"version", "files_rewritten", "rows_deleted"}; a no-match
+    delete is a metadata no-op (no commit)."""
+    pred = _as_column(predicate)
+    candidates = table.prune(ranges) if ranges else table.files()
+    to_rewrite = _matching_files(table, pred, candidates)
+    if not to_rewrite:
+        return {
+            "version": table.current_version(),
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+    survivors = table.read(files=to_rewrite).filter(
+        ~F.coalesce(pred, F.lit(False))  # NULL predicate ⇒ row survives
+    )
+    spec = table.partition_spec()
+    entries = table._stage_write(
+        survivors,
+        _stat_cols(table, to_rewrite),
+        one_file_per_partition=not spec.fields,
+    )
+    rows_before = sum(e.rows for e in to_rewrite)
+    rows_after = sum(e.rows for e in entries)
+    version = table.commit(
+        entries,
+        removed_paths={e.path for e in to_rewrite},
+        operation="delete",
+        summary={
+            "rows_deleted": rows_before - rows_after,
+            "files_rewritten": len(to_rewrite),
+        },
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(to_rewrite),
+        "rows_deleted": rows_before - rows_after,
+    }
+
+
+def replace_where(
+    table: LakeTable,
+    replacement: DataFrame,
+    predicate: "str | Column",
+    ranges: "dict[str, tuple] | None" = None,
+) -> dict:
+    """Atomic partition/predicate backfill (≡ Delta `replaceWhere`, Iceberg
+    overwrite-by-filter): delete every row where `predicate` is TRUE and
+    insert `replacement`, in ONE snapshot — readers see either the old
+    region or the new one, never a mix.
+
+    Every replacement row must satisfy the predicate (otherwise the
+    operation would silently write outside the region it claims to replace)
+    — violations raise ValueError before anything is staged."""
+    pred = _as_column(predicate)
+    stray = replacement.filter(~F.coalesce(pred, F.lit(False))).limit(1).count()
+    if stray:
+        raise ValueError("replacement rows must satisfy the replace_where predicate")
+
+    candidates = table.prune(ranges) if ranges else table.files()
+    to_rewrite = _matching_files(table, pred, candidates)
+    survivors_entries: list[FileEntry] = []
+    stat_cols = _stat_cols(table, to_rewrite or candidates)
+    spec = table.partition_spec()
+    one_file = not spec.fields
+    if to_rewrite:
+        survivors = table.read(files=to_rewrite).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        survivors_entries = table._stage_write(survivors, stat_cols, one_file)
+
+    from airbyte_spark.lake.format import _align
+
+    new_entries = table._stage_write(
+        _align(replacement, table.schema()), stat_cols, one_file
+    )
+    rows_before = sum(e.rows for e in to_rewrite)
+    rows_kept = sum(e.rows for e in survivors_entries)
+    version = table.commit(
+        survivors_entries + new_entries,
+        removed_paths={e.path for e in to_rewrite},
+        operation="replace",
+        summary={
+            "rows_deleted": rows_before - rows_kept,
+            "rows_replaced": sum(e.rows for e in new_entries),
+            "files_rewritten": len(to_rewrite),
+        },
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(to_rewrite),
+        "rows_deleted": rows_before - rows_kept,
+        "rows_inserted": sum(e.rows for e in new_entries),
+    }

@@ -45,7 +45,7 @@ from typing import Any
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from airbyte_spark.schema import evolve
 
@@ -214,6 +214,11 @@ class LakeTable:
             "version": 1,
             "schema_id": 0,
             "schemas": {"0": json.loads(schema.json())},
+            # Iceberg-style field ids: column IDENTITY is the id, the name
+            # is a label. Renames are metadata-only; a re-added name gets a
+            # fresh id so dropped data never resurrects under it.
+            "field_ids": {"0": {f.name: i + 1 for i, f in enumerate(schema.fields)}},
+            "last_field_id": len(schema.fields),
             "partition_spec": (partition_spec or PartitionSpec()).to_json(),
             "files": [],
             "committed": {},  # checkpoint key -> commit summary
@@ -295,6 +300,25 @@ class LakeTable:
                 return current
             new_id = int(m["schema_id"]) + 1
             m["schemas"][str(new_id)] = json.loads(merged.json())
+            # existing names keep their field id (type widening is an
+            # in-place change); genuinely new names get fresh ids. A legacy
+            # manifest (no field_ids) bootstraps identity ids for its
+            # current sid FIRST — and stores them, so files already written
+            # under that sid stay id-mapped through later renames.
+            cur_ids = dict((m.get("field_ids") or {}).get(str(m["schema_id"])) or {})
+            if not cur_ids:
+                cur_ids = {f.name: i + 1 for i, f in enumerate(current.fields)}
+                m.setdefault("field_ids", {})[str(m["schema_id"])] = cur_ids
+            last = int(m.get("last_field_id") or max(cur_ids.values(), default=0))
+            new_ids = {}
+            for f in merged.fields:
+                if f.name in cur_ids:
+                    new_ids[f.name] = cur_ids[f.name]
+                else:
+                    last += 1
+                    new_ids[f.name] = last
+            m.setdefault("field_ids", {})[str(new_id)] = new_ids
+            m["last_field_id"] = last
             m["schema_id"] = new_id
             m["version"] += 1
             m["parent"] = m["version"] - 1
@@ -304,6 +328,68 @@ class LakeTable:
                 return merged
             except CommitConflict:
                 continue  # re-read the winner and re-apply the schema merge
+
+    def _commit_schema_change(self, build, operation: str) -> StructType:
+        """CAS loop for metadata-only schema commits: `build(current_schema,
+        current_ids)` returns (new_schema, new_ids) or raises."""
+        while True:
+            m = self.manifest()
+            current = StructType.fromJson(m["schemas"][str(m["schema_id"])])
+            cur_ids = dict(
+                (m.get("field_ids") or {}).get(str(m["schema_id"]))
+                or {f.name: i + 1 for i, f in enumerate(current.fields)}
+            )
+            new_schema, new_ids = build(current, cur_ids)
+            new_sid = int(m["schema_id"]) + 1
+            m["schemas"][str(new_sid)] = json.loads(new_schema.json())
+            m.setdefault("field_ids", {})[str(new_sid)] = new_ids
+            m.setdefault(
+                "last_field_id", max(new_ids.values()) if new_ids else 0
+            )
+            m["schema_id"] = new_sid
+            m["version"] += 1
+            m["parent"] = m["version"] - 1
+            m["operation"] = operation
+            try:
+                self._write_manifest(m)
+                return new_schema
+            except CommitConflict:
+                continue
+
+    def rename_column(self, old: str, new: str) -> StructType:
+        """Metadata-only column rename (≡ Iceberg ALTER TABLE ... RENAME
+        COLUMN): no file is touched — the field keeps its id, old files are
+        projected to the new name at read time via the id mapping."""
+
+        def build(current: StructType, ids: dict) -> tuple[StructType, dict]:
+            names = current.fieldNames()
+            if old not in names:
+                raise KeyError(f"no column {old!r} to rename")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            fields = [
+                StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in current.fields
+            ]
+            new_ids = {(new if k == old else k): v for k, v in ids.items()}
+            return StructType(fields), new_ids
+
+        return self._commit_schema_change(build, "rename-column")
+
+    def drop_column(self, name: str) -> StructType:
+        """Metadata-only column drop (≡ Iceberg ALTER TABLE ... DROP
+        COLUMN): files keep the bytes, reads stop projecting them. If a
+        later evolve re-adds the same NAME it gets a fresh field id, so the
+        dropped column's old values never resurrect under the new column."""
+
+        def build(current: StructType, ids: dict) -> tuple[StructType, dict]:
+            if name not in current.fieldNames():
+                raise KeyError(f"no column {name!r} to drop")
+            fields = [f for f in current.fields if f.name != name]
+            new_ids = {k: v for k, v in ids.items() if k != name}
+            return StructType(fields), new_ids
+
+        return self._commit_schema_change(build, "drop-column")
 
     # ---- reads ----
 
@@ -324,6 +410,8 @@ class LakeTable:
         columns, cast widened ones) — evolution without rewrites."""
         m = self.manifest(version)
         target = StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        all_ids = m.get("field_ids") or {}
+        target_ids = all_ids.get(str(m["schema_id"]))
         entries = files if files is not None else [FileEntry.from_json(d) for d in m["files"]]
         if not entries:
             return self.spark.createDataFrame([], target)
@@ -334,7 +422,14 @@ class LakeTable:
         for sid, paths in by_schema.items():
             written = StructType.fromJson(m["schemas"][str(sid)])
             df = self.spark.read.schema(written).parquet(*paths)
-            parts.append(_align(df, target))
+            written_ids = all_ids.get(str(sid))
+            if target_ids and written_ids:
+                # field-id projection: a renamed column maps old file name →
+                # current name; a name reused after a drop has a different
+                # id, so old bytes stay NULL under it
+                parts.append(_align_by_id(df, target, written_ids, target_ids))
+            else:  # legacy generation without ids — name-based alignment
+                parts.append(_align(df, target))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -884,6 +979,29 @@ class LakeTable:
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def _align_by_id(
+    df: DataFrame,
+    target: StructType,
+    written_ids: dict[str, int],
+    target_ids: dict[str, int],
+) -> DataFrame:
+    """Project df (one file generation) onto target by FIELD ID: for each
+    target field, read the written column carrying the same id (whatever it
+    was named then), cast if widened, NULL-fill ids the file predates."""
+    by_id = {v: k for k, v in written_ids.items()}
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        src = by_id.get(target_ids.get(f.name))
+        if src is None or src not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[src].dataType != f.dataType:
+            cols.append(F.col(src).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(src).alias(f.name))
+    return df.select(*cols)
 
 
 def _align(df: DataFrame, target: StructType) -> DataFrame:
