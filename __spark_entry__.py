@@ -1019,6 +1019,32 @@ def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_split(docs.select("doc_id")).select("doc_id", "split")
 
 
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-then-chunk sequence packing for training-shard export:
+    docs are md5-sharded, laid back-to-back on a per-shard token tape, and
+    each doc gets the (seq_id, offset) where it starts. One shuffle (hash
+    by shard for the cumulative-sum window); token counting is a vectorized
+    regex fused into the scan (operators/corpus.py pack_sequences)."""
+    from airbyte_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, max_tokens=2048, n_shards=16)
+
+
+def q_doc_quota_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus quota (mix balancing before training): the exact
+    top-50 docs per lang by (n_chars desc, doc_id). Salted two-phase top-k —
+    local rank within (lang, input slice) prunes to ≤ quota×slices rows,
+    the true rank sorts only the survivors, so a hot language never becomes
+    one straggler task (operators/corpus.py quota_by_group)."""
+    from airbyte_spark.operators.corpus import quota_by_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quota_by_group(
+        docs, group_col="lang", quota=50, order_col="n_chars"
+    ).select("doc_id", "lang", "n_chars", "rank")
+
+
 def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level stats a shard-export step reports: doc count, total
     chars, and exact discrete length percentiles (smallest value with
@@ -1151,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_segment_dedup": q_doc_segment_dedup,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_train_split": q_doc_train_split,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_quota_by_lang": q_doc_quota_by_lang,
         "doc_corpus_stats": q_doc_corpus_stats,
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
@@ -2008,6 +2036,33 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "doc_pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 16 AS shard,
+                     CAST(len(regexp_extract_all(text, '{_TOKEN_PAT}')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM t)
+            SELECT doc_id, shard, n_tokens,
+                   CAST(cum // 2048 AS BIGINT) AS seq_id,
+                   CAST(cum % 2048 AS BIGINT) AS "offset"
+            FROM c
+        """,
+        "doc_quota_by_lang": """
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+              FROM documents)
+            SELECT doc_id, lang, n_chars, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 50
         """,
         "doc_corpus_stats": """
             WITH s AS (SELECT n_chars,

@@ -185,3 +185,91 @@ def train_split(
         .when(h < boundaries[1], names[1])
         .otherwise(names[2]),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Greedy concat-then-chunk sequence packing for training-shard export.
+
+    Documents are deterministically sharded (md5 of the id — replay- and
+    reshard-stable, no RNG), ordered by id within a shard, and laid out
+    back-to-back on a token tape; sequence k of a shard is tape range
+    [k*max_tokens, (k+1)*max_tokens). Each document is assigned to the
+    sequence where it STARTS (`seq_id`) with its tape `offset`, the
+    concat-then-chunk convention used by packed-pretraining loaders (a doc
+    may run past the boundary into the next sequence; the loader splits at
+    read time from (offset, n_tokens)).
+
+    Scale shape (100 TB): token counting is a vectorized regex fused into
+    the scan; the only shuffle is ONE hash partition by `shard` for the
+    cumulative-sum window — shard count bounds per-task sort size, so set
+    n_shards ≈ cluster cores at scale (packing quality is unaffected;
+    each shard is an independent tape). No Python, no collect.
+    """
+    from airbyte_spark.operators.textops import token_count
+
+    # ascii of one md5 hex char % n_shards: portable to any engine
+    shard = (
+        F.ascii(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1))
+        % F.lit(n_shards)
+    ).alias("shard")
+    t = df.select(
+        F.col(id_col),
+        shard,
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / F.lit(max_tokens)).alias("seq_id"),
+        (cum_before % F.lit(max_tokens)).alias("offset"),
+    )
+
+
+def quota_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    quota: int = 100,
+    order_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact top-`quota` rows per group (corpus language/domain balancing).
+
+    Keeps the `quota` best rows of each group under the total order
+    (order_col DESC, id ASC) — the standard per-language/per-domain cap a
+    corpus mix applies before training.
+
+    Scale shape (100 TB): a plain window rank sorts each ENTIRE group in
+    one task (a hot language = one straggler). Instead: a salted local
+    top-k first — rank within (group, input partition) and keep ≤ quota
+    per slice, which is exact (every global top-quota row is in its
+    slice's top-quota) — then the true rank over the ≤ quota×n_slices
+    survivors. The heavy first pass parallelizes across slices; only the
+    small survivor set pays the per-group sort.
+    """
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    local = Window.partitionBy(group_col, "_slice").orderBy(*order)
+    pruned = (
+        df.withColumn("_slice", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= quota)
+        .drop("_slice", "_lrn")
+    )
+    final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= quota)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+    )

@@ -191,3 +191,106 @@ def test_canonicalize_at_ingest_collapses_url_variants(spark, tmp_path):
     assert final(cleaned, "canon") == final(clean, "clean")
     # sanity: WITHOUT canonicalization the variants fan out into extra keys
     assert len(final(messy, "messy")) > len(final(clean, "clean2"))
+
+
+# --- pack_sequences ---------------------------------------------------------------
+
+
+def _py_pack(rows, max_tokens, n_shards):
+    """Pure-Python reference of the concat-then-chunk packing rule."""
+    import re
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+    by_shard = {}
+    for doc_id, text in rows:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        shard = ord(h[0]) % n_shards
+        by_shard.setdefault(shard, []).append((doc_id, len(pat.findall(text))))
+    out = {}
+    for shard, docs in by_shard.items():
+        cum = 0
+        for doc_id, n in sorted(docs):
+            out[doc_id] = (shard, n, cum // max_tokens, cum % max_tokens)
+            cum += n
+    return out
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    from airbyte_spark.operators.corpus import pack_sequences
+
+    rows = [(i, f"doc {i} " + "word " * (i % 37) + "end.") for i in range(200)]
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["seq_id"], r["offset"])
+        for r in pack_sequences(
+            _docs(spark, rows), max_tokens=64, n_shards=4
+        ).collect()
+    }
+    assert got == _py_pack(rows, 64, 4)
+
+
+def test_pack_sequences_tape_is_gapless(spark):
+    """Within a shard, doc k's offset must equal the previous tape end
+    (mod max_tokens) — the packing leaves no holes and no overlaps."""
+    from airbyte_spark.operators.corpus import pack_sequences
+
+    rows = [(i, "x " * (1 + i % 53)) for i in range(300)]
+    out = pack_sequences(_docs(spark, rows), max_tokens=128, n_shards=2).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        tape = by_shard.get(r["shard"], 0)
+        assert r["seq_id"] == tape // 128 and r["offset"] == tape % 128
+        by_shard[r["shard"]] = tape + r["n_tokens"]
+
+
+def test_pack_sequences_stable_under_resharding(spark):
+    """Assignment is a pure function of (id, text): repartitioning the
+    input must not change a single row."""
+    from airbyte_spark.operators.corpus import pack_sequences
+
+    rows = [(i, "tok " * (1 + i % 11)) for i in range(150)]
+    a = sorted(map(tuple, pack_sequences(_docs(spark, rows)).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(_docs(spark, rows).repartition(13)).collect())
+    )
+    assert a == b
+
+
+# --- quota_by_group ---------------------------------------------------------------
+
+
+def test_quota_by_group_exact_vs_plain_window(spark):
+    """The salted two-phase form must equal the single-window definition."""
+    from airbyte_spark.operators.corpus import quota_by_group
+
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], float((i * 7919) % 100)) for i in range(400)
+    ]
+    # heavy tie block to exercise the (score desc, id asc) total order
+    rows += [(1000 + i, "en", 50.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, quality_score double")
+    got = sorted(
+        map(
+            tuple,
+            quota_by_group(df, quota=25).select(
+                "doc_id", "lang", "rank"
+            ).collect(),
+        )
+    )
+    want = []
+    by_lang = {}
+    for doc_id, lang, q in rows:
+        by_lang.setdefault(lang, []).append((-q, doc_id))
+    for lang, items in by_lang.items():
+        for rank, (_, doc_id) in enumerate(sorted(items)[:25], 1):
+            want.append((doc_id, lang, rank))
+    assert got == sorted(want)
+
+
+def test_quota_by_group_small_groups_pass_through(spark):
+    from airbyte_spark.operators.corpus import quota_by_group
+
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, "de", 2.0)],
+        "doc_id bigint, lang string, quality_score double",
+    )
+    assert quota_by_group(df, quota=10).count() == 2
