@@ -706,6 +706,45 @@ def q_sync_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "score", "props")
 
 
+def q_sync_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT/MIN/MAX (≡ Iceberg snapshot-summary fast path):
+    the answer is folded from per-file parquet-footer stats recorded in the
+    manifest at write time — no Spark job, no data file opened. The oracle
+    computes the same aggregates by scanning, proving the footer fold is
+    exact, not approximate."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_stats_")
+    t = LakeTable.create(spark, base + "/events_st", src.schema, PartitionSpec())
+    for i in range(3):
+        t.append(
+            src.filter(F.col("event_id") % 3 == i),
+            checkpoint_key=f"seg-{i}",
+            stat_cols=["event_id", "user_id", "value"],
+        )
+    s = t.stats_summary()
+    c = s["columns"]
+    row = [
+        (
+            int(s["rows"]),
+            int(c["event_id"]["min"]),
+            int(c["event_id"]["max"]),
+            int(c["user_id"]["min"]),
+            int(c["user_id"]["max"]),
+            float(c["value"]["min"]),
+            float(c["value"]["max"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_rows bigint, min_event_id bigint, max_event_id bigint, "
+        "min_user_id bigint, max_user_id bigint, min_value double, max_value double",
+    )
+
+
 def q_sync_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental snapshot-diff consumption (≡ Iceberg incremental append
     scan; the lake table acting as a CDC *source* for downstream readers):
@@ -1153,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_delete_where": q_sync_delete_where,
         "sync_replace_where": q_sync_replace_where,
         "sync_rename_column": q_sync_rename_column,
+        "sync_metadata_stats": q_sync_metadata_stats,
         "src_http_offset": q_src_http_offset,
         "src_singer_roundtrip": q_src_singer_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1564,6 +1604,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sync_rename_column": """
             SELECT event_id, ts, user_id, event_type, value AS score, props
+            FROM events
+        """,
+        "sync_metadata_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+                   MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
+                   MIN(value) AS min_value, MAX(value) AS max_value
             FROM events
         """,
         "src_http_offset": """

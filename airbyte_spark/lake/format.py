@@ -399,6 +399,39 @@ class LakeTable:
     def files(self, version: int | None = None) -> list[FileEntry]:
         return [FileEntry.from_json(d) for d in self.manifest(version)["files"]]
 
+    def stats_summary(self, version: int | None = None) -> dict:
+        """Metadata-only table stats (≡ Iceberg snapshot summary / the
+        count(*) fast path a catalog answers without scanning): row count,
+        byte size, file count, and per-column global min/max folded over
+        the per-file parquet-footer stats. Pure manifest arithmetic —
+        no Spark job, no data file opened; at 100 TB this is the
+        difference between answering COUNT/MIN/MAX in milliseconds and
+        scanning the table. Columns appear only if EVERY live file
+        carries their stats (a partial fold would be wrong, not
+        approximate). min/max ignore NULLs (parquet footer semantics,
+        same as SQL aggregates)."""
+        entries = self.files(version)
+        cols: dict[str, dict] = {}
+        universal: set[str] | None = None
+        for e in entries:
+            have = {c for c, mm in e.stats.items() if mm.get("min") is not None}
+            universal = have if universal is None else (universal & have)
+        for e in entries:
+            for c in universal or set():
+                mm = e.stats[c]
+                cur = cols.get(c)
+                if cur is None:
+                    cols[c] = {"min": mm["min"], "max": mm["max"]}
+                else:
+                    cur["min"] = min(cur["min"], mm["min"])
+                    cur["max"] = max(cur["max"], mm["max"])
+        return {
+            "rows": sum(e.rows for e in entries),
+            "bytes": sum(e.bytes for e in entries),
+            "files": len(entries),
+            "columns": cols,
+        }
+
     def read(
         self,
         version: int | None = None,

@@ -1,0 +1,73 @@
+"""Metadata-only stats: COUNT/MIN/MAX answered from the manifest alone.
+
+≡ Iceberg snapshot-summary fast path: the fold over per-file footer stats
+must be exact vs a full scan, must survive the data files being physically
+unreachable (the proof nothing is scanned), and must refuse to report a
+column any live file lacks stats for (exact-or-absent, never approximate).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+
+def _table(spark, sf_dir, tmp_path, stat_cols):
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), src.schema, PartitionSpec())
+    for i in range(3):
+        t.append(
+            src.filter(F.col("event_id") % 3 == i),
+            checkpoint_key=f"s{i}",
+            stat_cols=stat_cols,
+        )
+    return t, src
+
+
+def test_summary_matches_full_scan(spark, sf_dir, tmp_path):
+    t, src = _table(spark, sf_dir, tmp_path, ["event_id", "value"])
+    s = t.stats_summary()
+    agg = src.agg(
+        F.count("*"), F.min("event_id"), F.max("event_id"),
+        F.min("value"), F.max("value"),
+    ).first()
+    assert s["rows"] == agg[0]
+    assert s["columns"]["event_id"] == {"min": agg[1], "max": agg[2]}
+    assert s["columns"]["value"]["min"] == agg[3]
+    assert s["columns"]["value"]["max"] == agg[4]
+    assert s["files"] == len(t.files()) and s["bytes"] > 0
+
+
+def test_summary_needs_no_data_files(spark, sf_dir, tmp_path):
+    """Rename every data file away: the summary must still answer (it is
+    manifest arithmetic), while an actual read would now fail."""
+    t, _ = _table(spark, sf_dir, tmp_path, ["event_id"])
+    before = t.stats_summary()
+    for e in t.files():
+        p = os.path.join(t.path, e.path)
+        os.rename(p, p + ".hidden")
+    assert t.stats_summary() == before
+
+
+def test_partial_stat_coverage_drops_column(spark, sf_dir, tmp_path):
+    """A column missing stats in ANY live file must not appear — a partial
+    fold would be silently wrong."""
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), src.schema, PartitionSpec())
+    t.append(src.limit(50), checkpoint_key="a", stat_cols=["event_id", "value"])
+    t.append(src.limit(50), checkpoint_key="b", stat_cols=["event_id"])
+    s = t.stats_summary()
+    assert "event_id" in s["columns"] and "value" not in s["columns"]
+
+
+def test_empty_table_summary(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    t = LakeTable.create(spark, str(tmp_path / "t"), src.schema, PartitionSpec())
+    assert t.stats_summary() == {"rows": 0, "bytes": 0, "files": 0, "columns": {}}
