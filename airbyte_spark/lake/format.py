@@ -193,9 +193,12 @@ def _collect_parquet_stats(
 class LakeTable:
     """Handle to one lake table. Cheap to construct; state lives on disk."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, branch: str | None = None):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # non-None: this handle's commits land on an isolated branch chain
+        # under _lake/branches/<name>/ (see create_branch — WAP staging)
+        self._branch = branch
 
     # ---- lifecycle ----
 
@@ -245,11 +248,15 @@ class LakeTable:
 
     # ---- manifest I/O ----
 
+    def _meta_dir(self) -> str:
+        d = os.path.join(self.path, _LAKE_DIR)
+        return os.path.join(d, "branches", self._branch) if self._branch else d
+
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.path, _LAKE_DIR, f"v{version:09d}.json")
+        return os.path.join(self._meta_dir(), f"v{version:09d}.json")
 
     def current_version(self) -> int | None:
-        d = os.path.join(self.path, _LAKE_DIR)
+        d = self._meta_dir()
         if not os.path.isdir(d):
             return None
         versions = [
@@ -390,6 +397,74 @@ class LakeTable:
             return StructType(fields), new_ids
 
         return self._commit_schema_change(build, "drop-column")
+
+    # ---- branches (write-audit-publish) ----
+
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork an isolated commit line at the current snapshot (≡ Iceberg
+        branch + the WAP pattern: stage risky writes on a branch, audit
+        them with real reads, publish atomically or drop without trace).
+        The returned handle is a full LakeTable — append, merge, DML and
+        schema changes all work; staged data files land in the shared data
+        dir but are referenced only by branch manifests until publish, so
+        main readers never see them. Branch name creation is CAS (mkdir)."""
+        if self._branch:
+            raise ValueError("nested branches are not supported")
+        m = self.manifest()
+        try:
+            os.makedirs(os.path.join(self.path, _LAKE_DIR, "branches", name))
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists")
+        bm = dict(m)
+        bm["branch"] = name
+        bm["branch_base"] = m["version"]
+        bm["operation"] = "create-branch"
+        bt = self.branch(name)
+        bt._write_manifest(bm)
+        return bt
+
+    def branch(self, name: str) -> "LakeTable":
+        """Handle onto an existing branch's commit line."""
+        return LakeTable(self.spark, self.path, branch=name)
+
+    def branches(self) -> list[str]:
+        d = os.path.join(self.path, _LAKE_DIR, "branches")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def publish_branch(self, name: str) -> int:
+        """Atomic fast-forward publish (the P of WAP): main adopts the
+        branch HEAD as its next version in one CAS manifest write — readers
+        see none of the branch's work before, all of it after. Requires
+        main unchanged since the fork (Iceberg's fast-forward rule): a
+        concurrent main commit raises CommitConflict and the branch stays
+        intact (recreate it from the new base to rebase). Manifests are
+        self-contained snapshots, so the head alone carries the branch's
+        full state no matter how many audit-fix commits it took."""
+        bm = self.branch(name).manifest()
+        main_v = self.current_version()
+        if main_v != bm.get("branch_base"):
+            raise CommitConflict(
+                f"main advanced to v{main_v} since branch base "
+                f"v{bm.get('branch_base')}; recreate the branch to rebase"
+            )
+        pm = dict(bm)
+        pm.pop("branch", None)
+        pm.pop("branch_base", None)
+        pm["version"] = main_v + 1
+        pm["parent"] = main_v
+        pm["operation"] = f"publish-branch:{name}"
+        v = self._write_manifest(pm)  # CAS: a racing main commit loses here
+        self.drop_branch(name)
+        return v
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch: its manifest chain vanishes; data files only
+        it referenced become unreferenced and the next vacuum removes
+        them. Main history is untouched."""
+        shutil.rmtree(
+            os.path.join(self.path, _LAKE_DIR, "branches", name),
+            ignore_errors=True,
+        )
 
     # ---- reads ----
 
@@ -998,6 +1073,10 @@ class LakeTable:
         """Delete data files not referenced by the current snapshot
         (time travel to older versions is lost for removed files)."""
         live = {f.path for f in self.files()}
+        # staged-but-unpublished branch work is live too: a vacuum on main
+        # must never delete files an open branch head references
+        for b in self.branches():
+            live |= {f.path for f in self.branch(b).files()}
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_root):
