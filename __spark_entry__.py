@@ -318,6 +318,63 @@ def q_cdc_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope → change-record flatten (≡ DebeziumEventUtils.
+    toAirbyteMessage, bases/debezium/.../DebeziumEventUtils.java:22-65):
+    raw JSON envelopes are built deterministically from `events` (deletes
+    carry a before-image, inserts/updates an after-image, source block
+    holds tx time + lsn; ~0.1% malformed), parsed JVM-side with from_json,
+    flattened per op semantics; malformed envelopes route to the
+    dead-letter split instead of surfacing. The oracle derives the same
+    records straight from `events` — the JSON round trip must be exact."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from airbyte_spark.sources.debezium import parse_debezium, split_dead_letters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp")).cast("string")
+    payload = F.concat(
+        F.lit('{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"etype":"'),
+        F.col("event_type"),
+        F.lit('","val":'),
+        F.col("value").cast("string"),
+        F.lit("}"),
+    )
+    is_del = F.col("event_type") == "error"
+    op = F.when(is_del, "d").when(F.col("event_id") % 3 == 0, "c").otherwise("u")
+    envelope = F.concat(
+        F.lit('{"before":'),
+        F.when(is_del, payload).otherwise(F.lit("null")),
+        F.lit(',"after":'),
+        F.when(is_del, F.lit("null")).otherwise(payload),
+        F.lit(',"op":"'),
+        op,
+        F.lit('","ts_ms":'),
+        ts_ms,
+        F.lit(',"source":{"ts_ms":'),
+        ts_ms,
+        F.lit(',"lsn":'),
+        F.col("event_id").cast("string"),
+        F.lit("}}"),
+    )
+    raw = ev.select(
+        F.when(F.col("event_id") % 997 == 0, F.lit('{"oops"'))
+        .otherwise(envelope)
+        .alias("value")
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("etype", StringType(), True),
+            StructField("val", DoubleType(), True),
+        ]
+    )
+    good, _dead = split_dead_letters(parse_debezium(raw, schema))
+    return good
+
+
 def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join (operators/temporal.py): for each click event,
     the page version in force at click time — latest warc_ts ≤ event_ts
@@ -678,6 +735,33 @@ def q_sync_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = replace_where(t, replacement, "event_type = 'purchase'")
     assert res["rows_inserted"] == res["rows_deleted"]  # 1:1 backfill here
+    return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def q_sync_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (≡ Iceberg branches + the WAP pattern; ≡ the
+    reference's tmp-table-then-atomic-swap finalize generalized to multi
+    -commit staging): a risky ingest lands on an isolated branch, the
+    audit DELETEs bad rows there, publish fast-forwards main in one CAS
+    manifest write. Main's reads are asserted unchanged while the branch
+    holds staged work; the final state must equal the oracle's view of
+    'both batches, minus audited-out rows'."""
+    from airbyte_spark.lake.dml import delete_where
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_wap_")
+    t = LakeTable.create(spark, base + "/events_wap", src.schema, PartitionSpec())
+    t.append(src.filter(F.col("event_id") % 3 == 0), checkpoint_key="main-0")
+    main_version = t.current_version()
+    br = t.create_branch("audit")
+    br.append(src.filter(F.col("event_id") % 3 == 1), checkpoint_key="wap-1")
+    # audit ON THE BRANCH: purge rows that must never reach main readers
+    delete_where(br, "event_type = 'error'")
+    assert t.current_version() == main_version  # main saw none of it
+    t.publish_branch("audit")
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
@@ -1175,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_type_widening": q_cdc_type_widening,
         "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_timestamp_parse": q_cdc_timestamp_parse,
+        "cdc_debezium_parse": q_cdc_debezium_parse,
         "cdc_asof_join": q_cdc_asof_join,
         "evt_sessionize": q_evt_sessionize,
         "sync_identifier_normalize": q_sync_identifier_normalize,
@@ -1191,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_respec_roundtrip": q_sync_respec_roundtrip,
         "sync_delete_where": q_sync_delete_where,
         "sync_replace_where": q_sync_replace_where,
+        "sync_wap_branch": q_sync_wap_branch,
         "sync_rename_column": q_sync_rename_column,
         "sync_metadata_stats": q_sync_metadata_stats,
         "src_http_offset": q_src_http_offset,
@@ -1477,6 +1563,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN var = 5 THEN NULL ELSE tsec END AS parsed
             FROM v
         """,
+        "cdc_debezium_parse": """
+            SELECT user_id AS id,
+                   event_type AS etype,
+                   value AS val,
+                   epoch_ms(ts) AS _ab_cdc_updated_at_ms,
+                   CASE WHEN event_type = 'error' THEN epoch_ms(ts) END
+                     AS _ab_cdc_deleted_at_ms,
+                   event_id AS _ab_cdc_lsn
+            FROM events
+            WHERE event_id % 997 <> 0  -- malformed envelopes → dead letters
+        """,
         "cdc_asof_join": f"""
             WITH ch AS ({_CH}),
             v AS (SELECT url, warc_ts, _ab_cdc_lsn AS page_lsn,
@@ -1601,6 +1698,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type,
                    CAST(user_id AS DOUBLE) AS value, props
             FROM events WHERE event_type = 'purchase'
+        """,
+        "sync_wap_branch": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE event_id % 3 IN (0, 1) AND event_type <> 'error'
         """,
         "sync_rename_column": """
             SELECT event_id, ts, user_id, event_type, value AS score, props
