@@ -665,6 +665,35 @@ def q_sync_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_where(ranges)
 
 
+def q_sync_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column Z-ORDER rewrite (LakeTable.cluster(zorder=True) ≡ Delta
+    OPTIMIZE ... ZORDER BY / Iceberg z-order rewrite): lexicographic sort
+    makes stats pruning selective on the FIRST sort column only; Morton
+    interleaving of per-column quantile buckets (one approxQuantile sketch
+    pass, then pure column expressions) makes every file a narrow
+    hyper-rectangle so range reads prune on EITHER column. The query
+    asserts a second-column range read actually skips files post-rewrite,
+    then returns it — which must equal the plain SQL filter."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_zorder_")
+    t = LakeTable.create(spark, base + "/events_z", src.schema, PartitionSpec())
+    for i in range(5):  # id-striped ingest: worst case for any pruning
+        t.append(
+            src.filter(F.col("event_id") % 5 == i),
+            checkpoint_key=f"stripe-{i}",
+            stat_cols=["event_id", "user_id"],
+        )
+    u_hi = int(src.agg(F.floor(F.max("user_id") / 8)).collect()[0][0])
+    ranges = {"user_id": (0, u_hi)}
+    t.cluster(["event_id", "user_id"], target_file_bytes=64 * 1024, zorder=True)
+    assert len(t.prune(ranges)) < len(t.files()), "z-order must prune dim 2"
+    return t.read_where(ranges)
+
+
 def q_sync_respec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution (≡ Iceberg REPLACE PARTITION FIELD +
     rewriteDataFiles): grow the bucket count 2→8 in one atomic commit —
@@ -1190,6 +1219,26 @@ def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training + tokenization (operators/bpe.py): learn a
+    merge table from the corpus (ONE distributed pass — word-type counting,
+    the Sennrich trick that makes 100 TB training tractable — then a
+    driver-side merge loop over the capped, aggregated type table), then
+    tokenize every doc with an Arrow-batched pandas UDF (ranks broadcast in
+    the closure, per-word memoization per batch; fuses into the scan).
+
+    Not SQL-expressible (iterative global-argmax loop) → no DuckDB oracle;
+    the rows-only driver check still pins count/schema, and
+    tests/test_bpe.py pins exact equivalence to naive corpus-level BPE."""
+    from airbyte_spark.operators.bpe import train_bpe, with_bpe_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, num_merges=128, max_word_types=50_000)
+    return with_bpe_tokens(docs, merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 def q_cdc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain stream stats (events, distinct pages, deletes, cursor
     high-water mark) — the hot-domain skew-detection input the north_star
@@ -1272,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_time_travel": q_sync_time_travel,
         "sync_pruned_read": q_sync_pruned_read,
         "sync_clustered_prune": q_sync_clustered_prune,
+        "sync_zorder_prune": q_sync_zorder_prune,
         "sync_incremental_changes": q_sync_incremental_changes,
         "sync_respec_roundtrip": q_sync_respec_roundtrip,
         "sync_delete_where": q_sync_delete_where,
@@ -1306,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_quota_by_lang": q_doc_quota_by_lang,
         "doc_corpus_stats": q_doc_corpus_stats,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
     }
@@ -1679,6 +1730,12 @@ def oracle_sql() -> dict[str, str]:
         "sync_clustered_prune": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
             WHERE event_id BETWEEN 2500 AND 4999
+        """,
+        "sync_zorder_prune": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE user_id >= 0
+              AND user_id <= (SELECT CAST(floor(max(user_id) / 8.0) AS BIGINT)
+                              FROM events)
         """,
         "sync_incremental_changes": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

@@ -950,6 +950,8 @@ class LakeTable:
         self,
         sort_cols: list[str],
         target_file_bytes: int = 128 * 1024 * 1024,
+        zorder: bool = False,
+        zorder_bits: int = 5,
     ) -> int:
         """Sort-order rewrite (≡ Iceberg rewriteDataFiles with a sort
         strategy / Delta OPTIMIZE ... ZORDER BY for the 1-2 column case):
@@ -970,6 +972,17 @@ class LakeTable:
         compact(), run at the same maintenance cadence, amortized across
         every subsequent range read. Raises CommitConflict if files were
         committed concurrently (same invariant as rewrite_partition_spec).
+
+        `zorder=True` (≡ Delta OPTIMIZE ... ZORDER BY / Iceberg z-order
+        rewrite strategy, for 2+ NUMERIC sort columns): instead of the
+        lexicographic order — which makes pruning selective on the FIRST
+        column only — rows order by an interleaved-bit z-value over
+        per-column quantile-bucket ids, so every file covers a narrow
+        hyper-rectangle and range reads prune on ANY of the columns.
+        Bucket boundaries come from one distributed approxQuantile pass
+        (Greenwald-Khanna sketch — no extra shuffle); `zorder_bits` bits
+        per column (default 32 buckets). NULLs bucket to 0 (files holding
+        NULLs are never range-matched anyway — prune() semantics).
         """
         old_entries = self.files()
         if not old_entries:
@@ -980,12 +993,25 @@ class LakeTable:
         n_out = max(
             1, -(-sum(e.bytes for e in old_entries) // target_file_bytes)
         )
-        keys = [f.expr() for f in spec.fields] + [F.col(c) for c in sort_cols]
-        arranged = (
-            self.read()
-            .repartitionByRange(int(n_out), *keys)
-            .sortWithinPartitions(*keys)
-        )
+        live = self.read()
+        if zorder and len(sort_cols) >= 2:
+            zcol = _zvalue_expr(live, sort_cols, zorder_bits)
+            keys = [f.expr() for f in spec.fields] + [zcol]
+            arranged = (
+                live.withColumn("_zv", zcol)
+                .repartitionByRange(
+                    int(n_out), *[f.expr() for f in spec.fields], F.col("_zv")
+                )
+                .sortWithinPartitions(*[f.expr() for f in spec.fields], F.col("_zv"))
+                .drop("_zv")
+            )
+        else:
+            keys = [f.expr() for f in spec.fields] + [F.col(c) for c in sort_cols]
+            arranged = (
+                self.read()
+                .repartitionByRange(int(n_out), *keys)
+                .sortWithinPartitions(*keys)
+            )
         staged = self._stage_write(
             arranged, stat_cols, one_file_per_partition=False
         )
@@ -1000,7 +1026,11 @@ class LakeTable:
                 )
             m["files"] = added_json
             m["operation"] = "cluster"
-            m.setdefault("properties", {})["sort.order"] = ",".join(sort_cols)
+            m.setdefault("properties", {})["sort.order"] = (
+                f"zorder({','.join(sort_cols)})"
+                if zorder and len(sort_cols) >= 2
+                else ",".join(sort_cols)
+            )
             m["commit"] = {
                 "key": None,
                 "rows_written": sum(e.rows for e in staged),
@@ -1128,3 +1158,33 @@ def _align(df: DataFrame, target: StructType) -> DataFrame:
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
+
+
+def _zvalue_expr(df: DataFrame, cols: list[str], bits: int) -> "F.Column":
+    """Interleaved-bit z-value over per-column quantile buckets.
+
+    One distributed approxQuantile pass (GK sketch, driver gets ≤2^bits
+    boundaries per column) fixes bucket edges; the bucket id per row is a
+    pure when-chain (whole-stage codegen), and the z-value interleaves the
+    ids' bits so lexicographic order on it is Morton order. Everything
+    after the sketch is a scan-fused column expression — the clustering
+    shuffle itself is the only data movement.
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    all_bounds = df.approxQuantile(cols, probs, 0.001)
+    bucket_ids = []
+    for col, bounds in zip(cols, all_bounds):
+        c = F.col(col)
+        bid = F.lit(0)
+        # strictly-increasing boundary subset (duplicate quantiles collapse)
+        uniq = sorted(set(bounds))
+        for i, b in enumerate(uniq):
+            bid = F.when(c > F.lit(b), F.lit(i + 1)).otherwise(bid)
+        bucket_ids.append(F.when(c.isNull(), F.lit(0)).otherwise(bid).cast("long"))
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, bid in enumerate(bucket_ids):
+            bit = F.shiftright(bid, j).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, j * len(bucket_ids) + i)
+    return z

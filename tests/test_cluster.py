@@ -88,3 +88,60 @@ def test_cluster_conflicts_with_concurrent_append(spark):
         t.__class__._stage_write = orig_stage
     # the concurrent append is intact
     assert "late" in t2.committed()
+
+
+def test_zorder_cluster_prunes_on_both_columns(spark):
+    """Lexicographic sort makes pruning selective on the FIRST column only;
+    z-order must be selective on EACH column, at equal data."""
+    tmp = tempfile.mkdtemp(prefix="zorder_")
+    t, events = _striped_table(spark, tmp)
+    # stats on both dims from here on
+    # sf0.001 events: event_id 0-999, user_id 0-14 — keep each probe range
+    # well under half its domain so per-file half-range coverage can prune
+    rng_id = {"event_id": (100, 199)}
+    rng_user = {"user_id": (0, 2)}
+
+    before = sorted(map(tuple, t.read().collect()))
+    v_lex = t.cluster(["event_id", "user_id"], target_file_bytes=2 * 1024)
+    # re-stat with user_id included for a fair comparison
+    lex_files = len(t.files())
+    lex_kept_user = len(t.prune(rng_user))
+
+    t.cluster(["event_id", "user_id"], target_file_bytes=2 * 1024, zorder=True)
+    assert t.properties()["sort.order"] == "zorder(event_id,user_id)"
+    assert sorted(map(tuple, t.read().collect())) == before  # layout-only
+
+    n_files = len(t.files())
+    assert n_files > 4
+    kept_id = len(t.prune(rng_id))
+    kept_user = len(t.prune(rng_user))
+    # selective on BOTH dimensions (each range covers ~10-20% of its domain)
+    assert kept_id < n_files
+    assert kept_user < n_files
+    # and strictly better than lexicographic on the second column
+    assert kept_user / n_files < max(1.0, lex_kept_user) / lex_files
+
+    # read_where correctness on the second column
+    got = sorted(r["event_id"] for r in t.read_where(rng_user).collect())
+    want = sorted(
+        r["event_id"]
+        for r in events.filter(F.col("user_id").between(0, 2)).collect()
+    )
+    assert got == want
+
+
+def test_zorder_handles_nulls_and_degenerate_columns(spark):
+    tmp = tempfile.mkdtemp(prefix="zorder_null_")
+    rows = [(i, float(i % 7) if i % 11 else None, 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "a bigint, b double, c int")
+    t = LakeTable.create(spark, tmp + "/t", df.schema, PartitionSpec())
+    t.append(df, checkpoint_key="x", stat_cols=["a", "b", "c"])
+    before = sorted(map(tuple, t.read().collect()))
+    # c is constant → its buckets collapse; b has NULLs → bucket 0
+    t.cluster(["a", "b", "c"], target_file_bytes=2 * 1024, zorder=True)
+    assert sorted(map(tuple, t.read().collect())) == before
+    got = sorted(r["a"] for r in t.read_where({"b": (1.0, 2.0)}).collect())
+    want = sorted(
+        r["a"] for r in df.filter(F.col("b").between(1.0, 2.0)).collect()
+    )
+    assert got == want
