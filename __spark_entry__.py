@@ -794,6 +794,34 @@ def q_sync_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_sync_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (LakeTable.rollback ≡ Iceberg rollback_to_snapshot
+    / Delta RESTORE — bad-batch recovery): a corrupt batch lands and is
+    committed, rollback publishes a NEW commit restoring the prior
+    snapshot's files AND its committed-checkpoint set (table state and
+    exactly-once state move together), history stays time-travel readable,
+    and the fixed batch re-applies under its original checkpoint key. The
+    final read must equal the oracle's clean view."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_rollback_")
+    t = LakeTable.create(spark, base + "/events_rb", src.schema, PartitionSpec())
+    t.append(src.filter(F.col("event_id") % 2 == 0), checkpoint_key="seg-0")
+    v_good = t.current_version()
+    corrupt = src.filter(F.col("event_id") % 2 == 1).withColumn(
+        "event_type", F.lit("CORRUPT")
+    )
+    t.append(corrupt, checkpoint_key="seg-1")
+    t.rollback(v_good)
+    assert "seg-1" not in t.committed(), "rollback must un-commit the bad segment"
+    assert t.read(version=v_good + 1).count() > t.read().count()  # history kept
+    t.append(src.filter(F.col("event_id") % 2 == 1), checkpoint_key="seg-1")
+    return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def q_sync_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only column rename via field ids (≡ Iceberg ALTER TABLE ...
     RENAME COLUMN; ≡ the reference's catalog-diff handling of a renamed
@@ -1219,6 +1247,22 @@ def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site boilerplate removal (CCNet/RefinedWeb post-extraction step:
+    nav/footer segments repeat across most pages of ONE site — global dedup
+    misses them or nukes legitimate cross-site quotes). A segment whose
+    within-group document frequency exceeds 50% is stripped everywhere in
+    that group; docs reassemble from survivors (operators/corpus.py
+    strip_boilerplate; words_per_segment=1 because the synthetic corpus has
+    no newlines — real web text feeds line segments to the same logic)."""
+    from airbyte_spark.operators.corpus import strip_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return strip_boilerplate(
+        docs, words_per_segment=1, max_df_ratio=0.5
+    ).select("doc_id", "clean_text", "n_segments", "n_kept")
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training + tokenization (operators/bpe.py): learn a
     merge table from the corpus (ONE distributed pass — word-type counting,
@@ -1236,6 +1280,46 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(docs, num_merges=128, max_word_types=50_000)
     return with_bpe_tokens(docs, merges).select(
         "doc_id", "n_bpe_tokens"
+    )
+
+
+def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (operators/graph.py): power iteration as
+    join/agg rounds over the edge list — the Common-Crawl host-rank
+    computation, a first-class quality signal for corpus curation. The
+    fixture HTML carries no hrefs, so the edge list is synthesized
+    deterministically from the url space itself (each page links to the
+    next two pages of its domain plus the domain's first page — a chain +
+    hub shape; extract_links() is the real-HTML path, pinned in
+    tests/test_graph.py). Iterative fixpoint → no SQL oracle (rows-only);
+    values are pinned against numpy power iteration in tests."""
+    from pyspark.sql import Window
+
+    from airbyte_spark.operators.graph import pagerank
+
+    urls = (
+        read_changelog(spark, sf_dir)
+        .select("url")
+        .distinct()
+        .withColumn("domain", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        .withColumn("page_no", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
+    )
+    w = Window.partitionBy("domain").orderBy("page_no")
+    wd = Window.partitionBy("domain")
+    edges = (
+        urls.select(
+            F.col("url").alias("src"),
+            F.lead("url", 1).over(w).alias("n1"),
+            F.lead("url", 2).over(w).alias("n2"),
+            F.first("url").over(wd.orderBy("page_no")).alias("root"),
+        )
+        .select(
+            "src", F.explode(F.array("n1", "n2", "root")).alias("dst")
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    return pagerank(edges, iterations=8).select(
+        "url", F.round("rank", 10).alias("rank")
     )
 
 
@@ -1327,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_delete_where": q_sync_delete_where,
         "sync_replace_where": q_sync_replace_where,
         "sync_wap_branch": q_sync_wap_branch,
+        "sync_rollback": q_sync_rollback,
         "sync_rename_column": q_sync_rename_column,
         "sync_metadata_stats": q_sync_metadata_stats,
         "src_http_offset": q_src_http_offset,
@@ -1356,7 +1441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_quota_by_lang": q_doc_quota_by_lang,
         "doc_corpus_stats": q_doc_corpus_stats,
+        "doc_boilerplate_strip": q_doc_boilerplate_strip,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "web_pagerank": q_web_pagerank,
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
     }
@@ -1759,6 +1846,9 @@ def oracle_sql() -> dict[str, str]:
         "sync_wap_branch": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
             WHERE event_id % 3 IN (0, 1) AND event_type <> 'error'
+        """,
+        "sync_rollback": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
         """,
         "sync_rename_column": """
             SELECT event_id, ts, user_id, event_type, value AS score, props
@@ -2215,6 +2305,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_segments,
                    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
             FROM ranked GROUP BY doc_id
+        """,
+        "doc_boilerplate_strip": """
+            WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                       FROM documents),
+            segs AS (
+              SELECT doc_id, source,
+                     unnest(range(0, len(ws))) AS seg_idx,
+                     unnest(ws) AS seg
+              FROM w),
+            gs AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+                   FROM documents GROUP BY source),
+            dfc AS (SELECT source, seg, count(DISTINCT doc_id) AS n
+                    FROM segs GROUP BY source, seg),
+            boiler AS (SELECT dfc.source, seg
+                       FROM dfc JOIN gs USING (source)
+                       WHERE n > 0.5 * n_docs),
+            marked AS (
+              SELECT s.doc_id, s.seg_idx, s.seg, b.seg IS NULL AS kept
+              FROM segs s LEFT JOIN boiler b
+                ON s.source = b.source AND s.seg = b.seg)
+            SELECT doc_id,
+                   coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE kept), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+            FROM marked GROUP BY doc_id
         """,
         "doc_decontaminate": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

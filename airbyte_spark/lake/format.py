@@ -898,6 +898,52 @@ class LakeTable:
     def truncate(self) -> int:
         return self.commit([], removed_paths={f.path for f in self.files()}, operation="truncate")
 
+    def rollback(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot (≡ Iceberg
+        `rollback_to_snapshot` / Delta RESTORE): publish a NEW commit whose
+        files / schema / partition spec / committed-checkpoint set are
+        exactly those of `version`. History is preserved (the bad commits
+        stay readable via time travel until vacuum); rollback is itself a
+        CAS commit, so it serializes against concurrent writers.
+
+        The committed set reverts WITH the data: the lake's exactly-once
+        contract is "table state and checkpoint state move in one atomic
+        commit", so segments applied after `version` become un-committed
+        again and a subsequent replay re-applies them — the operational
+        flow for "bad batch shipped, roll back, fix extractor, re-run".
+
+        Raises if the target manifest is gone (retention) or any of its
+        data files was already vacuumed."""
+        target = self.manifest(version)
+        for f in target["files"]:
+            if not os.path.exists(os.path.join(self.path, f["path"])):
+                raise FileNotFoundError(
+                    f"cannot roll back to v{version}: data file {f['path']} "
+                    "was vacuumed"
+                )
+        while True:
+            m = self.manifest()
+            if m["version"] == version:
+                return version
+            new = {
+                **m,
+                "files": target["files"],
+                "schema_id": target["schema_id"],
+                "schemas": target["schemas"],
+                "field_ids": target.get("field_ids", m.get("field_ids", {})),
+                "partition_spec": target["partition_spec"],
+                "committed": target["committed"],
+                "properties": target.get("properties", {}),
+                "operation": "rollback",
+                "commit": {"key": None, "rollback_to": version},
+                "parent": m["version"],
+                "version": m["version"] + 1,
+            }
+            try:
+                return self._write_manifest(new)
+            except CommitConflict:
+                continue  # lost the metadata race — re-read and retry
+
     def compact(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,

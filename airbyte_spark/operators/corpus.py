@@ -273,3 +273,76 @@ def quota_by_group(
         .filter(F.col("rank") <= quota)
         .withColumn("rank", F.col("rank").cast("bigint"))
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    words_per_segment: int = 10,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-site boilerplate removal (the web-text cleaning step CCNet /
+    RefinedWeb run after extraction: nav bars, cookie banners and footers
+    repeat on most pages OF ONE SITE, so global dedup either misses them
+    or nukes legitimate cross-site quotes).
+
+    A segment is boilerplate when it appears in more than `max_df_ratio`
+    of its group's documents (document frequency within the group — a page
+    repeating its own footer counts once). Boilerplate segments are
+    stripped from every document of that group; documents are reassembled
+    from the survivors in original order. Output: one row per input doc
+    with `clean_text` ('' when everything was boilerplate), `n_segments`,
+    `n_kept`.
+
+    Scale shape (100 TB): segmentation is a map-side transform fused into
+    the scan; the df-count is ONE aggregate keyed on (group, seg_hash)
+    with count_distinct collapsed map-side (a 32-byte digest key — no hot
+    keys); the boilerplate set is tiny by construction (only segments
+    crossing a per-site df threshold survive the filter), so the mark-up
+    join broadcasts; reassembly is one shuffle on the doc id — same cost
+    class as segment_dedup.
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(_segments_expr(text_col, words_per_segment)).alias(
+            "seg_idx", "seg"
+        ),
+    ).withColumn("seg_hash", F.md5(F.col("seg")))
+    group_sizes = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    seg_df = segs.groupBy(group_col, "seg_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    boiler = (
+        seg_df.join(group_sizes, group_col)
+        .filter(F.col("_df") > F.lit(max_df_ratio) * F.col("_n_docs"))
+        .select(group_col, "seg_hash")
+    )
+    marked = segs.join(
+        F.broadcast(boiler.withColumn("_boiler", F.lit(True))),
+        [group_col, "seg_hash"],
+        "left",
+    ).withColumn("kept", F.col("_boiler").isNull())
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("seg_idx", "seg", "kept"))
+                        ),
+                        lambda s: s["kept"],
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        )
+    )

@@ -294,3 +294,91 @@ def test_quota_by_group_small_groups_pass_through(spark):
         "doc_id bigint, lang string, quality_score double",
     )
     assert quota_by_group(df, quota=10).count() == 2
+
+
+# --- strip_boilerplate -----------------------------------------------------------
+
+
+def _py_strip_boilerplate(rows, wps, ratio):
+    """Pure-Python reference: segment df per (group, segment); strip segments
+    whose df exceeds ratio * group size."""
+    from collections import defaultdict
+
+    seg_docs = defaultdict(set)
+    group_docs = defaultdict(set)
+    per_doc = {}
+    for doc_id, group, text in rows:
+        ws = text.split(" ")
+        segs = [
+            " ".join(ws[i * wps : (i + 1) * wps])
+            for i in range((len(ws) + wps - 1) // wps)
+        ]
+        per_doc[doc_id] = (group, segs)
+        group_docs[group].add(doc_id)
+        for s in segs:
+            seg_docs[(group, s)].add(doc_id)
+    out = {}
+    for doc_id, (group, segs) in per_doc.items():
+        kept = [
+            s for s in segs if len(seg_docs[(group, s)]) <= ratio * len(group_docs[group])
+        ]
+        out[doc_id] = (" ".join(kept), len(segs), len(kept))
+    return out
+
+
+def test_strip_boilerplate_matches_python_reference(spark):
+    from airbyte_spark.operators.corpus import strip_boilerplate
+
+    footer = "copyright acme corp all rights reserved contact us terms privacy"
+    rows = [
+        # siteA: every page shares the 10-word footer -> boilerplate
+        (1, "siteA", "alpha beta gamma delta epsilon zeta eta theta iota kappa " + footer),
+        (2, "siteA", "one two three four five six seven eight nine ten " + footer),
+        (3, "siteA", "red green blue cyan magenta yellow black white gray pink " + footer),
+        # siteB: same footer on only 1/3 pages -> NOT boilerplate there
+        (4, "siteB", "a b c d e f g h i j " + footer),
+        (5, "siteB", "k l m n o p q r s t " + footer.replace("acme", "other")),
+        (6, "siteB", "u v w x y z aa bb cc dd extra words pad out the line here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_kept"])
+        for r in strip_boilerplate(df, words_per_segment=10, max_df_ratio=0.5).collect()
+    }
+    want = _py_strip_boilerplate(rows, 10, 0.5)
+    assert got == want
+    # the siteA footer really was stripped, and siteB's survived
+    assert footer not in got[1][0]
+    assert footer in got[4][0]
+
+
+def test_strip_boilerplate_all_boilerplate_doc_yields_empty(spark):
+    from airbyte_spark.operators.corpus import strip_boilerplate
+
+    rows = [(i, "s", "same exact page") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = strip_boilerplate(df, words_per_segment=3, max_df_ratio=0.5).collect()
+    assert all(r["clean_text"] == "" and r["n_kept"] == 0 for r in out)
+    assert len(out) == 4  # every doc still present (auditable rejects)
+
+
+def test_strip_boilerplate_is_group_scoped(spark):
+    from airbyte_spark.operators.corpus import strip_boilerplate
+
+    # the SAME segment ("hdr one") is boilerplate for the small site
+    # (2/2 docs > 50%) but content for the big one (2/4 docs = 50%, not >)
+    rows = [
+        (1, "small", "hdr one body a"),
+        (2, "small", "hdr one body b"),
+        (3, "big", "hdr one body c"),
+        (4, "big", "hdr one body d"),
+        (5, "big", "other txt body e"),
+        (6, "big", "other txt body f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate(df, words_per_segment=2, max_df_ratio=0.5).collect()
+    }
+    assert "hdr one" not in out[1] and "hdr one" not in out[2]
+    assert "hdr one" in out[3] and "hdr one" in out[4]
