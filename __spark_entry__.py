@@ -375,6 +375,56 @@ def q_cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good
 
 
+def q_cdc_json_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-schema record validation + dead-letter stamping (≡ the
+    reference's AirbyteProtocolPredicate/JsonSchemaValidator filtering
+    invalid messages before the sink, BufferedStreamConsumer counting the
+    drops). Envelopes are built deterministically from events with
+    injected defects (unparseable / missing-required / wrong type); the
+    validator is pure column expressions (functions/jsonschema.py) — one
+    scan-fused map stage at any scale."""
+    from airbyte_spark.functions.jsonschema import validate_json_records
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    m = F.col("event_id") % 11
+    eid = F.col("event_id").cast("string")
+    uid = F.col("user_id").cast("string")
+    good = F.concat(
+        F.lit('{"event_id": '), eid,
+        F.lit(', "user_id": '), uid,
+        F.lit(', "event_type": "'), F.col("event_type"), F.lit('"}'),
+    )
+    doc = (
+        F.when(m == 0, F.lit("garbage"))
+        .when(m == 1, F.concat(F.lit('{"event_id": '), eid, F.lit("}")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit('{"event_id": "x'), eid,
+                F.lit('", "user_id": '), uid,
+                F.lit(', "event_type": "'), F.col("event_type"), F.lit('"}'),
+            ),
+        )
+        .otherwise(good)
+    )
+    schema = {
+        "required": ["event_id", "user_id"],
+        "properties": {
+            "event_id": {"type": "integer"},
+            "user_id": {"type": "integer"},
+            "event_type": {"type": "string"},
+        },
+    }
+    out = validate_json_records(ev.withColumn("doc", doc), "doc", schema)
+    return out.select(
+        "event_id",
+        "is_valid",
+        F.array_join("violations", "; ").alias("violations"),
+    )
+
+
 def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join (operators/temporal.py): for each click event,
     the page version in force at click time — latest warc_ts ≤ event_ts
@@ -1393,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_unnest_children": q_cdc_unnest_children,
         "cdc_timestamp_parse": q_cdc_timestamp_parse,
         "cdc_debezium_parse": q_cdc_debezium_parse,
+        "cdc_json_validate": q_cdc_json_validate,
         "cdc_asof_join": q_cdc_asof_join,
         "evt_sessionize": q_evt_sessionize,
         "sync_identifier_normalize": q_sync_identifier_normalize,
@@ -1711,6 +1762,53 @@ def oracle_sql() -> dict[str, str]:
                    event_id AS _ab_cdc_lsn
             FROM events
             WHERE event_id % 997 <> 0  -- malformed envelopes → dead letters
+        """,
+        "cdc_json_validate": r"""
+            WITH d AS (
+              SELECT event_id,
+                CASE WHEN event_id % 11 = 0 THEN 'garbage'
+                     WHEN event_id % 11 = 1
+                       THEN '{"event_id": ' || CAST(event_id AS VARCHAR) || '}'
+                     WHEN event_id % 11 = 2
+                       THEN '{"event_id": "x' || CAST(event_id AS VARCHAR)
+                            || '", "user_id": ' || CAST(user_id AS VARCHAR)
+                            || ', "event_type": "' || event_type || '"}'
+                     ELSE '{"event_id": ' || CAST(event_id AS VARCHAR)
+                          || ', "user_id": ' || CAST(user_id AS VARCHAR)
+                          || ', "event_type": "' || event_type || '"}'
+                END AS doc
+              FROM events),
+            v AS (
+              SELECT event_id, doc,
+                (doc IS NULL OR NOT json_valid(doc)) AS malformed,
+                CASE WHEN json_valid(doc)
+                     THEN json_extract_string(doc, '$.event_id') END AS r_id,
+                CASE WHEN json_valid(doc)
+                     THEN json_extract_string(doc, '$.user_id') END AS r_uid,
+                CASE WHEN json_valid(doc)
+                     THEN json_extract_string(doc, '$.event_type') END AS r_et
+              FROM d),
+            lab AS (
+              SELECT event_id, list_sort(list_filter([
+                  CASE WHEN malformed THEN 'malformed json' END,
+                  CASE WHEN NOT malformed AND r_id IS NULL
+                       THEN 'missing required: event_id' END,
+                  CASE WHEN NOT malformed AND r_uid IS NULL
+                       THEN 'missing required: user_id' END,
+                  CASE WHEN NOT malformed AND r_id IS NOT NULL
+                            AND NOT regexp_matches(r_id, '^-?\d+$')
+                       THEN 'type: event_id' END,
+                  CASE WHEN NOT malformed AND r_uid IS NOT NULL
+                            AND NOT regexp_matches(r_uid, '^-?\d+$')
+                       THEN 'type: user_id' END,
+                  CASE WHEN NOT malformed AND r_et IS NOT NULL
+                            AND NOT regexp_matches(doc, '"event_type"\s*:\s*"')
+                       THEN 'type: event_type' END
+                ], x -> x IS NOT NULL)) AS vio
+              FROM v)
+            SELECT event_id, len(vio) = 0 AS is_valid,
+                   coalesce(array_to_string(vio, '; '), '') AS violations
+            FROM lab
         """,
         "cdc_asof_join": f"""
             WITH ch AS ({_CH}),
