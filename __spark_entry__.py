@@ -1297,6 +1297,21 @@ def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli mix sampling (corpus
+    reweighting before training: downsample the dominant language, keep
+    all of the low-resource ones). md5 hex-threshold per row — pure
+    scan-fused expression, zero shuffles, replay/reshard-stable
+    (operators/corpus.py sample_mix)."""
+    from airbyte_spark.operators.corpus import sample_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.5}
+    return sample_mix(docs, rates, group_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
 def q_doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-site boilerplate removal (CCNet/RefinedWeb post-extraction step:
     nav/footer segments repeat across most pages of ONE site — global dedup
@@ -1492,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_quota_by_lang": q_doc_quota_by_lang,
         "doc_corpus_stats": q_doc_corpus_stats,
+        "doc_sample_mix": q_doc_sample_mix,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "web_pagerank": q_web_pagerank,
@@ -2403,6 +2419,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_segments,
                    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
             FROM ranked GROUP BY doc_id
+        """,
+        "doc_sample_mix": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < CASE lang WHEN 'en' THEN '40000000'
+                              WHEN 'de' THEN 'g'
+                              WHEN 'fr' THEN 'g'
+                              WHEN 'es' THEN '80000000'
+                              WHEN 'zh' THEN '80000000'
+                              ELSE '00000000' END
         """,
         "doc_boilerplate_strip": """
             WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws

@@ -791,7 +791,15 @@ class LakeTable:
         def one(item):
             abs_path, rel_path, partition = item
             rows, size, stats = _collect_parquet_stats(abs_path, stat_cols, bloom_col)
-            return FileEntry(rel_path, rows, size, sid, partition, stats) if rows else None
+            if not rows:
+                # Spark writes an empty part file for empty partitions —
+                # never referenced, so reclaim it immediately instead of
+                # leaving permanent fsck/vacuum noise
+                for stale in (abs_path, abs_path + ".bloom"):
+                    if os.path.exists(stale):
+                        os.remove(stale)
+                return None
+            return FileEntry(rel_path, rows, size, sid, partition, stats)
 
         if len(found) > 1:
             with ThreadPoolExecutor(max_workers=min(16, len(found))) as pool:
@@ -1164,6 +1172,78 @@ class LakeTable:
                 elif name.endswith(".bloom") and rel[: -len(".bloom")] not in live:
                     os.remove(os.path.join(self.path, rel))  # sidecar follows its data file
         return removed
+
+    def fsck(self) -> list[dict]:
+        """Metadata/data consistency audit (≡ the checks Iceberg's
+        maintenance procedures + `remove_orphan_files` dry-run perform;
+        the reference's equivalent is the destination acceptance contract
+        re-reading what it wrote). Driver-side only — manifests, footers
+        and directory listings; no Spark job, no data read.
+
+        Issue kinds:
+          missing-file     live manifest entry whose data file is gone
+          size-mismatch    on-disk size != manifest bytes (torn/overwritten)
+          missing-bloom    stats advertise a Bloom sidecar that is absent
+          bad-stats        per-file min > max for some column
+          bad-schema-ref   file written under a schema id the manifest lost
+          broken-chain     a parent link points at a missing manifest version
+          orphan-file      data file on disk no snapshot references (vacuum
+                           candidate — informational, never corruption)
+        """
+        issues: list[dict] = []
+        m = self.manifest()
+        schemas = set(m["schemas"].keys())
+        for e in self.files():
+            p = os.path.join(self.path, e.path)
+            if not os.path.exists(p):
+                issues.append({"kind": "missing-file", "path": e.path})
+                continue
+            if os.path.getsize(p) != e.bytes:
+                issues.append(
+                    {"kind": "size-mismatch", "path": e.path,
+                     "manifest_bytes": e.bytes, "disk_bytes": os.path.getsize(p)}
+                )
+            if str(e.schema_id) not in schemas:
+                issues.append(
+                    {"kind": "bad-schema-ref", "path": e.path, "schema_id": e.schema_id}
+                )
+            for col, st in e.stats.items():
+                if "bloom" in (st or {}) and not os.path.exists(p + ".bloom"):
+                    issues.append({"kind": "missing-bloom", "path": e.path, "col": col})
+                try:
+                    if "min" in st and st["min"] > st["max"]:
+                        issues.append(
+                            {"kind": "bad-stats", "path": e.path, "col": col}
+                        )
+                except TypeError:
+                    pass
+            # chain walk: every retained manifest's parent must exist (or be 0)
+        for v in range(1, (self.current_version() or 0) + 1):
+            mp = self._manifest_path(v)
+            if not os.path.exists(mp):
+                continue  # expired manifests are legal gaps
+            with open(mp) as fh:
+                mv = json.load(fh)
+            parent = mv.get("parent")
+            if parent and not os.path.exists(self._manifest_path(parent)):
+                issues.append({"kind": "broken-chain", "version": v, "parent": parent})
+        referenced = {e.path for e in self.files()}
+        for v in range(1, (self.current_version() or 0) + 1):
+            mp = self._manifest_path(v)
+            if os.path.exists(mp):
+                with open(mp) as fh:
+                    referenced |= {f["path"] for f in json.load(fh)["files"]}
+        for b in self.branches():
+            referenced |= {e.path for e in self.branch(b).files()}
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for root, _dirs, names in os.walk(data_root):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), self.path)
+                if rel not in referenced:
+                    issues.append({"kind": "orphan-file", "path": rel})
+        return issues
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -346,3 +346,41 @@ def strip_boilerplate(
             F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
         )
     )
+
+
+def sample_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic per-group Bernoulli sampling — corpus mix balancing by
+    RATE (the companion to quota_by_group's exact top-k): upsample-free
+    domain/language reweighting, e.g. keep 100% of low-resource languages
+    and 10% of English.
+
+    The keep decision is md5(seed || id) mapped to [0,1) and compared to
+    the group's rate: a pure per-row expression (zero shuffles, fused into
+    the scan), stable under resharding/replay — re-running the pipeline
+    admits EXACTLY the same documents, which is what makes downstream
+    incremental stages (dedup registries, shard export) reproducible.
+    Portable: identical semantics in any engine with md5 (DuckDB oracle).
+    """
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+    )
+    # rates compile to 8-hex-char thresholds compared lexicographically —
+    # no numeric conversion, bit-identical across engines (train_split's
+    # trick at 32-bit resolution)
+    def hx(r: float) -> str:
+        v = max(0, round(float(r) * 16**8))
+        # rate >= 1.0 must keep EVERYTHING: 'g' sorts after every hex digit,
+        # while format(16**8) would be 9 chars and break the 8-char compare
+        return "g" if v >= 16**8 else format(v, "08x")
+
+    thresh = F.lit(hx(default_rate))
+    for g, r in sorted(rates.items()):
+        thresh = F.when(F.col(group_col) == g, F.lit(hx(r))).otherwise(thresh)
+    return df.filter(h < thresh)

@@ -382,3 +382,45 @@ def test_strip_boilerplate_is_group_scoped(spark):
     }
     assert "hdr one" not in out[1] and "hdr one" not in out[2]
     assert "hdr one" in out[3] and "hdr one" in out[4]
+
+
+# --- sample_mix ------------------------------------------------------------------
+
+
+def test_sample_mix_matches_hash_rule_and_is_stable(spark):
+    import hashlib
+
+    from airbyte_spark.operators.corpus import sample_mix
+
+    rows = [(i, "en" if i % 3 else "sw") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    rates = {"en": 0.1, "sw": 1.0}
+    kept = sorted(
+        r["doc_id"] for r in sample_mix(df, rates, seed="mix-v1").collect()
+    )
+
+    def rule(i, lang):
+        h = hashlib.md5(f"mix-v1{i}".encode()).hexdigest()[:8]
+        v = round(rates[lang] * 16**8)
+        t = "g" if v >= 16**8 else format(v, "08x")
+        return h < t
+
+    want = sorted(i for i, lang in rows if rule(i, lang))
+    assert kept == want
+    # every sw doc kept; en sampled near 10%
+    n_en = sum(1 for i in kept if i % 3)
+    assert all(i in kept for i, lang in rows if lang == "sw")
+    assert 0.05 < n_en / 2000 < 0.15
+    # replay-stable: second run identical
+    again = sorted(r["doc_id"] for r in sample_mix(df, rates).collect())
+    assert again == kept
+
+
+def test_sample_mix_default_rate_drops_unlisted_groups(spark):
+    from airbyte_spark.operators.corpus import sample_mix
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, "xx")], "doc_id bigint, lang string"
+    )
+    kept = {r["doc_id"] for r in sample_mix(df, {"en": 1.0}).collect()}
+    assert kept == {1}
