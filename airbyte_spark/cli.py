@@ -33,11 +33,18 @@ Commands:
   respec   --target T --bucket-col C --n-buckets N
                                  partition-spec evolution: atomic bucket-resize
                                  rewrite of the whole table
-  cluster  --target T --sort-cols C1,C2 [--target-file-mb N]
+  cluster  --target T --sort-cols C1,C2 [--target-file-mb N] [--zorder]
                                  sort-order rewrite: range-cluster files by the
                                  sort key so stats pruning skips files
+                                 (--zorder: Morton-interleave 2+ numeric
+                                 columns — pruning on ANY of them)
   compact-versions --target T    collapse a merge-on-read table to one
                                  (latest) version per key
+  rollback --target T --to-version V
+                                 restore an earlier snapshot (new commit;
+                                 committed-checkpoint set reverts with it)
+  fsck     --target T            metadata/data consistency audit (missing or
+                                 torn files, stale sidecars, orphans)
   curate   --docs PARQUET [--out DIR] [--min-quality Q] [--langs en,de]
                                  per-document retention verdict (quality ∧
                                  language ∧ near-dup canonical)
@@ -96,7 +103,12 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("cluster", "--target")
     sp.add_argument("--sort-cols", required=True, help="comma-separated sort key")
     sp.add_argument("--target-file-mb", type=int, default=128)
+    sp.add_argument("--zorder", action="store_true",
+                    help="Morton-interleave 2+ numeric sort columns")
     add("compact-versions", "--target")
+    sp = add("rollback", "--target")
+    sp.add_argument("--to-version", type=int, required=True)
+    add("fsck", "--target")
     sp = sub.add_parser("curate")
     sp.add_argument("--docs", required=True)
     sp.add_argument("--out", default=None)
@@ -272,13 +284,35 @@ def run(spark, args) -> dict:
         v = t.cluster(
             args.sort_cols.split(","),
             target_file_bytes=args.target_file_mb * 1024 * 1024,
+            zorder=args.zorder,
         )
         return {
             "type": "MAINTENANCE_RESULT",
             "mode": "cluster",
             "version": v,
-            "sort_order": args.sort_cols,
+            "sort_order": t.properties()["sort.order"],
             "files": len(t.files()),
+        }
+
+    if args.cmd == "rollback":
+        t = LakeTable.load(spark, args.target)
+        v = t.rollback(args.to_version)
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": "rollback",
+            "version": v,
+            "restored": args.to_version,
+            "files": len(t.files()),
+        }
+
+    if args.cmd == "fsck":
+        t = LakeTable.load(spark, args.target)
+        issues = t.fsck()
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": "fsck",
+            "n_issues": len(issues),
+            "issues": issues[:50],
         }
 
     if args.cmd == "compact-versions":

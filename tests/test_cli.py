@@ -156,8 +156,13 @@ def test_maintenance_cmds(spark, tmp_path):
     assert out["files_after"] < out["files_before"]
     out = run(spark, ns(cmd="respec", target=path, bucket_col="k", n_buckets=8))
     assert out["n_buckets"] == 8
-    out = run(spark, ns(cmd="cluster", target=path, sort_cols="k", target_file_mb=128))
+    out = run(spark, ns(cmd="cluster", target=path, sort_cols="k", target_file_mb=128, zorder=False))
     assert out["sort_order"] == "k"
+    v_before = LakeTable.load(spark, path).current_version()
+    out = run(spark, ns(cmd="fsck", target=path))
+    assert out["n_issues"] == 0
+    out = run(spark, ns(cmd="rollback", target=path, to_version=v_before))
+    assert out["restored"] == v_before
     out = run(spark, ns(cmd="vacuum", target=path))
     assert out["files_removed"] > 0
     assert LakeTable.load(spark, path).read().count() == 200
