@@ -1297,6 +1297,18 @@ def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 keywords per document by tf-idf (operators/textops.py
+    tfidf_topk). Rational idf (N/df, not log) keeps every score an exact
+    IEEE product of integer counts — bit-identical in the DuckDB oracle;
+    within a document the ranking is a monotone transform of standard
+    tf-idf. Two map-side-combinable aggregates + one per-doc top-k window."""
+    from airbyte_spark.operators.textops import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=5)
+
+
 def q_doc_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language Bernoulli mix sampling (corpus
     reweighting before training: downsample the dominant language, keep
@@ -1507,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_quota_by_lang": q_doc_quota_by_lang,
         "doc_corpus_stats": q_doc_corpus_stats,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_sample_mix": q_doc_sample_mix,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -2419,6 +2432,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_segments,
                    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
             FROM ranked GROUP BY doc_id
+        """,
+        "doc_tfidf_topk": """
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            s AS (SELECT doc_id, term,
+                         CAST(tf AS DOUBLE)
+                           * CAST((SELECT count(DISTINCT doc_id) FROM documents) AS DOUBLE)
+                           / CAST(df AS DOUBLE) AS tfidf
+                  FROM tf JOIN dfr USING (term)),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+                  FROM s)
+            SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "doc_sample_mix": """
             SELECT doc_id, lang FROM documents

@@ -13,7 +13,7 @@ stage fused into the scan (no shuffle).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # BPE-ish tokenization: letter runs, single digits, single punctuation marks —
 # the shape of byte-pair pretokenizers (letters vs digits vs symbols), without
@@ -181,4 +181,49 @@ def vocab_topk(
     return (
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k keywords per document by tf-idf — the lightweight relevance
+    signal corpus curation uses for topic tagging / routing.
+
+    idf is the RATIONAL variant N/df(t) (not log(N/df)): within one
+    document it is a monotone transform of the standard weight, so the
+    top-k set is similar, and it keeps every value an exact IEEE-double
+    product of integer counts — bit-identical across engines, which makes
+    the operator oracle-checkable (log() implementations may differ in the
+    last ulp between libms).
+
+    Scale shape: explode → per-(doc, term) count (one shuffle, map-side
+    combinable), term document frequency (one agg on term — Zipf-skew-proof
+    for the same reason), join back on term, then a per-doc top-k window.
+    Ties break by term ascending: fully deterministic output.
+    """
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df").cast("double")).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )

@@ -71,3 +71,46 @@ def test_quality_columns(spark):
     assert rows[1]["n_words"] == 14
     assert rows[2]["punct_ratio"] > 0.5
     assert rows[1]["stopword_ratio"] > 0.1
+
+
+def test_tfidf_topk_matches_python_reference(spark):
+    import re
+    from collections import Counter
+
+    from airbyte_spark.operators.textops import tfidf_topk
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple apple apple zebra"),
+        (4, "date elderberry fig zebra zebra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in tfidf_topk(df, k=2).collect()
+    }
+
+    tf = {i: Counter(re.findall(r"[a-z]+", t.lower())) for i, t in rows}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    n = len(rows)
+    for i, c in tf.items():
+        scored = sorted(
+            ((cnt * n / dfreq[t], t) for t, cnt in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for rank, (s, t) in enumerate(scored, 1):
+            assert got[(i, rank)] == (t, s), (i, rank, got[(i, rank)], (t, s))
+
+
+def test_tfidf_rare_term_beats_common(spark):
+    from airbyte_spark.operators.textops import tfidf_topk
+
+    marker = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    rows = [(i, "common words everywhere " + marker[i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_topk(df, k=1).collect()
+    }
+    assert top1 == {i: marker[i] for i in range(6)}
