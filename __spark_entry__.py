@@ -1640,6 +1640,57 @@ norms AS (
 )"""
 
 
+def _pagerank_oracle_sql(iterations: int = 8, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank unrolled into chained CTEs — power iteration
+    is SQL-expressible when the iteration count is static, so this query
+    gets a FULL value oracle. Arithmetic mirrors operators/graph.py term by
+    term ((1-d)/n + d*(c + dm/n), rational doubles only); the final
+    round(rank, 10) on both sides absorbs float summation-order ulp noise
+    (all-positive sums, error << 1e-12)."""
+    edges_cte = f"""
+    WITH ch AS ({_CH}),
+    urls AS (SELECT DISTINCT url FROM ch),
+    u AS (SELECT url,
+            regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+            CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT) AS page_no
+          FROM urls),
+    e0 AS (SELECT url AS src,
+             lead(url, 1) OVER w AS n1,
+             lead(url, 2) OVER w AS n2,
+             first_value(url) OVER w AS root
+           FROM u WINDOW w AS (PARTITION BY domain ORDER BY page_no)),
+    edges AS MATERIALIZED (SELECT src, dst FROM (
+                SELECT src, unnest([n1, n2, root]) AS dst FROM e0)
+              WHERE dst IS NOT NULL AND dst <> src),
+    nodes AS MATERIALIZED (SELECT DISTINCT url FROM (
+                SELECT src AS url FROM edges
+                UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src AS u, count(*) AS out_deg FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (SELECT url, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    iters = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        iters.append(f"""
+    c{i} AS (SELECT e.dst AS url, sum(r.rank / d.out_deg) AS c
+             FROM edges e JOIN r{p} r ON e.src = r.url
+                          JOIN deg d ON e.src = d.u
+             GROUP BY e.dst),
+    dm{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+              FROM r{p} r LEFT JOIN deg d ON r.url = d.u
+              WHERE d.u IS NULL),
+    r{i} AS MATERIALIZED (SELECT n.url,
+               (1.0 - {damping}) / (SELECT n FROM nn)
+                 + {damping} * (coalesce(c.c, 0.0)
+                                + (SELECT dm FROM dm{i}) / (SELECT n FROM nn))
+               AS rank
+             FROM nodes n LEFT JOIN c{i} c ON n.url = c.url)""")
+    return (
+        edges_cte + "," + ",".join(iters)
+        + f"\n    SELECT url, round(rank, 10) AS rank FROM r{iterations}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     final_state = f"""
     WITH ch AS ({_CH}),
@@ -2550,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) FILTER (WHERE cd >= 0.99) AS BIGINT) AS p99_chars
             FROM s
         """,
+        "web_pagerank": _pagerank_oracle_sql(),
         "cdc_url_domains": f"""
             WITH ch AS ({_CH}),
             per_url AS (
