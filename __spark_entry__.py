@@ -487,6 +487,40 @@ def q_sync_identifier_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sync_catalog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream catalog diff — the typed change actions the engine's
+    schema evolution applies (≡ the reference's discovered-vs-configured
+    catalog comparison feeding per-stream schema updates; rules from the
+    catalog_schema_change golden scenario, test_normalization.py:126-137):
+    column only in new → add_column; widened along boolean<bigint<double<
+    string → promote_type; dropped columns ignored (history preserved);
+    anything else → incompatible. Pure driver-side metadata — no Spark job
+    reads data; the same rules run inside LakeTable.evolve_schema."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from airbyte_spark.schema import AddColumn, PromoteType, diff_schemas
+
+    old = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    evolved = StructType(
+        [
+            *[f for f in old.fields if f.name not in ("n_chars", "source")],
+            StructField("n_chars", DoubleType(), True),  # widened bigint→double
+            StructField("quality", DoubleType(), True),  # added
+        ]
+    )
+    rows = []
+    for a in diff_schemas(old, evolved):
+        if isinstance(a, AddColumn):
+            rows.append((a.name, "add_column", None, a.dtype.simpleString()))
+        elif isinstance(a, PromoteType):
+            rows.append((a.name, "promote_type", a.old.simpleString(), a.new.simpleString()))
+        else:
+            rows.append((a.name, "incompatible", a.old.simpleString(), a.new.simpleString()))
+    return spark.createDataFrame(
+        sorted(rows), "field string, change string, old_type string, new_type string"
+    )
+
+
 # --- sync-mode queries (full refresh / append / reset through the lake) ---------
 
 
@@ -1474,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_asof_join": q_cdc_asof_join,
         "evt_sessionize": q_evt_sessionize,
         "sync_identifier_normalize": q_sync_identifier_normalize,
+        "sync_catalog_diff": q_sync_catalog_diff,
         "sync_multistream": q_sync_multistream,
         "sync_full_refresh_overwrite": q_sync_full_refresh_overwrite,
         "sync_append_raw": q_sync_append_raw,
@@ -1946,6 +1981,36 @@ def oracle_sql() -> dict[str, str]:
                    substr(CASE WHEN n IN ({reserved}) THEN n || '_' ELSE n END, 1, 63) AS ident
             FROM n2
         """.format(reserved=_RESERVED_SQL),
+        "sync_catalog_diff": """
+            WITH old AS (
+              SELECT column_name AS f,
+                     CASE WHEN lower(column_type) = 'varchar' THEN 'string'
+                          ELSE lower(column_type) END AS t
+              FROM (DESCRIBE SELECT * FROM documents)
+            ),
+            new AS (
+              SELECT * FROM (VALUES ('doc_id','bigint'),('text','string'),
+                                    ('lang','string'),('n_chars','double'),
+                                    ('quality','double')) AS v(f, t)
+            ),
+            widen AS (
+              SELECT * FROM (VALUES ('boolean',0),('bigint',1),
+                                    ('double',2),('string',3)) AS w(t, r)
+            )
+            SELECT n.f AS field,
+                   CASE WHEN o.f IS NULL THEN 'add_column'
+                        WHEN ow.r IS NOT NULL AND nw.r IS NOT NULL AND ow.r < nw.r
+                             THEN 'promote_type'
+                        ELSE 'incompatible' END AS change,
+                   o.t AS old_type,
+                   n.t AS new_type
+            FROM new n
+            LEFT JOIN old o ON o.f = n.f
+            LEFT JOIN widen ow ON ow.t = o.t
+            LEFT JOIN widen nw ON nw.t = n.t
+            WHERE o.f IS NULL OR o.t <> n.t
+            ORDER BY field
+        """,
         "sync_multistream": f"""
             WITH ch AS ({_CH}),
             p AS (SELECT *, row_number() OVER (

