@@ -124,7 +124,15 @@ def worker(cpus: int) -> None:
     # per batch). Production (100 TB, skewed domains) wants it ON — it is
     # the engine session default; this is a bench-only override.
     aqe = os.environ.get("SCALE_AQE", "false")
-    shuffle = int(os.environ.get("SCALE_SHUFFLE", "0")) or max(cpus * 2, 16)
+    # Floor of 32 shuffle partitions (not 16): with n_buckets=16 the merge
+    # window sub-splits each bucket into shuffle/n_buckets salt groups, and
+    # 16 groups hashed into 16 reducers is a balls-into-bins collision —
+    # one reducer draws two whole buckets (measured: 7.1 s straggler vs
+    # 2.1 s mean task at 4 executors). At 32, each bucket splits into two
+    # half-size groups (still one p_bucket per group → streaming parquet
+    # write path preserved) and the straggler halves: 24 s → 19 s timed
+    # region at 4 executors, identical logical plan at both levels.
+    shuffle = int(os.environ.get("SCALE_SHUFFLE", "0")) or max(cpus * 2, 32)
     extra = {"spark.sql.adaptive.enabled": aqe}
     if MODE == "cluster":
         # Tell each executor JVM how many cores it actually owns: on a
