@@ -1249,6 +1249,27 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, num_centroids=16, nprobe=4)
 
 
+def q_emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment under k-means-trained centroids (k=8, two Lloyd
+    iterations, lowest-id seeding) — the data-adaptive upgrade over the
+    lowest-id placeholder cells: init c0 = vectors 0..7, then twice
+    {assign-to-nearest-by-cosine, per-cell per-dimension mean}, then a
+    final assignment under the trained centroids. Every step is a
+    broadcast-join + map-side-combinable aggregate (shuffle moves k×D
+    doubles per partition, never vectors); the DuckDB oracle unrolls the
+    two iterations as chained CTEs over the long-form (vec_id, i, v)
+    relation (same pattern as web_pagerank's unrolled power iteration)."""
+    from airbyte_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    return (
+        ivf_assign(emb, 0, centroids=cents)
+        .select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+        .orderBy("vec_id")
+    )
+
+
 def q_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide line-level exact dedup (CCNet/RefinedWeb style): a
     segment survives only at its first (doc_id, position) occurrence and
@@ -1548,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": q_emb_near_dups,
         "emb_srp_near_dups": q_emb_srp_near_dups,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_kmeans_cells": q_emb_kmeans_cells,
         "doc_segment_dedup": q_doc_segment_dedup,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_train_split": q_doc_train_split,
@@ -1673,6 +1695,46 @@ norms AS (
   SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nr
   FROM e GROUP BY vec_id
 )"""
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    """Lloyd's algorithm unrolled into chained CTEs over the long-form
+    (vec_id, i, v) embedding relation — init = lowest-id vectors, each
+    iteration = cosine argmax assignment (row_number, ties on c_id) +
+    per-(cell, dimension) AVG — mirroring kmeans_centroids/ivf_assign
+    arithmetic exactly (double math, norm-divided cosine)."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,"
+        " generate_subscripts(embedding, 1) AS i FROM embeddings)",
+        "nv AS (SELECT vec_id, sqrt(SUM(v * v)) AS nr FROM e GROUP BY vec_id)",
+        f"c0 AS (SELECT vec_id AS c_id, i, v AS cv FROM e WHERE vec_id < {k})",
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"n{t} AS (SELECT c_id, sqrt(SUM(cv * cv)) AS nr FROM c{t} GROUP BY c_id)"
+        )
+        parts.append(
+            f"""a{t} AS (
+              SELECT vec_id, c_id AS cell FROM (
+                SELECT d.vec_id, d.c_id, row_number() OVER (
+                  PARTITION BY d.vec_id
+                  ORDER BY d.dp / (v.nr * c.nr) DESC, d.c_id ASC) AS rn
+                FROM (SELECT e.vec_id, c.c_id, SUM(e.v * c.cv) AS dp
+                      FROM e JOIN c{t} c ON c.i = e.i GROUP BY 1, 2) d
+                JOIN nv v ON v.vec_id = d.vec_id
+                JOIN n{t} c ON c.c_id = d.c_id
+              ) WHERE rn = 1)"""
+        )
+        if t < iters:
+            parts.append(
+                f"c{t + 1} AS (SELECT a.cell AS c_id, e.i, AVG(e.v) AS cv"
+                f" FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2)"
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{iters} ORDER BY vec_id"
+    )
 
 
 def _pagerank_oracle_sql(iterations: int = 8, damping: float = 0.85) -> str:
@@ -2530,6 +2592,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT q_id, n_id, "rank", cos FROM r WHERE "rank" <= 10
         """,
+        "emb_kmeans_cells": _kmeans_oracle_sql(),
         "doc_segment_dedup": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             segs AS (

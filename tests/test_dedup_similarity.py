@@ -257,3 +257,23 @@ def test_srp_near_dups_subset_recall_and_exactness(spark, sf_dir):
     s1 = {r["vec_id"]: r["sig"] for r in srp_signature(emb, 64, bits=30).collect()}
     s2 = {r["vec_id"]: r["sig"] for r in srp_signature(emb, 64, bits=30).collect()}
     assert s1 == s2
+
+
+def test_kmeans_cells_gated_query_partitions_corpus(spark):
+    """The emb_kmeans_cells gated query assigns EVERY vector to exactly one
+    trained cell, cells are non-degenerate (no single giant cell), and the
+    assignment is replay-stable (deterministic seeding + tie-breaks)."""
+    import __spark_entry__ as E
+
+    q = E.queries()["emb_kmeans_cells"]
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    sizes = {}
+    for r in rows:
+        sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
+    assert len(sizes) >= 4, f"degenerate clustering: {sizes}"
+    assert max(sizes.values()) < n, "all vectors in one cell"
+    again = {(r["vec_id"], r["cell"]) for r in q(spark, "/root/testdata/sf0.001").collect()}
+    assert again == {(r["vec_id"], r["cell"]) for r in rows}
