@@ -1395,6 +1395,19 @@ def q_doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "clean_text", "n_segments", "n_kept")
 
 
+def q_doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score (operators/textops.py
+    lm_surprisal): train the LM on the corpus in one aggregate, score each
+    doc by cross-entropy under it. Surprisal is quantized to whole bits via
+    integer bit-length (bin() is exact on BIGINT in Spark and DuckDB), so
+    the statistic is bit-identical cross-engine with no ln()/log2() ulp
+    risk; bits_per_token is an exact IEEE quotient of two integers."""
+    from airbyte_spark.operators.textops import lm_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_surprisal(docs)
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training + tokenization (operators/bpe.py): learn a
     merge table from the corpus (ONE distributed pass — word-type counting,
@@ -1580,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_mix": q_doc_sample_mix,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_lm_surprisal": q_doc_lm_surprisal,
         "web_pagerank": q_web_pagerank,
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
@@ -2628,6 +2642,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 5
+        """,
+        "doc_lm_surprisal": """
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, term),
+            c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+            n AS (SELECT CAST(length(bin(CAST(sum(c) AS BIGINT))) AS BIGINT) AS bits_n
+                  FROM c),
+            s AS (SELECT doc_id,
+                         CAST(sum(tf) AS BIGINT) AS n_tokens,
+                         CAST(sum(tf * (bits_n - length(bin(c)))) AS BIGINT)
+                           AS surprisal_bits
+                  FROM tf JOIN c USING (term) CROSS JOIN n
+                  GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.surprisal_bits, 0) AS surprisal_bits,
+                   CASE WHEN s.n_tokens > 0
+                        THEN CAST(s.surprisal_bits AS DOUBLE)
+                               / CAST(s.n_tokens AS DOUBLE)
+                   END AS bits_per_token
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN s USING (doc_id)
         """,
         "doc_sample_mix": """
             SELECT doc_id, lang FROM documents

@@ -227,3 +227,57 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def lm_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score: train a unigram LM on the
+    corpus in one aggregate, score every document by its cross-entropy
+    under that LM. Low bits/token = repetitive/templated text, high =
+    rare-token gibberish — CCNet buckets the corpus by exactly this
+    statistic (head/middle/tail) before training-data selection.
+
+    Surprisal is QUANTIZED TO WHOLE BITS via integer bit-length:
+    bits(w) = bitlen(N) - bitlen(c(w)) ≈ floor-ish log2(N / c(w)), with
+    bitlen(x) = length(bin(x)) computed exactly on BIGINT in both Spark and
+    DuckDB. No ln()/log2() calls — transcendental libm results can differ
+    in the last ulp between engines, which would break the value-hash
+    oracle; integer bit arithmetic is bit-identical everywhere, and
+    bits_per_token stays an exact IEEE quotient of two integers.
+
+    Scale shape (100 TB): per-(doc, term) counts first (one shuffle,
+    map-side combinable — Zipf skew collapses at the combiner), the global
+    term table is another map-side-combinable agg, and the scoring join is
+    on distinct (doc, term) pairs, not raw tokens. N is a scalar. No
+    step touches raw token volume after the first combine.
+    """
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    n_total = counts.agg(F.sum("c")).first()[0] or 0
+    bits_n = F.lit(int(n_total).bit_length()).cast("bigint")
+
+    def _bitlen(col: Column) -> Column:
+        return F.length(F.bin(col.cast("bigint"))).cast("bigint")
+
+    scored = tf.join(counts, "term").groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * (bits_n - _bitlen(F.col("c")))).alias("surprisal_bits"),
+    )
+    return df.select(id_col).distinct().join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("surprisal_bits"), F.lit(0)).cast("bigint").alias("surprisal_bits"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("surprisal_bits").cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("bits_per_token"),
+    )

@@ -114,3 +114,43 @@ def test_tfidf_rare_term_beats_common(spark):
         for r in tfidf_topk(df, k=1).collect()
     }
     assert top1 == {i: marker[i] for i in range(6)}
+
+
+def test_lm_surprisal_matches_python_reference(spark):
+    import re
+    from collections import Counter
+
+    from airbyte_spark.operators.textops import lm_surprisal
+
+    rows = [
+        (1, "the the the the cat"),
+        (2, "the cat sat on a rare xylophone"),
+        (3, "zzz qqq www"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in lm_surprisal(df).collect()}
+
+    toks = {i: re.findall(r"[a-z]+", t.lower()) for i, t in rows}
+    counts = Counter(w for ws in toks.values() for w in ws)
+    n_total = sum(counts.values())
+    bits_n = n_total.bit_length()
+    for i, ws in toks.items():
+        n = len(ws)
+        bits = sum(bits_n - counts[w].bit_length() for w in ws)
+        assert got[i]["n_tokens"] == n
+        assert got[i]["surprisal_bits"] == bits
+        if n:
+            assert got[i]["bits_per_token"] == bits / n
+        else:
+            assert got[i]["bits_per_token"] is None
+
+
+def test_lm_surprisal_orders_rare_above_common(spark):
+    from airbyte_spark.operators.textops import lm_surprisal
+
+    # doc 1 is pure repeated common tokens; doc 2 is all-singleton tokens.
+    rows = [(1, "the " * 50), (2, "unique tokens appear once each time")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bpt = {r["doc_id"]: r["bits_per_token"] for r in lm_surprisal(df).collect()}
+    assert bpt[2] > bpt[1]
