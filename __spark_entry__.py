@@ -75,6 +75,41 @@ def q_cdc_mor_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
 
 
+def q_cdc_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the row-level change
+    feed (lake/changes.py row_changes + operators/matview.py): replay the
+    first half of the changelog, build the per-lang aggregate view, replay
+    the rest, then advance the view ONLY with the signed deltas of
+    row_changes(v_mid → v_end) — the table is never re-aggregated. The
+    result must equal a full group-by over the final state (the oracle),
+    which is exactly the O(changes)-not-O(table) refresh contract a
+    100 TB downstream aggregate needs."""
+    from airbyte_spark.lake.changes import row_changes
+    from airbyte_spark.operators.matview import apply_agg_delta, build_agg
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    path = tempfile.mkdtemp(prefix="airbyte_spark_mv_") + "/pages"
+    pipe = CdcPipeline.create_target(spark, path, n_buckets=8)
+    ch = read_changelog(spark, sf_dir)
+    ckpts = sorted(r[0] for r in ch.select("checkpoint_id").distinct().collect())
+    cut = ckpts[: max(1, len(ckpts) // 2)]
+    pipe.replay(ch.filter(F.col("checkpoint_id").isin(cut)))
+    v_mid = pipe.table.current_version()
+    pipe.replay(ch)
+
+    def visible(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("_ab_cdc_deleted_at").isNull())
+
+    measures = {"n_pages": None, "n_chars": F.length(F.col("text"))}
+    state = build_agg(visible(pipe.table.read(v_mid)), ["lang"], measures)
+    feed = visible(row_changes(pipe.table, v_mid))
+    return apply_agg_delta(state, feed, ["lang"], measures).select(
+        "lang",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
 def q_cdc_final_state_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as the engine, expressed as one window query —
     the SCD active-row rule (stream_processor.py:695-768)."""
@@ -1524,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
+        "cdc_matview_incremental": q_cdc_matview_incremental,
         "cdc_final_state_window": q_cdc_final_state_window,
         "cdc_dedup_batch": q_cdc_dedup_batch,
         "cdc_dedup_salted": q_cdc_dedup_salted,
@@ -1814,6 +1850,17 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": final_state,
         "cdc_mor_replay_final_state": final_state,
+        "cdc_matview_incremental": f"""
+            WITH ch AS ({_CH}),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
+            FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+            GROUP BY lang
+        """,
         "cdc_final_state_window": f"""
             WITH ch AS ({_CH}),
             r AS (SELECT *, row_number() OVER (
