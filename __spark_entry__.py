@@ -124,6 +124,26 @@ def q_cdc_final_state_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog-style chunked incremental snapshot (sources/snapshot.py):
+    8 key-hash chunks read at staggered log watermarks, interleaved with
+    the live stream from the snapshot base — must converge to the same
+    final state as a from-LSN-0 replay (the oracle)."""
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.schema import CHANGE_SCHEMA
+    from airbyte_spark.sources.snapshot import interleaved_state, snapshot_chunks
+
+    ch = read_changelog(spark, sf_dir)
+    max_lsn = ch.agg(F.max("_ab_cdc_lsn")).collect()[0][0]  # metadata collect
+    base = (max_lsn * 2) // 5
+    step = max(1, max_lsn // 20)
+    cfg = StreamConfig(name="pages", schema=CHANGE_SCHEMA)
+    snap = snapshot_chunks(ch, cfg, base, step, n_chunks=8, keep_tombstones=True)
+    stream = ch.filter(F.col("_ab_cdc_lsn") > base)
+    out = interleaved_state(snap, stream, cfg)
+    return out.select("url", "warc_ts", "lang", "_ab_cdc_lsn")
+
+
 def q_cdc_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch window dedup: latest event per url per checkpoint,
     tombstones included (they must win within a batch to delete)."""
@@ -1561,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
         "cdc_matview_incremental": q_cdc_matview_incremental,
         "cdc_final_state_window": q_cdc_final_state_window,
+        "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_dedup_batch": q_cdc_dedup_batch,
         "cdc_dedup_salted": q_cdc_dedup_salted,
         "cdc_extract_text": q_cdc_extract_text,
@@ -1862,6 +1883,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "cdc_final_state_window": f"""
+            WITH ch AS ({_CH}),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch)
+            SELECT url, warc_ts, lang, _ab_cdc_lsn
+            FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
+        # chunked-snapshot bootstrap must converge to the plain full-replay
+        # state — the oracle is deliberately the from-LSN-0 definition
+        "cdc_incremental_snapshot": f"""
             WITH ch AS ({_CH}),
             r AS (SELECT *, row_number() OVER (
                     PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
