@@ -1523,6 +1523,49 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus (operators/graph.py): extract <a href>text</a>
+    pairs from page bytes with a scan-fused regex, aggregate per TARGET
+    url (in-links, distinct sources, most frequent anchor). The fixture
+    HTML carries no anchors, so each page gets a deterministic footer —
+    a link to the next page of its domain and one (with a #fragment to
+    strip) to the domain root. The oracle reconstructs the expected
+    profile from the link rule in closed form — it never runs the regex,
+    so the extraction path is independently checked."""
+    from airbyte_spark.operators.graph import anchor_text_profile, extract_anchors
+
+    urls = (
+        read_changelog(spark, sf_dir)
+        .select("url")
+        .distinct()
+        .withColumn("u", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
+    )
+    site = F.concat(F.lit("https://site-"), (F.col("u") % 10).cast("string"),
+                    F.lit(".example.com/p/"))
+    pages = urls.select(
+        "url",
+        F.encode(
+            F.concat(
+                F.lit('<html><body><h1>d</h1><a name="x">no href</a><a class="n" href="'),
+                site, (F.col("u") + 10).cast("string"),
+                F.lit('">More  doc '), (F.col("u") + 10).cast("string"),
+                F.lit('</a> <a href="'), site, (F.col("u") % 10).cast("string"),
+                F.lit('#top">site '), (F.col("u") % 10).cast("string"),
+                F.lit(" home</a></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    prof = anchor_text_profile(extract_anchors(pages))
+    return prof.select(
+        "dst",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_srcs").cast("long").alias("n_srcs"),
+        "top_anchor",
+        F.col("top_anchor_n").cast("long").alias("top_anchor_n"),
+    )
+
+
 def q_cdc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain stream stats (events, distinct pages, deletes, cursor
     high-water mark) — the hot-domain skew-detection input the north_star
@@ -1652,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_lm_surprisal": q_doc_lm_surprisal,
         "web_pagerank": q_web_pagerank,
+        "web_anchor_text": q_web_anchor_text,
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
     }
@@ -2847,6 +2891,36 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "web_pagerank": _pagerank_oracle_sql(),
+        # closed-form link rule — never runs the anchor regex, so the
+        # engine's extraction+normalization path is independently checked
+        "web_anchor_text": f"""
+            WITH ch AS ({_CH}),
+            urls AS (SELECT DISTINCT url,
+                            CAST(regexp_extract(url, 'p/(\\d+)$', 1) AS BIGINT) AS u
+                     FROM ch),
+            a AS (
+              SELECT url AS src,
+                     'https://site-' || CAST(u % 10 AS VARCHAR)
+                       || '.example.com/p/' || CAST(u + 10 AS VARCHAR) AS dst,
+                     'more doc ' || CAST(u + 10 AS VARCHAR) AS anchor
+              FROM urls
+              UNION ALL
+              SELECT url,
+                     'https://site-' || CAST(u % 10 AS VARCHAR)
+                       || '.example.com/p/' || CAST(u % 10 AS VARCHAR),
+                     'site ' || CAST(u % 10 AS VARCHAR) || ' home'
+              FROM urls
+            ),
+            pa AS (SELECT dst, anchor, count(*) AS n FROM a GROUP BY dst, anchor),
+            top AS (SELECT dst, anchor, n, row_number() OVER (
+                      PARTITION BY dst ORDER BY n DESC, anchor ASC) AS rn FROM pa),
+            tot AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_links,
+                           CAST(count(DISTINCT src) AS BIGINT) AS n_srcs
+                    FROM a GROUP BY dst)
+            SELECT t.dst, t.n_links, t.n_srcs,
+                   p.anchor AS top_anchor, CAST(p.n AS BIGINT) AS top_anchor_n
+            FROM tot t JOIN top p ON t.dst = p.dst AND p.rn = 1
+        """,
         "cdc_url_domains": f"""
             WITH ch AS ({_CH}),
             per_url AS (

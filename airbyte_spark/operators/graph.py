@@ -95,3 +95,69 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+# --- anchor text -----------------------------------------------------------
+
+# full <a> tag with an unbroken text child: group 1 = href, group 2 = text.
+# Nested markup inside the anchor ([^<]*) is deliberately excluded — the
+# truncated-at-tag form matches what link-corpus builds keep (plain-text
+# anchors), and keeps the regex linear-time on adversarial pages.
+ANCHOR_TAG_PATTERN = r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst, anchor) triples from raw page bytes — the anchor-text
+    corpus step of web-scale indexing/training pipelines (anchor text is a
+    query-independent description of the TARGET page; Common Crawl link
+    releases and classic IR both aggregate it per destination).
+
+    Vectorized and scan-fused: one regexp_extract_all for whole <a> tags,
+    explode, then per-snippet group extraction — zero shuffles, no UDF.
+    Fragments are stripped from the destination (same rule as
+    HREF_PATTERN); empty anchor text and empty hrefs are dropped."""
+    snippets = F.regexp_extract_all(
+        F.decode(F.col(html_col), "UTF-8"), F.lit(ANCHOR_TAG_PATTERN), 0
+    )
+    one = pages.select(
+        F.col(url_col).alias("src"), F.explode(snippets).alias("_tag")
+    )
+    dst = F.regexp_replace(
+        F.regexp_extract(F.col("_tag"), ANCHOR_TAG_PATTERN, 1), "#.*$", ""
+    )
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(F.col("_tag"), ANCHOR_TAG_PATTERN, 2), r"\s+", " "
+        )
+    )
+    return (
+        one.select("src", dst.alias("dst"), F.lower(anchor).alias("anchor"))
+        .filter((F.col("dst") != "") & (F.col("anchor") != ""))
+    )
+
+
+def anchor_text_profile(anchors: DataFrame) -> DataFrame:
+    """Per-destination anchor profile: in-link count, distinct linking
+    pages, and the most frequent normalized anchor string (ties broken
+    lexicographically so the result is replay-deterministic).
+
+    Scale shape (100 TB): two-level aggregate — (dst, anchor) partial
+    counts absorb hot targets' skew map-side, then one window per dst over
+    the already-collapsed profile rows (O(distinct anchors), not O(links)).
+    No joins, no driver collect."""
+    from pyspark.sql import Window
+
+    per_anchor = anchors.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("anchor").asc())
+    top = (
+        per_anchor.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("dst", F.col("anchor").alias("top_anchor"), F.col("n").alias("top_anchor_n"))
+    )
+    totals = anchors.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src").alias("n_srcs"),
+    )
+    return totals.join(top, "dst")

@@ -66,3 +66,45 @@ def test_extract_links(spark):
         ("https://x.com/", "https://x.com/a"),
         ("https://x.com/", "https://x.com/b"),  # fragment dropped
     ]
+
+
+# --- anchor text -----------------------------------------------------------
+
+
+def test_extract_anchors_messy_html(spark):
+    from airbyte_spark.operators.graph import extract_anchors
+
+    html = (
+        '<html><body>'
+        '<a href="https://a.example/x">  Plain   Link </a>'
+        '<a class="btn" rel="nofollow" href="https://b.example/y#frag">Styled</a>'
+        '<a name="anchor-only">no href at all</a>'
+        '<a href="https://c.example/z"></a>'            # empty text: dropped
+        '<a href="https://d.example/w"><b>nested</b></a>'  # nested markup: dropped
+        '<a href="">empty href</a>'
+        '</body></html>'
+    ).encode()
+    pages = spark.createDataFrame([("https://src.example/", html)], "url string, html binary")
+    got = {(r["dst"], r["anchor"]) for r in extract_anchors(pages).collect()}
+    assert got == {
+        ("https://a.example/x", "plain link"),
+        ("https://b.example/y", "styled"),
+    }
+
+
+def test_anchor_text_profile_counts_and_ties(spark):
+    from airbyte_spark.operators.graph import anchor_text_profile
+
+    rows = [
+        ("s1", "d1", "home"),
+        ("s2", "d1", "home"),
+        ("s2", "d1", "start"),   # s2 links d1 twice with different anchors
+        ("s3", "d1", "about"),   # 'about' ties 'start' at 1 → 'about' wins lex? no: home wins at 2
+        ("s1", "d2", "b"),
+        ("s2", "d2", "a"),       # tie at 1 → lexicographic: 'a'
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = {r["dst"]: (r["n_links"], r["n_srcs"], r["top_anchor"], r["top_anchor_n"])
+           for r in anchor_text_profile(df).collect()}
+    assert got["d1"] == (4, 3, "home", 2)
+    assert got["d2"] == (2, 2, "a", 1)
