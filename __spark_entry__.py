@@ -1304,6 +1304,24 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, num_centroids=16, nprobe=4)
 
 
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py): encode every
+    vector to 8 one-byte codes (8 subspaces × 16 centroids), then answer
+    top-10 per query with asymmetric-distance table lookups over the codes
+    column only — the 100 TB memory path (m bytes/vector vs 4·D). The
+    oracle recomputes encode + ADC from the unnested elements in SQL."""
+    from airbyte_spark.operators.similarity import pq_codebook, pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebook(emb, m=8, ksub=16)
+    codes = pq_encode(emb, cb, m=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(queries, codes, cb, k=10, m=8)
+    return out.select(
+        "q_id", "n_id", "rank", F.round("adist", 8).alias("adist")
+    )
+
+
 def q_emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell assignment under k-means-trained centroids (k=8, two Lloyd
     iterations, lowest-id seeding) — the data-adaptive upgrade over the
@@ -1683,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_srp_near_dups": q_emb_srp_near_dups,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_kmeans_cells": q_emb_kmeans_cells,
+        "emb_pq_topk": q_emb_pq_topk,
         "doc_segment_dedup": q_doc_segment_dedup,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_train_split": q_doc_train_split,
@@ -2628,6 +2647,44 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS "rank"
                   FROM scored)
             SELECT q_id, n_id, "rank", cos FROM r WHERE "rank" <= 10
+        """,
+        # PQ: encode (argmin over per-subspace L2) + ADC scoring recomputed
+        # from unnested elements; codes are c_id labels here because the
+        # deterministic codebook's c_ids are dense 0..15 (engine uses dense
+        # positions, identical in that case)
+        "emb_pq_topk": """
+            WITH es AS (
+              SELECT vec_id, CAST((i-1) // 8 AS INT) AS sub,
+                     CAST((i-1) % 8 AS INT) AS j, CAST(v AS DOUBLE) AS v
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+            ),
+            cb AS (SELECT vec_id AS c_id, sub, j, v FROM es WHERE vec_id < 16),
+            enc_d AS (
+              SELECT a.vec_id, a.sub, b.c_id,
+                     SUM((a.v - b.v) * (a.v - b.v)) AS d2
+              FROM es a JOIN cb b ON a.sub = b.sub AND a.j = b.j
+              GROUP BY 1, 2, 3
+            ),
+            codes AS (
+              SELECT vec_id, sub, c_id AS code FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY d2 ASC, c_id ASC) AS rn
+                FROM enc_d) WHERE rn = 1
+            ),
+            dt AS (SELECT vec_id AS q_id, sub, c_id, d2 FROM enc_d WHERE vec_id < 5),
+            sc AS (
+              SELECT dt.q_id, c.vec_id AS n_id, SUM(dt.d2) AS adist
+              FROM codes c JOIN dt ON dt.sub = c.sub AND dt.c_id = c.code
+              WHERE dt.q_id <> c.vec_id
+              GROUP BY 1, 2
+            ),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS "rank"
+                  FROM sc)
+            SELECT q_id, n_id, "rank", round(adist, 8) AS adist
+            FROM r WHERE "rank" <= 10
         """,
         "emb_near_dups": f"""
             WITH {_EMB_BASE_CTE},

@@ -424,3 +424,192 @@ def embedding_near_dups_bucketed(
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebook (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): split each vector into m
+    subvectors and take the ksub lowest-id vectors' subvectors as the
+    per-subspace centroids — replay-stable and oracle-portable, the same
+    placeholder rule ivf_assign uses. Returns (sub, c_id, c_vec); refine
+    with pq_train for data-adaptive cells. The codebook is tiny
+    (m × ksub × D/m doubles) and always broadcasts."""
+    dim = len(corpus.select(vec_col).first()[0])
+    dsub = dim // m
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            _dvec(F.slice(F.col(vec_col), s * dsub + 1, dsub)).alias("c_vec"),
+        )
+        for s in range(m)
+    ])
+    return (
+        corpus.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col).alias("c_id"), F.explode(subs).alias("x"))
+        .select(F.col("x.sub").alias("sub"), "c_id", F.col("x.c_vec").alias("c_vec"))
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd refinement of pq_codebook (k-means in each of the
+    m subspaces independently — the PQ training loop). Each round is one
+    broadcast assign + a (sub, cell) elementwise-mean aggregate; the
+    shuffle moves m × ksub × D/m doubles per partition, never vectors."""
+    dim = len(corpus.select(vec_col).first()[0])
+    dsub = dim // m
+    cb = pq_codebook(corpus, m, ksub, id_col, vec_col)
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            _dvec(F.slice(F.col(vec_col), s * dsub + 1, dsub)).alias("v_vec"),
+        )
+        for s in range(m)
+    ])
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), F.explode(subs).alias("x")
+    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.v_vec").alias("v_vec"))
+    for _ in range(iters):
+        scored = v.join(F.broadcast(cb), "sub").withColumn(
+            "d2", _l2sq(F.col("v_vec"), F.col("c_vec"))
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy(
+            F.col("d2").asc(), F.col("c_id").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "v_vec", F.col("c_id").alias("cell"))
+        )
+        cb = assigned.groupBy("sub", F.col("cell").alias("c_id")).agg(
+            F.array(*[F.avg(F.col("v_vec")[j]) for j in range(dsub)]).alias("c_vec")
+        )
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to m one-byte codes: per subspace, the id of
+    the nearest codebook centroid by L2 (ties to the lowest c_id).
+    Returns (vec_id, codes array<int> ordered by subspace) — at 10^9
+    vectors this is the column that gets STORED (m bytes vs 4·D), and the
+    ADC scan below never touches the original embeddings.
+
+    One broadcast join + one groupBy(vec_id) — the corpus shuffles codes,
+    not vectors.
+
+    Codes are DENSE per-subspace positions (row_number over c_id), not raw
+    c_id labels — so a trained codebook whose cells emptied (sparse c_ids)
+    still lines up with the ADC tables pq_topk builds in the same order."""
+    dim_row = corpus.select(vec_col).first()[0]
+    dsub = len(dim_row) // m
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            _dvec(F.slice(F.col(vec_col), s * dsub + 1, dsub)).alias("v_vec"),
+        )
+        for s in range(m)
+    ])
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), F.explode(subs).alias("x")
+    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.v_vec").alias("v_vec"))
+    wcb = Window.partitionBy("sub").orderBy(F.col("c_id").asc())
+    cb = codebook.withColumn("code_idx", F.row_number().over(wcb) - 1)
+    scored = v.join(F.broadcast(cb), "sub").withColumn(
+        "d2", _l2sq(F.col("v_vec"), F.col("c_vec"))
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min_by(F.col("code_idx"), F.struct(F.col("d2"), F.col("c_id"))).alias("code")
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, precompute an m × ksub
+    table of exact query-subvector↔centroid distances, then score every
+    stored code with m table LOOKUPS (zip_with over the codes array) —
+    no floating-point math per corpus row beyond m adds, and the corpus
+    side reads only the codes column. Ranks ascending approximate L2;
+    ties and self-matches resolved on vec_id. Returns
+    (q_id, n_id, rank, adist)."""
+    dim_row = queries.select(vec_col).first()[0]
+    dsub = len(dim_row) // m
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            _dvec(F.slice(F.col(vec_col), s * dsub + 1, dsub)).alias("q_vec"),
+        )
+        for s in range(m)
+    ])
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.explode(subs).alias("x")
+    ).select("q_id", F.col("x.sub").alias("sub"), F.col("x.q_vec").alias("q_vec"))
+    cells = q.join(F.broadcast(codebook), "sub").select(
+        "q_id", "sub", "c_id", _l2sq(F.col("q_vec"), F.col("c_vec")).alias("d2")
+    )
+    per_sub = cells.groupBy("q_id", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c_id", "d2"))), lambda x: x["d2"]
+        ).alias("row")
+    )
+    tables = per_sub.groupBy("q_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "row"))), lambda x: x["row"]
+        ).alias("tbl")
+    )
+    scored = codes.crossJoin(F.broadcast(tables)).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("tbl"), lambda c, t: t[c]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adist"),
+    ).filter(F.col("q_id") != F.col("n_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "adist")
+    )
