@@ -1501,19 +1501,13 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link-graph PageRank (operators/graph.py): power iteration as
-    join/agg rounds over the edge list — the Common-Crawl host-rank
-    computation, a first-class quality signal for corpus curation. The
-    fixture HTML carries no hrefs, so the edge list is synthesized
-    deterministically from the url space itself (each page links to the
+def _synthetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture HTML carries no hrefs, so the link graph is synthesized
+    deterministically from the url space itself: each page links to the
     next two pages of its domain plus the domain's first page — a chain +
-    hub shape; extract_links() is the real-HTML path, pinned in
-    tests/test_graph.py). Iterative fixpoint → no SQL oracle (rows-only);
-    values are pinned against numpy power iteration in tests."""
+    hub shape (extract_links() is the real-HTML path, pinned in
+    tests/test_graph.py). The oracle reproduces this rule in SQL."""
     from pyspark.sql import Window
-
-    from airbyte_spark.operators.graph import pagerank
 
     urls = (
         read_changelog(spark, sf_dir)
@@ -1524,7 +1518,7 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("domain").orderBy("page_no")
     wd = Window.partitionBy("domain")
-    edges = (
+    return (
         urls.select(
             F.col("url").alias("src"),
             F.lead("url", 1).over(w).alias("n1"),
@@ -1536,8 +1530,33 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
     )
-    return pagerank(edges, iterations=8).select(
+
+
+def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (operators/graph.py): power iteration as
+    join/agg rounds over the edge list — the Common-Crawl host-rank
+    computation, a first-class quality signal for corpus curation.
+    Full value oracle: the fixed iteration count unrolls into chained
+    DuckDB CTEs; values also pinned against numpy in tests."""
+    from airbyte_spark.operators.graph import pagerank
+
+    return pagerank(_synthetic_edges(spark, sf_dir), iterations=8).select(
         "url", F.round("rank", 10).alias("rank")
+    )
+
+
+def q_web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py) over the same synthetic
+    link graph as web_pagerank — the complementary query-dependent link
+    signal (domain roots become authorities, chain pages hubs). L1
+    normalization keeps the unrolled CTE oracle sqrt-free; round(10)
+    absorbs summation-order ulp."""
+    from airbyte_spark.operators.graph import hits
+
+    return hits(_synthetic_edges(spark, sf_dir), iterations=8).select(
+        "url",
+        F.round("hub", 10).alias("hub"),
+        F.round("authority", 10).alias("authority"),
     )
 
 
@@ -1714,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_lm_surprisal": q_doc_lm_surprisal,
         "web_pagerank": q_web_pagerank,
+        "web_hits": q_web_hits,
         "web_anchor_text": q_web_anchor_text,
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
@@ -1919,6 +1939,54 @@ def _pagerank_oracle_sql(iterations: int = 8, damping: float = 0.85) -> str:
     return (
         edges_cte + "," + ",".join(iters)
         + f"\n    SELECT url, round(rank, 10) AS rank FROM r{iterations}"
+    )
+
+
+def _hits_oracle_sql(iterations: int = 8) -> str:
+    """Fixed-iteration HITS unrolled into chained CTEs (same edge rule as
+    the pagerank oracle). L1-normalized half-steps exactly mirror
+    operators/graph.py hits(); round(10) absorbs sum-order ulp."""
+    edges_cte = f"""
+    WITH ch AS ({_CH}),
+    urls AS (SELECT DISTINCT url FROM ch),
+    u AS (SELECT url,
+            regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+            CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT) AS page_no
+          FROM urls),
+    e0 AS (SELECT url AS src,
+             lead(url, 1) OVER w AS n1,
+             lead(url, 2) OVER w AS n2,
+             first_value(url) OVER w AS root
+           FROM u WINDOW w AS (PARTITION BY domain ORDER BY page_no)),
+    edges AS MATERIALIZED (SELECT src, dst FROM (
+                SELECT src, unnest([n1, n2, root]) AS dst FROM e0)
+              WHERE dst IS NOT NULL AND dst <> src),
+    nodes AS MATERIALIZED (SELECT DISTINCT url FROM (
+                SELECT src AS url FROM edges
+                UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    h0 AS MATERIALIZED (SELECT url, 1.0 / (SELECT n FROM nn) AS s FROM nodes)"""
+    iters = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        iters.append(f"""
+    ar{i} AS (SELECT e.dst AS url, sum(h.s) AS x
+              FROM edges e JOIN h{p} h ON e.src = h.url GROUP BY e.dst),
+    as{i} AS (SELECT sum(x) AS t FROM ar{i}),
+    a{i} AS MATERIALIZED (SELECT n.url,
+               coalesce(r.x, 0.0) / (SELECT t FROM as{i}) AS s
+             FROM nodes n LEFT JOIN ar{i} r ON n.url = r.url),
+    hr{i} AS (SELECT e.src AS url, sum(a.s) AS x
+              FROM edges e JOIN a{i} a ON e.dst = a.url GROUP BY e.src),
+    hs{i} AS (SELECT sum(x) AS t FROM hr{i}),
+    h{i} AS MATERIALIZED (SELECT n.url,
+               coalesce(r.x, 0.0) / (SELECT t FROM hs{i}) AS s
+             FROM nodes n LEFT JOIN hr{i} r ON n.url = r.url)""")
+    return (
+        edges_cte + "," + ",".join(iters)
+        + f"""
+    SELECT h.url, round(h.s, 10) AS hub, round(a.s, 10) AS authority
+    FROM h{iterations} h JOIN a{iterations} a ON h.url = a.url"""
     )
 
 
@@ -2948,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "web_pagerank": _pagerank_oracle_sql(),
+        "web_hits": _hits_oracle_sql(),
         # closed-form link rule — never runs the anchor regex, so the
         # engine's extraction+normalization path is independently checked
         "web_anchor_text": f"""

@@ -161,3 +161,58 @@ def anchor_text_profile(anchors: DataFrame) -> DataFrame:
         F.countDistinct("src").alias("n_srcs"),
     )
     return totals.join(top, "dst")
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities, JACM 1999) over an edge list:
+    authority(v) ← Σ hub(u) over in-links, hub(u) ← Σ authority(v) over
+    out-links, renormalized each half-step. Multi-edges contribute
+    multiply. Normalization is L1 (scores sum to 1) instead of the
+    classical L2 — a positive scalar either way, so rankings are
+    identical, and avoiding sqrt keeps the unrolled SQL oracle exact.
+
+    Scale shape mirrors pagerank(): each half-step is one edges⋈scores
+    join + one sum-aggregate keyed on the opposite endpoint — two
+    shuffles over the EDGE list with map-side partial sums absorbing hub
+    skew; the normalizer is a 1-row aggregate broadcast into the update
+    (no driver collect). Rounds are localCheckpoint()ed so lineage stays
+    O(1) in the iteration count. Returns (url, hub, authority)."""
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("url"))
+        .unionAll(e.select(F.col("v").alias("url")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    hub = nodes.select("url", F.lit(1.0 / n).alias("s"))
+
+    def half_step(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[from_col] == scores["url"])
+            .groupBy(to_col)
+            .agg(F.sum("s").alias("x"))
+        )
+        total = raw.agg(F.sum("x").alias("_t"))
+        return (
+            nodes.join(raw, nodes["url"] == raw[to_col], "left")
+            .crossJoin(F.broadcast(total))
+            .select("url", (F.coalesce(F.col("x"), F.lit(0.0)) / F.col("_t")).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+
+    auth = None
+    for _ in range(iterations):
+        auth = half_step(hub, "u", "v")
+        hub = half_step(auth, "v", "u")
+    return (
+        hub.withColumnRenamed("s", "hub")
+        .join(auth.withColumnRenamed("s", "authority"), "url")
+    )

@@ -108,3 +108,45 @@ def test_anchor_text_profile_counts_and_ties(spark):
            for r in anchor_text_profile(df).collect()}
     assert got["d1"] == (4, 3, "home", 2)
     assert got["d2"] == (2, 2, "a", 1)
+
+
+# --- HITS -------------------------------------------------------------------
+
+
+def test_hits_matches_numpy(spark):
+    import numpy as np
+
+    from airbyte_spark.operators.graph import hits
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "b"), ("a", "b"),  # multi-edge a→b counts twice
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] += 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(8):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    got = {r["url"]: (r["hub"], r["authority"]) for r in hits(df, 8).collect()}
+    for u in nodes:
+        assert abs(got[u][0] - h[idx[u]]) < 1e-9, u
+        assert abs(got[u][1] - a[idx[u]]) < 1e-9, u
+
+
+def test_hits_hub_authority_separation(spark):
+    """A pure hub (links to everything, no in-links) must score hub≫auth;
+    a pure sink the reverse."""
+    from airbyte_spark.operators.graph import hits
+
+    edges = [("hub", f"s{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["url"]: r for r in hits(df, 4).collect()}
+    assert got["hub"]["hub"] > 0.99 and got["hub"]["authority"] == 0.0
+    assert all(got[f"s{i}"]["hub"] == 0.0 for i in range(5))
