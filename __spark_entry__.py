@@ -144,6 +144,32 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "warc_ts", "lang", "_ab_cdc_lsn")
 
 
+def q_cdc_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-atomic apply (sources/transactions.py): events carry
+    Debezium-style (tx_id, tx_total) metadata; the log is truncated at 90%
+    of the head, so transactions cut by the truncation — and the final
+    under-filled one — must be withheld entirely. Result = LWW final state
+    over COMPLETE transactions only."""
+    from airbyte_spark.sources.transactions import split_transactions
+
+    ch = (
+        read_changelog(spark, sf_dir)
+        .withColumn("tx_id", (F.col("_ab_cdc_lsn") / 4).cast("long"))
+        .withColumn("tx_total", F.lit(4))
+    )
+    max_lsn = ch.agg(F.max("_ab_cdc_lsn")).collect()[0][0]  # metadata collect
+    cutoff = (max_lsn * 9) // 10
+    ready, _deferred = split_transactions(ch.filter(F.col("_ab_cdc_lsn") <= cutoff))
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc_nulls_last(), F.col("_ab_cdc_lsn").desc_nulls_last()
+    )
+    return (
+        ready.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("_ab_cdc_deleted_at").isNull())
+        .select("url", "warc_ts", "lang", "_ab_cdc_lsn")
+    )
+
+
 def q_cdc_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch window dedup: latest event per url per checkpoint,
     tombstones included (they must win within a batch to delete)."""
@@ -1662,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_matview_incremental": q_cdc_matview_incremental,
         "cdc_final_state_window": q_cdc_final_state_window,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+        "cdc_tx_boundaries": q_cdc_tx_boundaries,
         "cdc_dedup_batch": q_cdc_dedup_batch,
         "cdc_dedup_salted": q_cdc_dedup_salted,
         "cdc_extract_text": q_cdc_extract_text,
@@ -2028,6 +2055,18 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER (
                     PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
                   FROM ch)
+            SELECT url, warc_ts, lang, _ab_cdc_lsn
+            FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
+        "cdc_tx_boundaries": f"""
+            WITH ch AS ({_CH}),
+            s AS (SELECT *, CAST(_ab_cdc_lsn // 4 AS BIGINT) AS tx_id FROM ch
+                  WHERE _ab_cdc_lsn <= (SELECT CAST(max(_ab_cdc_lsn) * 9 // 10 AS BIGINT)
+                                        FROM ch)),
+            done AS (SELECT tx_id FROM s GROUP BY tx_id HAVING count(*) = 4),
+            r AS (SELECT s.*, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM s JOIN done USING (tx_id))
             SELECT url, warc_ts, lang, _ab_cdc_lsn
             FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
         """,
