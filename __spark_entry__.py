@@ -34,10 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --- engine-backed final state (cached per sf_dir within a session) -------------
 
-_replay_cache: dict[str, DataFrame] = {}
+_replay_cache: dict[str, object] = {}
 
 
-def _replayed_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _replayed_pipe(spark: SparkSession, sf_dir: str):
+    """One engine replay per (session, sf_dir): later queries reuse the
+    table — including its VERSION HISTORY (time travel), which is how the
+    matview query obtains a mid-replay snapshot without a second replay."""
     key = f"{id(spark)}:{sf_dir}"
     if key not in _replay_cache:
         from airbyte_spark.streaming.pipeline import CdcPipeline
@@ -45,10 +48,14 @@ def _replayed_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tempfile.mkdtemp(prefix="airbyte_spark_lake_") + "/pages"
         pipe = CdcPipeline.create_target(spark, path, n_buckets=8)
         pipe.replay(read_changelog(spark, sf_dir))
-        _replay_cache[key] = pipe.final_state().select(
-            "url", "warc_ts", "text", "lang", "_ab_cdc_lsn"
-        )
+        _replay_cache[key] = pipe
     return _replay_cache[key]
+
+
+def _replayed_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _replayed_pipe(spark, sf_dir).final_state().select(
+        "url", "warc_ts", "text", "lang", "_ab_cdc_lsn"
+    )
 
 
 # --- individual operator queries -------------------------------------------------
@@ -77,25 +84,20 @@ def q_cdc_mor_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance from the row-level change
-    feed (lake/changes.py row_changes + operators/matview.py): replay the
-    first half of the changelog, build the per-lang aggregate view, replay
-    the rest, then advance the view ONLY with the signed deltas of
-    row_changes(v_mid → v_end) — the table is never re-aggregated. The
-    result must equal a full group-by over the final state (the oracle),
-    which is exactly the O(changes)-not-O(table) refresh contract a
-    100 TB downstream aggregate needs."""
+    feed (lake/changes.py row_changes + operators/matview.py): build the
+    per-lang aggregate view at a mid-history version (a time-travel read
+    of the session's replayed table), then advance it ONLY with the signed
+    deltas of row_changes(v_mid → head) — the table is never
+    re-aggregated. The result must equal a full group-by over the final
+    state (the oracle), which is exactly the O(changes)-not-O(table)
+    refresh contract a 100 TB downstream aggregate needs."""
     from airbyte_spark.lake.changes import row_changes
     from airbyte_spark.operators.matview import apply_agg_delta, build_agg
-    from airbyte_spark.streaming.pipeline import CdcPipeline
 
-    path = tempfile.mkdtemp(prefix="airbyte_spark_mv_") + "/pages"
-    pipe = CdcPipeline.create_target(spark, path, n_buckets=8)
-    ch = read_changelog(spark, sf_dir)
-    ckpts = sorted(r[0] for r in ch.select("checkpoint_id").distinct().collect())
-    cut = ckpts[: max(1, len(ckpts) // 2)]
-    pipe.replay(ch.filter(F.col("checkpoint_id").isin(cut)))
-    v_mid = pipe.table.current_version()
-    pipe.replay(ch)
+    # reuse the session's one replayed table; the mid-replay base state is a
+    # TIME-TRAVEL read of a mid-history version — no second replay
+    pipe = _replayed_pipe(spark, sf_dir)
+    v_mid = max(1, pipe.table.current_version() // 2)
 
     def visible(df: DataFrame) -> DataFrame:
         return df.filter(F.col("_ab_cdc_deleted_at").isNull())
