@@ -172,6 +172,30 @@ def q_cdc_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-stream merge (operators/patch.py): events carry only the
+    columns they changed (lsn%3 picks text / lang / both — the Mongo
+    update_description shape), and the final row takes each column from
+    the LATEST event that set it. One map-side-combinable aggregate, no
+    window — per-column LWW that a row-level merge would get wrong."""
+    from airbyte_spark.operators.patch import apply_patches
+
+    ch = read_changelog(spark, sf_dir)
+    mode = F.col("_ab_cdc_lsn") % 3
+    p = ch.select(
+        "url",
+        "_ab_cdc_lsn",
+        "_ab_cdc_deleted_at",
+        F.when(
+            mode.isin(0, 2),
+            F.concat(F.lit("rev-"), F.col("_ab_cdc_lsn").cast("string")),
+        ).alias("text"),
+        F.when(mode.isin(1, 2), F.col("lang")).alias("lang"),
+    )
+    out = apply_patches(p, ["text", "lang"])
+    return out.select("url", "text", "lang", "_ab_cdc_lsn")
+
+
 def q_cdc_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch window dedup: latest event per url per checkpoint,
     tombstones included (they must win within a batch to delete)."""
@@ -1691,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state_window": q_cdc_final_state_window,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_tx_boundaries": q_cdc_tx_boundaries,
+        "cdc_partial_updates": q_cdc_partial_updates,
         "cdc_dedup_batch": q_cdc_dedup_batch,
         "cdc_dedup_salted": q_cdc_dedup_salted,
         "cdc_extract_text": q_cdc_extract_text,
@@ -2071,6 +2096,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM s JOIN done USING (tx_id))
             SELECT url, warc_ts, lang, _ab_cdc_lsn
             FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
+        "cdc_partial_updates": f"""
+            WITH ch AS ({_CH}),
+            p AS (SELECT url, _ab_cdc_lsn AS lsn, _ab_cdc_deleted_at AS del,
+                    CASE WHEN _ab_cdc_lsn % 3 IN (0, 2)
+                         THEN 'rev-' || CAST(_ab_cdc_lsn AS VARCHAR) END AS text_p,
+                    CASE WHEN _ab_cdc_lsn % 3 IN (1, 2) THEN lang END AS lang_p
+                  FROM ch),
+            agg AS (
+              SELECT url,
+                arg_max(text_p, lsn) FILTER (WHERE text_p IS NOT NULL) AS text,
+                arg_max(lang_p, lsn) FILTER (WHERE lang_p IS NOT NULL) AS lang,
+                arg_max(del IS NOT NULL, lsn) AS is_del,
+                max(lsn) AS _ab_cdc_lsn
+              FROM p GROUP BY url)
+            SELECT url, text, lang, _ab_cdc_lsn FROM agg WHERE NOT is_del
         """,
         "cdc_dedup_batch": f"""
             WITH ch AS ({_CH}),
