@@ -31,7 +31,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
 _STATE_SCHEMA = StructType([StructField("max_lsn", LongType(), True)])
 
@@ -75,6 +75,73 @@ def redelivery_filter(
         screen,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_TX_STATE_SCHEMA = StructType(
+    [
+        StructField("total", LongType(), True),
+        StructField("buf", BinaryType(), True),
+    ]
+)
+
+
+def tx_assembler(
+    stream: DataFrame,
+    tx_col: str = "tx_id",
+    total_col: str = "tx_total",
+) -> DataFrame:
+    """Streaming transaction assembly: buffer each transaction's events in
+    the state store until all `tx_total` of them have arrived, then emit
+    the WHOLE transaction in one micro-batch output — the streaming
+    counterpart of sources/transactions.split_transactions, and the
+    Debezium transaction-metadata consumption pattern (buffer-until-END)
+    restated as distributed streaming state.
+
+    State is keyed on tx_id (hash-partitioned across executors like any
+    other shuffle key), so open-transaction buffering scales with the
+    number of IN-FLIGHT transactions, not the stream: a transaction's
+    events stay in state exactly until its last event arrives. Incomplete
+    transactions are withheld indefinitely — the same contract as any
+    transactional consumer; evict abandoned ones by redeploying with a
+    lower watermark upstream (a GroupStateTimeout eviction hook is the
+    production knob, omitted so replay tests stay deterministic).
+
+    Pending events are serialized into the state value as parquet bytes —
+    Arrow-batched both ways, no per-row Python."""
+    import io
+
+    out_schema = stream.schema
+
+    def assemble(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if state.exists:
+            total, buf = state.get
+            if buf is not None:
+                chunks.insert(0, pd.read_parquet(io.BytesIO(bytes(buf))))
+        else:
+            total = None
+        if not chunks:
+            return
+        allp = pd.concat(chunks, ignore_index=True)
+        declared = allp[total_col].max()
+        total = int(declared) if total is None else int(max(total, declared))
+        if len(allp) >= total:
+            state.remove()
+            yield allp
+        else:
+            sink = io.BytesIO()
+            allp.to_parquet(sink, index=False)
+            state.update((total, sink.getvalue()))
+
+    return stream.groupBy(tx_col).applyInPandasWithState(
+        assemble,
+        outputStructType=out_schema,
+        stateStructType=_TX_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

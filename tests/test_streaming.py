@@ -7,6 +7,7 @@ checkpoint, ≡ reference state-commit protocol SURVEY §2.9)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from airbyte_spark.sources.changelog import read_changelog, write_changelog_dir
@@ -49,3 +50,49 @@ def test_stream_matches_batch_replay(spark, sf_dir, changelog_dir, tmp_path_fact
     stream_pipe.run_stream(changelog_dir, str(base / "ckpt2"), available_now=True)
     assert stream_pipe.table.current_version() == v
     assert all(r.skipped for r in stream_pipe.results[5:])
+
+
+def test_tx_assembler_streaming_atomicity(spark, changelog_dir, tmp_path_factory):
+    """Streaming transaction assembly (stateful.tx_assembler): transactions
+    of 3 lsns over 200-lsn segment files must span file boundaries; with
+    one file per micro-batch, a spanning tx may only surface AFTER its last
+    event's file — whole, in one epoch — and the final open tx (lsn 999)
+    never surfaces."""
+    from airbyte_spark.schema import CHANGE_SCHEMA
+    from airbyte_spark.streaming.stateful import tx_assembler
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", changelog_dir)
+        .parquet(changelog_dir)
+        .withColumn("tx_id", (F.col("_ab_cdc_lsn") / 3).cast("long"))
+        .withColumn("tx_total", F.lit(3).cast("long"))
+    )
+    out = tx_assembler(stream)
+
+    seen: list[tuple[int, int]] = []  # (epoch, lsn)
+
+    def capture(df, epoch_id):
+        seen.extend((int(epoch_id), int(r["_ab_cdc_lsn"])) for r in df.collect())
+
+    ckpt = str(tmp_path_factory.mktemp("txasm") / "ckpt")
+    q = (
+        out.writeStream.foreachBatch(capture)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    lsns = sorted(l for _, l in seen)
+    # every complete tx emitted exactly once; open tx 333 (lsn 999) withheld
+    assert lsns == list(range(999))
+
+    epoch_of = {l: e for e, l in seen}
+    for tx in range(333):
+        tx_lsns = [3 * tx, 3 * tx + 1, 3 * tx + 2]
+        epochs = {epoch_of[l] for l in tx_lsns}
+        assert len(epochs) == 1, f"tx {tx} torn across epochs {epochs}"
+        # a tx must not appear before the file containing its LAST event
+        assert min(epochs) >= max(tx_lsns) // 200, tx
