@@ -172,6 +172,26 @@ def q_cdc_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_audit_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-consistency audit (lake/audit.py): diff a table state frozen
+    at 2/3 of the log against the full log's expected winners — every key
+    the tail touched must surface with the right verdict (missing / extra
+    / stale / zombie), nothing else. The oracle recomputes both sides and
+    the verdict matrix in SQL."""
+    from airbyte_spark.lake.audit import audit_replay, expected_state
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.schema import CHANGE_SCHEMA
+
+    ch = read_changelog(spark, sf_dir)
+    max_lsn = ch.agg(F.max("_ab_cdc_lsn")).collect()[0][0]  # metadata collect
+    cutoff = (max_lsn * 2) // 3
+    cfg = StreamConfig(name="pages", schema=CHANGE_SCHEMA)
+    frozen = expected_state(ch.filter(F.col("_ab_cdc_lsn") <= cutoff), cfg)
+    return audit_replay(frozen, ch, cfg).select(
+        "url", "verdict", "table_lsn", "expected_lsn"
+    )
+
+
 def q_cdc_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Patch-stream merge (operators/patch.py): events carry only the
     columns they changed (lsn%3 picks text / lang / both — the Mongo
@@ -1716,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_tx_boundaries": q_cdc_tx_boundaries,
         "cdc_partial_updates": q_cdc_partial_updates,
+        "cdc_audit_divergence": q_cdc_audit_divergence,
         "cdc_dedup_batch": q_cdc_dedup_batch,
         "cdc_dedup_salted": q_cdc_dedup_salted,
         "cdc_extract_text": q_cdc_extract_text,
@@ -2096,6 +2117,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM s JOIN done USING (tx_id))
             SELECT url, warc_ts, lang, _ab_cdc_lsn
             FROM r WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
+        "cdc_audit_divergence": f"""
+            WITH ch AS ({_CH}),
+            exp AS (SELECT url, _ab_cdc_lsn AS elsn,
+                           _ab_cdc_deleted_at IS NOT NULL AS edel
+                    FROM (SELECT *, row_number() OVER (
+                            PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                          FROM ch) WHERE rn = 1),
+            got AS (SELECT url, _ab_cdc_lsn AS glsn,
+                           _ab_cdc_deleted_at IS NOT NULL AS gdel
+                    FROM (SELECT *, row_number() OVER (
+                            PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                          FROM ch
+                          WHERE _ab_cdc_lsn <= (SELECT CAST(max(_ab_cdc_lsn) * 2 // 3 AS BIGINT)
+                                                FROM ch)) WHERE rn = 1),
+            j AS (SELECT coalesce(e.url, g.url) AS url, elsn, edel, glsn, gdel
+                  FROM exp e FULL OUTER JOIN got g ON e.url = g.url),
+            v AS (SELECT url,
+                    CASE
+                      WHEN elsn IS NULL AND NOT gdel THEN 'extra'
+                      WHEN (glsn IS NULL OR gdel) AND elsn IS NOT NULL
+                           AND NOT edel THEN 'missing'
+                      WHEN elsn IS NOT NULL AND glsn IS NOT NULL
+                           AND edel AND NOT gdel THEN 'zombie'
+                      WHEN elsn IS NOT NULL AND glsn IS NOT NULL
+                           AND NOT edel AND NOT gdel AND elsn <> glsn THEN 'stale'
+                    END AS verdict,
+                    glsn AS table_lsn, elsn AS expected_lsn
+                  FROM j)
+            SELECT url, verdict, table_lsn, expected_lsn
+            FROM v WHERE verdict IS NOT NULL
         """,
         "cdc_partial_updates": f"""
             WITH ch AS ({_CH}),
