@@ -22,6 +22,10 @@ Commands:
   expire   --target T --watermark TS
                                  GC soft-delete tombstones older than TS
   metrics  --target T            per-checkpoint metrics + per-partition lineage
+  audit    --source DIR --target T
+                                 replay-consistency audit: diff table state
+                                 vs the log's expected winners (typed
+                                 missing/extra/stale/zombie verdicts)
   sync     --catalog FILE        multi-stream catalog sync (per-stream
                                  modes/PKs/state — ≡ ConfiguredAirbyteCatalog)
   discover-catalog --catalog FILE
@@ -109,6 +113,9 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("rollback", "--target")
     sp.add_argument("--to-version", type=int, required=True)
     add("fsck", "--target")
+    sp = add("audit", "--source", "--target")
+    sp.add_argument("--limit", type=int, default=20,
+                    help="max divergent keys echoed (counts are always full)")
     sp = sub.add_parser("curate")
     sp.add_argument("--docs", required=True)
     sp.add_argument("--out", default=None)
@@ -243,6 +250,27 @@ def run(spark, args) -> dict:
         if args.cmd == "discover-catalog":
             return {"type": "CATALOG", **cat.discover()}
         return {"type": "SYNC_RESULT", "streams": sync(spark, cat)}
+
+    if args.cmd == "audit":
+        from airbyte_spark.lake.audit import audit_replay
+        from airbyte_spark.schema import CHANGE_SCHEMA as _CS
+
+        pipe = CdcPipeline.create_target(spark, args.target)
+        log = spark.read.schema(_CS).option("basePath", args.source).parquet(args.source)
+        diffs = audit_replay(pipe.raw_state(), log, pipe.cfg).cache()
+        by_verdict = {
+            r["verdict"]: r["n"]
+            for r in diffs.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+        }
+        sample = [r.asDict() for r in diffs.limit(args.limit).collect()]
+        diffs.unpersist()
+        return {
+            "type": "AUDIT_RESULT",
+            "consistent": not by_verdict,
+            "divergent_keys": int(sum(by_verdict.values())),
+            "by_verdict": by_verdict,
+            "sample": sample,
+        }
 
     if args.cmd == "compact":
         t = LakeTable.load(spark, args.target)

@@ -190,3 +190,25 @@ def test_read_mor_and_compact_versions(spark, changelog_dir, tmp_path):
            n_buckets=4, write_mode="mor"),
     )
     assert r2["applied"] == 0 and r2["skipped"] == 2
+
+
+def test_audit_cmd(spark, changelog_dir, tmp_path):
+    target = str(tmp_path / "audited")
+    run(spark, ns(cmd="read", source=changelog_dir, target=target,
+                  from_checkpoint=None, n_buckets=4))
+    out = run(spark, ns(cmd="audit", source=changelog_dir, target=target, limit=5))
+    assert out["consistent"] and out["divergent_keys"] == 0
+
+    # corrupt one row out-of-band (DML delete, no log event): the audit
+    # must go red with exactly one typed diff
+    import pyspark.sql.functions as F
+
+    from airbyte_spark.lake.dml import delete_where
+    from airbyte_spark.lake.format import LakeTable
+
+    t = LakeTable.load(spark, target)
+    victim = t.read().filter(F.col("_ab_cdc_deleted_at").isNull()).first()["url"]
+    delete_where(t, F.col("url") == victim)
+    out2 = run(spark, ns(cmd="audit", source=changelog_dir, target=target, limit=5))
+    assert not out2["consistent"] and out2["by_verdict"] == {"missing": 1}
+    assert out2["sample"][0]["url"] == victim
