@@ -126,6 +126,13 @@ class CdcPipeline:
     # "mor": append per-batch winners only, resolve LWW at read time
     # (write-optimized — O(batch) commits; see merge.append_winners)
     write_mode: str = "cow"
+    # opt-in steady-state maintenance: after a non-skipped commit, when the
+    # table holds at least this many sub-target-size files, bin-pack them
+    # (LakeTable.compact — a pure metadata+rewrite commit, state-neutral).
+    # Keeps file counts bounded under per-checkpoint small-batch ingest
+    # without a separate maintenance scheduler. None = never (default).
+    auto_compact_files: int | None = None
+    auto_compact_target_bytes: int = 128 * 1024 * 1024
     results: list[BatchResult] = field(default_factory=list)
 
     # ---- construction helpers ----
@@ -210,7 +217,18 @@ class CdcPipeline:
             candidate_files=stats.candidate_files,
         )
         self.results.append(res)
+        self._maybe_compact()
         return res
+
+    def _maybe_compact(self) -> None:
+        if not self.auto_compact_files:
+            return
+        small = sum(
+            1 for e in self.table.files()
+            if e.bytes < self.auto_compact_target_bytes
+        )
+        if small >= self.auto_compact_files:
+            self.table.compact(target_file_bytes=self.auto_compact_target_bytes)
 
     # ---- bounded batch replay (binlog segments = checkpoint ids) ----
 

@@ -118,3 +118,43 @@ def test_compact_migrates_old_schema_generation(spark, sf_dir, tmp_path):
     # NULL-filled for the old generation, preserved for the new one
     assert got.filter(F.col("extra") == 7).count() == 20
     assert got.filter(F.col("extra").isNull()).count() == 50
+
+
+def test_auto_compaction_bounds_file_count(spark, sf_dir, tmp_path):
+    """Per-checkpoint small-batch ingest with auto_compact_files set must
+    keep the live file count bounded and change no state vs a plain
+    replay; exactly-once (committed set) is unaffected by the interleaved
+    maintenance commits."""
+    import tempfile
+
+    from airbyte_spark.sources.changelog import read_changelog
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    ch = read_changelog(spark, sf_dir, batch_span=100)  # 10 segments at sf0.001
+
+    # merge-on-read: every commit APPENDS winner files (CoW rewrites its
+    # bucket wholesale, so MoR/append is where small files accumulate)
+    auto = CdcPipeline.create_target(
+        spark, str(tmp_path / "auto"), n_buckets=2, write_mode="mor"
+    )
+    auto.auto_compact_files = 6
+    auto.replay(ch, group_size=1)
+
+    plain = CdcPipeline.create_target(
+        spark, str(tmp_path / "plain"), n_buckets=2, write_mode="mor"
+    )
+    plain.replay(ch, group_size=1)
+
+    n_auto = len(auto.table.files())
+    n_plain = len(plain.table.files())
+    assert n_auto < n_plain, (n_auto, n_plain)
+    assert n_auto <= 6 + 2  # bounded: threshold + one batch's bucket spill
+
+    cols = ["url", "warc_ts", "text", "lang", "_ab_cdc_lsn"]
+    got = sorted(tuple(r[c] for c in cols) for r in auto.final_state().collect())
+    want = sorted(tuple(r[c] for c in cols) for r in plain.final_state().collect())
+    assert got == want
+
+    # committed checkpoint set identical → replay skips everything
+    again = auto.replay(ch, group_size=1)
+    assert all(r.skipped for r in again)
