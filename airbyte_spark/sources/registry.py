@@ -88,21 +88,62 @@ def mapped_parquet_source(
     def read(spark: SparkSession, state: dict) -> DataFrame:
         raw = spark.read.parquet(path)
         df = raw.select(*[F.expr(expr).alias(name) for name, expr in column_map.items()])
-        if "_ab_cdc_lsn" not in df.columns:
-            raise ValueError("mapped_parquet_source needs a monotone _ab_cdc_lsn mapping")
-        df = df.withColumn("_ab_cdc_lsn", F.col("_ab_cdc_lsn").cast("long"))
-        if "_ab_cdc_updated_at" not in df.columns and cursor in df.columns:
-            df = df.withColumn("_ab_cdc_updated_at", F.col(cursor))
-        if "_emitted_at" not in df.columns and cursor in df.columns:
-            df = df.withColumn("_emitted_at", F.col(cursor))
-        if "_ab_cdc_deleted_at" not in df.columns:
-            df = df.withColumn(
-                "_ab_cdc_deleted_at", F.lit(None).cast("timestamp_ntz")
-            )
-        if "checkpoint_id" not in df.columns:
-            df = df.withColumn(
-                "checkpoint_id", (F.col("_ab_cdc_lsn") / batch_span).cast("long")
-            )
-        return _apply_state(df, state)
+        return _apply_state(_complete_envelope(df, cursor, batch_span, "mapped_parquet"), state)
+
+    return read
+
+
+def _complete_envelope(
+    df: DataFrame, cursor: str, batch_span: int, who: str
+) -> DataFrame:
+    """Fill the CDC envelope defaults a physical source doesn't carry
+    (shared by every generic connector shape)."""
+    if "_ab_cdc_lsn" not in df.columns:
+        raise ValueError(f"{who} needs a monotone _ab_cdc_lsn mapping")
+    df = df.withColumn("_ab_cdc_lsn", F.col("_ab_cdc_lsn").cast("long"))
+    if "_ab_cdc_updated_at" not in df.columns and cursor in df.columns:
+        df = df.withColumn("_ab_cdc_updated_at", F.col(cursor))
+    if "_emitted_at" not in df.columns and cursor in df.columns:
+        df = df.withColumn("_emitted_at", F.col(cursor))
+    if "_ab_cdc_deleted_at" not in df.columns:
+        df = df.withColumn(
+            "_ab_cdc_deleted_at", F.lit(None).cast("timestamp_ntz")
+        )
+    if "checkpoint_id" not in df.columns:
+        df = df.withColumn(
+            "checkpoint_id", (F.col("_ab_cdc_lsn") / batch_span).cast("long")
+        )
+    return df
+
+
+@register_source("jsonl")
+def jsonl_source(
+    path: str,
+    column_map: dict[str, str] | None = None,
+    cursor: str = "warc_ts",
+    batch_span: int = 1_000,
+    sampling_ratio: float = 1.0,
+) -> Source:
+    """Generic changelog over JSON-lines files with an INFERRED schema —
+    the reference's discover step infers a JSON schema from record samples
+    (airbyte-cdk schema inference / SourceAcceptanceTest discover
+    contract); Spark's JSON reader does the same scan-time inference
+    (samplingRatio bounds the inference pass at 100 TB; explicit schemas
+    beat inference in production, which is what mapped_parquet's explicit
+    path is for).
+
+    column_map: {engine column -> SQL expression over inferred fields};
+    JSON carries timestamps as strings, so cursor expressions should cast
+    (e.g. "to_timestamp(ts)"). Omitted → fields pass through as inferred
+    and only the envelope defaults are added."""
+
+    def read(spark: SparkSession, state: dict) -> DataFrame:
+        raw = spark.read.option("samplingRatio", sampling_ratio).json(path)
+        df = (
+            raw.select(*[F.expr(e).alias(n) for n, e in column_map.items()])
+            if column_map
+            else raw
+        )
+        return _apply_state(_complete_envelope(df, cursor, batch_span, "jsonl"), state)
 
     return read

@@ -166,3 +166,49 @@ def test_cli_sync_catalog_json(spark, sf_dir, tmp_path):
     assert out["streams"][0]["applied"] > 0
     out2 = run(spark, argparse.Namespace(cmd="sync", catalog=str(cat_file)))
     assert out2["streams"][0]["applied"] == 0 and out2["streams"][0]["skipped"] > 0
+
+
+def test_jsonl_source_infers_and_maps(spark, sf_dir, tmp_path):
+    """JSON-lines connector: schema is inferred from records (≡ the
+    reference's discover-time JSON-schema inference); with a column_map
+    casting the string timestamp, it reproduces the built-in changelog's
+    key/cursor/lsn columns exactly. Without a map, inferred fields pass
+    through and the envelope defaults complete the stream."""
+    from airbyte_spark.sources.registry import jsonl_source, source_factory
+
+    assert source_factory("jsonl") is jsonl_source
+
+    # materialize the events table as jsonl with foreign column names
+    d = str(tmp_path / "events_jsonl")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id AS uid",
+            "date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\") AS occurred_at",
+            "event_id AS seq",
+            "event_type AS kind",
+        )
+        .write.mode("overwrite").json(d)
+    )
+
+    src = jsonl_source(
+        d,
+        column_map={
+            "url": "concat('https://site-', cast(uid % 10 as string), "
+            "'.example.com/p/', cast(uid as string))",
+            "warc_ts": "to_timestamp_ntz(occurred_at)",
+            "_ab_cdc_deleted_at": "if(kind = 'error', to_timestamp_ntz(occurred_at), null)",
+            "_ab_cdc_lsn": "seq",
+        },
+        batch_span=100,
+    )
+    got = src(spark, {})
+    cols = ["url", "warc_ts", "_ab_cdc_deleted_at", "_ab_cdc_lsn", "checkpoint_id"]
+    want = read_changelog(spark, sf_dir, batch_span=100).select(cols)
+    got = got.select(cols)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # no column_map: inference passes fields through; lsn mapping required
+    bare = jsonl_source(d)
+    with pytest.raises(ValueError, match="_ab_cdc_lsn"):
+        bare(spark, {})
