@@ -1475,6 +1475,33 @@ def q_doc_quota_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars", "rank")
 
 
+_MIX_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "it": 0.1}
+_MIX_BUDGET = 50_000
+
+
+def q_doc_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning (operators/corpus.py plan_mixture): per-lang
+    token inventories → sampling rate / upsampling epochs hitting a fixed
+    token budget under the target mix. One map-side-combinable aggregate +
+    column math; rates round(8) both sides."""
+    from airbyte_spark.operators.corpus import plan_mixture
+    from airbyte_spark.operators.textops import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = plan_mixture(docs, _MIX_TARGETS, _MIX_BUDGET)
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "tokens_have",
+        F.round("target_frac", 8).alias("target_frac"),
+        F.round("tokens_target", 8).alias("tokens_target"),
+        F.round("rate", 8).alias("rate"),
+        "epochs",
+    )
+
+
 def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level stats a shard-export step reports: doc count, total
     chars, and exact discrete length percentiles (smallest value with
@@ -1802,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_quota_by_lang": q_doc_quota_by_lang,
         "doc_corpus_stats": q_doc_corpus_stats,
+        "doc_mix_plan": q_doc_mix_plan,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_sample_mix": q_doc_sample_mix,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
@@ -3137,6 +3165,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, lang, n_chars, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 50
+        """,
+        "doc_mix_plan": f"""
+            WITH t AS (
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(len(regexp_extract_all(text, '{_TOKEN_PAT}'))) AS BIGINT)
+                       AS tokens_have
+              FROM documents GROUP BY lang),
+            tgt AS (
+              SELECT lang, CAST(target_frac AS DOUBLE) AS target_frac FROM (VALUES
+                ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('es', 0.1), ('it', 0.1)
+              ) AS v(lang, target_frac))
+            SELECT t.lang, CAST(t.n_docs AS BIGINT) AS n_docs, t.tokens_have,
+                   round(tgt.target_frac, 8) AS target_frac,
+                   round(50000.0 * tgt.target_frac, 8) AS tokens_target,
+                   round(50000.0 * tgt.target_frac / t.tokens_have, 8) AS rate,
+                   CAST(ceil(50000.0 * tgt.target_frac / t.tokens_have) AS BIGINT) AS epochs
+            FROM t JOIN tgt ON t.lang = tgt.lang
         """,
         "doc_corpus_stats": """
             WITH s AS (SELECT n_chars,

@@ -384,3 +384,48 @@ def sample_mix(
     for g, r in sorted(rates.items()):
         thresh = F.when(F.col(group_col) == g, F.lit(hx(r))).otherwise(thresh)
     return df.filter(h < thresh)
+
+
+def plan_mixture(
+    docs: DataFrame,
+    targets: dict[str, float],
+    token_budget: int,
+    group_col: str = "lang",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Data-mixture planning: given per-group token inventories and a
+    target mix (fractions summing to ≤1), compute the per-group sampling
+    rate / upsampling epochs that hit a token budget — the step that turns
+    'train on 40% en, 20% de …' into concrete rates for sample_mix and
+    repeat factors for low-resource groups (the standard pretraining-mix
+    recipe: fixed budget, per-source weights, upsampling capped by
+    epochs).
+
+    Returns (group, n_docs, tokens_have, target_frac, tokens_target,
+    rate, epochs): rate = tokens_target / tokens_have (NOT clamped — >1
+    means the group must repeat; sample_mix consumes min(rate, 1.0)),
+    epochs = ceil(rate) (how many passes over the group the shard writer
+    schedules). Groups outside `targets` get target_frac 0 and drop from
+    the plan.
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus (group
+    cardinality rows out), then pure column math against the broadcast
+    targets literal. No window, no join, no driver math."""
+    mapping = F.create_map(
+        *[x for k, v in sorted(targets.items()) for x in (F.lit(k), F.lit(float(v)))]
+    )
+    inv = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("tokens_have"),
+    )
+    planned = (
+        inv.withColumn("target_frac", mapping[F.col(group_col)])
+        .filter(F.col("target_frac").isNotNull())
+        .withColumn(
+            "tokens_target",
+            (F.lit(float(token_budget)) * F.col("target_frac")).cast("double"),
+        )
+        .withColumn("rate", F.col("tokens_target") / F.col("tokens_have"))
+        .withColumn("epochs", F.ceil(F.col("rate")).cast("long"))
+    )
+    return planned

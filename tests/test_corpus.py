@@ -424,3 +424,29 @@ def test_sample_mix_default_rate_drops_unlisted_groups(spark):
     )
     kept = {r["doc_id"] for r in sample_mix(df, {"en": 1.0}).collect()}
     assert kept == {1}
+
+
+def test_plan_mixture_rates_and_epochs(spark):
+    import pytest
+
+    from airbyte_spark.operators.corpus import plan_mixture
+
+    rows = [
+        # lang, tokens per doc
+        *[("en", 100)] * 50,   # 5000 tokens
+        *[("nd", 10)] * 10,    # 100 tokens — low-resource, must upsample
+        *[("xx", 999)] * 3,    # not in targets — dropped from the plan
+    ]
+    docs = spark.createDataFrame(
+        [(i, lang, n) for i, (lang, n) in enumerate(rows)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    plan = {r["lang"]: r for r in plan_mixture(
+        docs, {"en": 0.5, "nd": 0.5}, token_budget=1000
+    ).collect()}
+    assert set(plan) == {"en", "nd"}
+    en, nd = plan["en"], plan["nd"]
+    assert (en["n_docs"], en["tokens_have"]) == (50, 5000)
+    assert en["rate"] == pytest.approx(0.1) and en["epochs"] == 1
+    # nd needs 500 tokens but has 100 → rate 5.0, five epochs
+    assert nd["rate"] == pytest.approx(5.0) and nd["epochs"] == 5
