@@ -107,7 +107,10 @@ ANCHOR_TAG_PATTERN = r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
 
 
 def extract_anchors(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(src, dst, anchor) triples from raw page bytes — the anchor-text
     corpus step of web-scale indexing/training pipelines (anchor text is a
@@ -121,8 +124,10 @@ def extract_anchors(
     snippets = F.regexp_extract_all(
         F.decode(F.col(html_col), "UTF-8"), F.lit(ANCHOR_TAG_PATTERN), 0
     )
+    # keep_cols pass through per anchor row (e.g. the change-feed type
+    # column, so signed delta maintenance can explode images in place)
     one = pages.select(
-        F.col(url_col).alias("src"), F.explode(snippets).alias("_tag")
+        F.col(url_col).alias("src"), *keep_cols, F.explode(snippets).alias("_tag")
     )
     dst = F.regexp_replace(
         F.regexp_extract(F.col("_tag"), ANCHOR_TAG_PATTERN, 1), "#.*$", ""
@@ -133,7 +138,7 @@ def extract_anchors(
         )
     )
     return (
-        one.select("src", dst.alias("dst"), F.lower(anchor).alias("anchor"))
+        one.select("src", *keep_cols, dst.alias("dst"), F.lower(anchor).alias("anchor"))
         .filter((F.col("dst") != "") & (F.col("anchor") != ""))
     )
 

@@ -149,3 +149,68 @@ def test_group_vanishes_when_count_hits_zero(spark):
     feed = spark.createDataFrame([("xx", "abc", "delete")], schema)
     got = apply_agg_delta(state, feed, ["lang"], _measures())
     assert got.count() == 0
+
+
+# --- incremental maintenance of an EXPLODED view (anchor counts) -------------
+
+
+def _anchor_html(*links):
+    return "".join(f'<a href="{d}">{t}</a>' for d, t in links).encode()
+
+
+def test_incremental_anchor_counts_equal_full_recompute(spark, tmp_path):
+    """A (dst, anchor)-count view over EXPLODED page content, maintained
+    from the row-level change feed: each pre/post image explodes to its
+    anchors and contributes ±1 through the standard signed-delta algebra —
+    the view never rescans the table. Must equal build_agg over the head
+    snapshot, including an update that rewrites a page's links and a
+    delete."""
+    import pyspark.sql.functions as F
+
+    from airbyte_spark.lake.changes import CHANGE_TYPE_COL, row_changes
+    from airbyte_spark.operators.graph import extract_anchors
+    from airbyte_spark.operators.matview import apply_agg_delta, build_agg
+    from airbyte_spark.schema import CHANGE_SCHEMA
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    import datetime as dt
+
+    def ev(url, day, lsn, links, deleted=False, ckpt=0):
+        ts = dt.datetime(2024, 1, day)
+        return (url, ts, _anchor_html(*links), None, "en", ts,
+                ts if deleted else None, lsn, ts, ckpt)
+
+    pipe = CdcPipeline.create_target(spark, str(tmp_path / "t"), n_buckets=2)
+    pipe.extract = False  # keep html authoritative; no text extraction here
+    b1 = [
+        ev("p1", 1, 1, [("d1", "home"), ("d2", "about")]),
+        ev("p2", 1, 2, [("d1", "home")]),
+        ev("p3", 1, 3, [("d3", "x")]),
+    ]
+    pipe.apply_batch(spark.createDataFrame(b1, CHANGE_SCHEMA), "b1")
+    v_mid = pipe.table.current_version()
+
+    b2 = [
+        ev("p1", 2, 4, [("d1", "start"), ("d1", "home")]),  # rewrites links
+        ev("p3", 2, 5, [], deleted=True),                   # delete p3
+        ev("p4", 2, 6, [("d2", "about")]),                  # new page
+    ]
+    pipe.apply_batch(spark.createDataFrame(b2, CHANGE_SCHEMA), "b2")
+
+    def anchors_of(df):
+        live = df.filter(F.col("_ab_cdc_deleted_at").isNull())
+        return extract_anchors(live.select("url", "html"))
+
+    state = build_agg(anchors_of(pipe.table.read(v_mid)), ["dst", "anchor"], {"n": None})
+    feed = row_changes(pipe.table, v_mid).filter(F.col("_ab_cdc_deleted_at").isNull())
+    feed_anchors = extract_anchors(
+        feed.select("url", "html", CHANGE_TYPE_COL), keep_cols=(CHANGE_TYPE_COL,)
+    )
+    got_df = apply_agg_delta(state, feed_anchors, ["dst", "anchor"], {"n": None})
+    want_df = build_agg(anchors_of(pipe.table.read()), ["dst", "anchor"], {"n": None})
+
+    got = {(r["dst"], r["anchor"]): r["n"] for r in got_df.collect()}
+    want = {(r["dst"], r["anchor"]): r["n"] for r in want_df.collect()}
+    assert got == want
+    assert got[("d1", "home")] == 2          # p1 rewrite keeps one + p2's original
+    assert ("d3", "x") not in got            # deleted page's anchors retract
