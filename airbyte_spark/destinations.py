@@ -25,6 +25,7 @@ import os
 import shutil
 import uuid
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from airbyte_spark.functions.names import normalize_identifier
@@ -79,3 +80,81 @@ def read_local(spark: SparkSession, dest_dir: str, stream: str, fmt: str) -> Dat
     if fmt == "csv":
         reader = reader.option("header", True).option("inferSchema", True)
     return getattr(reader, fmt)(path)
+
+
+def export_shards(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    n_shards: int = 16,
+) -> dict:
+    """Training-shard export: pack the corpus (operators/corpus.
+    pack_sequences) and write one parquet file per shard — ordered by id
+    within the shard, rows carrying (seq_id, offset, n_tokens) so a
+    packed-pretraining loader can split sequences without re-tokenizing —
+    plus a content MANIFEST the consuming trainer can verify against
+    (per shard: docs, tokens, sequences, an order-insensitive checksum).
+
+    Determinism is the point: md5 sharding + id ordering + tmp-then-swap
+    promotion mean re-running the export over the same corpus produces
+    byte-identical shard assignments and the same manifest — resumable
+    and diffable, like every other sink in this engine.
+
+    Scale shape: ONE shuffle (hash by shard; repartition→sortWithin keeps
+    each shard a single sorted task/file), manifest is a shard-count-row
+    aggregate. No driver-side data."""
+    import json
+    import shutil
+
+    from airbyte_spark.operators.corpus import pack_sequences
+
+    packed = pack_sequences(
+        docs, id_col=id_col, text_col=text_col,
+        max_tokens=max_tokens, n_shards=n_shards,
+    )
+    rows = packed.join(docs.select(id_col, text_col), id_col)
+
+    tmp = out_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        rows.repartition(n_shards, "shard")
+        .sortWithinPartitions(id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+
+    # order-insensitive per-shard checksum: sum of a 48-bit slice of each
+    # row's md5(id || ':' || n_tokens) — cheap, engine-portable, catches
+    # dropped/duplicated/renumbered docs
+    chk = F.conv(F.substring(F.md5(F.concat_ws(":", id_col, "n_tokens")), 1, 12), 16, 10)
+    manifest_rows = (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (F.max("seq_id") + 1).cast("long").alias("n_sequences"),
+            F.sum(chk.cast("decimal(30,0)")).cast("string").alias("checksum"),
+        )
+        .collect()
+    )
+    manifest = {
+        "max_tokens": max_tokens,
+        "n_shards": n_shards,
+        "shards": {
+            str(r["shard"]): {
+                "n_docs": r["n_docs"],
+                "n_tokens": r["n_tokens"],
+                "n_sequences": r["n_sequences"],
+                "checksum": r["checksum"],
+            }
+            for r in manifest_rows
+        },
+    }
+    with open(f"{tmp}/_manifest.json", "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.move(tmp, out_dir)
+    return manifest

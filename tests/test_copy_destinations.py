@@ -103,3 +103,47 @@ def test_local_destination_append_and_overwrite(spark, tmp_path, src):
     assert read_local(spark, dest, "s", "json").count() == 17
     write_local(src.limit(3), dest, "s", fmt="json", mode="overwrite")
     assert read_local(spark, dest, "s", "json").count() == 3
+
+
+def test_export_shards_deterministic_with_manifest(spark, tmp_path):
+    """Shard export: re-running over the same corpus produces the same
+    manifest and the same per-shard doc sets; shard files are id-ordered
+    and carry the packing columns; manifest counts reconcile."""
+    import json
+
+    from airbyte_spark.destinations import export_shards
+
+    docs = spark.createDataFrame(
+        [(i, ("word " * (5 + i % 7)).strip()) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out1 = str(tmp_path / "shards1")
+    m1 = export_shards(docs, out1, max_tokens=32, n_shards=4)
+    m2 = export_shards(docs, str(tmp_path / "shards2"), max_tokens=32, n_shards=4)
+    assert m1 == m2
+    assert set(m1["shards"]) == {"0", "1", "2", "3"}
+    assert sum(s["n_docs"] for s in m1["shards"].values()) == 200
+
+    on_disk = json.load(open(f"{out1}/_manifest.json"))
+    assert on_disk == m1
+
+    back = spark.read.parquet(out1)
+    assert back.count() == 200
+    assert {"doc_id", "shard", "seq_id", "offset", "n_tokens", "text"} <= set(back.columns)
+    # id-ordered within shard files (offset monotone with doc_id per shard)
+    for shard in range(4):
+        rows = (
+            back.filter(back["shard"] == shard).orderBy("doc_id").collect()
+        )
+        # global tape position = seq_id*max_tokens + within-seq offset:
+        # strictly increasing in id order (docs laid back-to-back)
+        pos = [r["seq_id"] * 32 + r["offset"] for r in rows]
+        assert pos == sorted(pos) and len(set(pos)) == len(pos)
+        assert m1["shards"][str(shard)]["n_docs"] == len(rows)
+        assert m1["shards"][str(shard)]["n_tokens"] == sum(r["n_tokens"] for r in rows)
+
+    # a corrupted corpus (one doc dropped) changes that shard's checksum
+    m3 = export_shards(
+        docs.filter("doc_id <> 7"), str(tmp_path / "shards3"), max_tokens=32, n_shards=4
+    )
+    assert m3 != m1
