@@ -6,6 +6,8 @@ verbs (replay/expire/metrics). Run via:
   python -m airbyte_spark.cli <cmd> ...
 
 Commands:
+  spec                           connector configuration schema
+                                 (≡ ConnectorSpecification)
   discover --target T            print the stream catalog (name, schema,
                                  cursor, pk) for an existing lake table or
                                  the default pages stream
@@ -22,6 +24,9 @@ Commands:
   expire   --target T --watermark TS
                                  GC soft-delete tombstones older than TS
   metrics  --target T            per-checkpoint metrics + per-partition lineage
+  export-shards --docs P --target DIR [--max-tokens N] [--n-shards K]
+                                 deterministic training-shard export with
+                                 content manifest (destinations.py)
   audit    --source DIR --target T
                                  replay-consistency audit: diff table state
                                  vs the log's expected winners (typed
@@ -80,6 +85,7 @@ def _parser() -> argparse.ArgumentParser:
             sp.add_argument(f, required=req)
         return sp
 
+    sub.add_parser("spec")
     add("discover", "--target")
     add("check", "--source")
     sp = add("read", "--source", "--target")
@@ -113,6 +119,10 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("rollback", "--target")
     sp.add_argument("--to-version", type=int, required=True)
     add("fsck", "--target")
+    sp = add("export-shards", "--target")
+    sp.add_argument("--docs", required=True, help="documents parquet path")
+    sp.add_argument("--max-tokens", type=int, default=2048)
+    sp.add_argument("--n-shards", type=int, default=16)
     sp = add("audit", "--source", "--target")
     sp.add_argument("--limit", type=int, default=20,
                     help="max divergent keys echoed (counts are always full)")
@@ -250,6 +260,38 @@ def run(spark, args) -> dict:
         if args.cmd == "discover-catalog":
             return {"type": "CATALOG", **cat.discover()}
         return {"type": "SYNC_RESULT", "streams": sync(spark, cat)}
+
+    if args.cmd == "spec":
+        # ≡ the reference entrypoint's `spec` (airbyte-cdk entrypoint.py:27-58;
+        # ConnectorSpecification): the engine's configuration surface
+        return {
+            "type": "SPEC",
+            "documentationUrl": "README.md",
+            "connectionSpecification": {
+                "type": "object",
+                "required": ["source", "target"],
+                "properties": {
+                    "source": {"type": "string",
+                               "description": "changelog directory (parquet segments)"},
+                    "target": {"type": "string", "description": "lake table path"},
+                    "n_buckets": {"type": "integer", "default": 16,
+                                  "description": "url-hash bucket count (merge pruning + skew spread)"},
+                    "write_mode": {"type": "string", "enum": ["cow", "mor"], "default": "cow"},
+                    "from_checkpoint": {"type": ["integer", "null"], "default": None},
+                    "catalog": {"type": "string",
+                                "description": "multi-stream catalog JSON (sync command)"},
+                },
+            },
+        }
+
+    if args.cmd == "export-shards":
+        from airbyte_spark.destinations import export_shards
+
+        docs = spark.read.parquet(args.docs)
+        manifest = export_shards(
+            docs, args.target, max_tokens=args.max_tokens, n_shards=args.n_shards
+        )
+        return {"type": "EXPORT_RESULT", "target": args.target, **manifest}
 
     if args.cmd == "audit":
         from airbyte_spark.lake.audit import audit_replay

@@ -212,3 +212,16 @@ def test_audit_cmd(spark, changelog_dir, tmp_path):
     out2 = run(spark, ns(cmd="audit", source=changelog_dir, target=target, limit=5))
     assert not out2["consistent"] and out2["by_verdict"] == {"missing": 1}
     assert out2["sample"][0]["url"] == victim
+
+
+def test_spec_and_export_shards(spark, tmp_path, sf_dir):
+    out = run(spark, ns(cmd="spec"))
+    assert out["type"] == "SPEC"
+    props = out["connectionSpecification"]["properties"]
+    assert {"source", "target", "n_buckets", "write_mode"} <= set(props)
+
+    shards = str(tmp_path / "shards")
+    res = run(spark, ns(cmd="export-shards", docs=f"{sf_dir}/documents.parquet",
+                        target=shards, max_tokens=256, n_shards=4))
+    assert res["type"] == "EXPORT_RESULT" and len(res["shards"]) == 4
+    assert spark.read.parquet(shards).count() > 0
