@@ -954,6 +954,35 @@ def q_sync_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_sync_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level UPDATE (lake/dml.py update_where — completes
+    the DML triad): matching rows get SET value = value * 2, props =
+    upper(props) with standard self-referencing UPDATE semantics; only
+    files containing matches are rewritten, non-matching rows pass through
+    byte-identically. Oracle is the SELECT-with-CASE restatement."""
+    from airbyte_spark.lake.dml import update_where
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_dml_")
+    t = LakeTable.create(spark, base + "/events_upd", src.schema, PartitionSpec())
+    for i in range(4):
+        t.append(
+            src.filter(F.col("event_id") % 4 == i),
+            checkpoint_key=f"seg-{i}",
+            stat_cols=["event_id"],
+        )
+    res = update_where(
+        t,
+        "event_type = 'purchase' AND user_id % 10 = 3",
+        {"value": "value * 2", "props": "upper(props)"},
+    )
+    assert res["rows_updated"] > 0
+    return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def q_sync_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic predicate backfill (≡ Delta replaceWhere / Iceberg
     overwrite-by-filter): the 'purchase' region is deleted and re-inserted
@@ -1795,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_incremental_changes": q_sync_incremental_changes,
         "sync_respec_roundtrip": q_sync_respec_roundtrip,
         "sync_delete_where": q_sync_delete_where,
+        "sync_update_where": q_sync_update_where,
         "sync_replace_where": q_sync_replace_where,
         "sync_wap_branch": q_sync_wap_branch,
         "sync_rollback": q_sync_rollback,
@@ -2520,6 +2550,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sync_respec_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "sync_update_where": """
+            SELECT event_id, ts, user_id, event_type,
+                   CASE WHEN event_type = 'purchase' AND user_id % 10 = 3
+                        THEN value * 2 ELSE value END AS value,
+                   CASE WHEN event_type = 'purchase' AND user_id % 10 = 3
+                        THEN upper(props) ELSE props END AS props
+            FROM events
         """,
         "sync_delete_where": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

@@ -176,3 +176,71 @@ def replace_where(
         "rows_deleted": rows_before - rows_kept,
         "rows_inserted": sum(e.rows for e in new_entries),
     }
+
+
+def update_where(
+    table: LakeTable,
+    predicate: "str | Column",
+    assignments: "dict[str, Column | str]",
+    ranges: "dict[str, tuple] | None" = None,
+) -> dict:
+    """Copy-on-write UPDATE (≡ Delta UPDATE / Iceberg CoW row update —
+    completes the DML triad next to delete_where / replace_where): rows
+    where `predicate` is TRUE get each assignment column replaced by its
+    expression; every other row — including the non-matching rows of
+    touched files — is rewritten byte-identically.
+
+    Assignment expressions may reference the row's own columns (standard
+    UPDATE ... SET x = f(x, y) semantics). SQL three-valued logic: a NULL
+    predicate leaves the row unchanged. Only files that provably contain a
+    match are rewritten (stats/ranges prune first, then an exact
+    find-matches pass), so a point update touches one file, not the table.
+
+    Returns {"version", "files_rewritten", "rows_updated"}; no match ⇒
+    metadata no-op."""
+    pred = _as_column(predicate)
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e) for c, e in assignments.items()
+    }
+    unknown = set(exprs) - set(table.schema().fieldNames())
+    if unknown:
+        raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+    candidates = table.prune(ranges) if ranges else table.files()
+    to_rewrite = _matching_files(table, pred, candidates)
+    if not to_rewrite:
+        return {
+            "version": table.current_version(),
+            "files_rewritten": 0,
+            "rows_updated": 0,
+        }
+    hit = F.coalesce(pred, F.lit(False))
+    src = table.read(files=to_rewrite)
+    cols = []
+    for f in src.schema.fieldNames():
+        if f in exprs:
+            cols.append(
+                F.when(hit, exprs[f].cast(src.schema[f].dataType))
+                .otherwise(F.col(f))
+                .alias(f)
+            )
+        else:
+            cols.append(F.col(f))
+    n_hit = src.filter(hit).count()
+    rewritten = src.select(*cols)
+    spec = table.partition_spec()
+    entries = table._stage_write(
+        rewritten,
+        _stat_cols(table, to_rewrite),
+        one_file_per_partition=not spec.fields,
+    )
+    version = table.commit(
+        entries,
+        removed_paths={e.path for e in to_rewrite},
+        operation="update",
+        summary={"rows_updated": n_hit, "files_rewritten": len(to_rewrite)},
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(to_rewrite),
+        "rows_updated": n_hit,
+    }

@@ -146,3 +146,48 @@ def test_replace_where_into_empty_region_inserts(spark, sf_dir, tmp_path):
     assert res["files_rewritten"] == 0 and res["rows_inserted"] == 2
     assert t.read().filter(F.col("event_type") == "synthetic").count() == 2
     assert t.read().count() == src.count() + 2
+
+
+# --- UPDATE ------------------------------------------------------------------
+
+
+def test_update_where_self_reference_and_pruning(spark, tmp_path):
+    from airbyte_spark.lake.dml import update_where
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    rows = [(i, float(i), "a" if i % 2 == 0 else "b") for i in range(100)]
+    src = spark.createDataFrame(rows, "id long, v double, tag string")
+    t = LakeTable.create(spark, str(tmp_path / "u"), src.schema, PartitionSpec())
+    # two files with disjoint id ranges so stats can prune
+    t.append(src.filter("id < 50"), checkpoint_key="lo", stat_cols=["id"])
+    t.append(src.filter("id >= 50"), checkpoint_key="hi", stat_cols=["id"])
+
+    res = update_where(
+        t, "id = 7", {"v": "v * 10 + id"}, ranges={"id": (7, 7)}
+    )
+    assert res["rows_updated"] == 1 and res["files_rewritten"] == 1  # pruned to one file
+    got = {r["id"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert got[7] == (77.0, "b")          # self-referencing SET
+    assert got[8] == (8.0, "a")           # untouched rows byte-stable
+    assert len(got) == 100
+
+    # NULL predicate leaves rows unchanged (3VL)
+    t2 = LakeTable.create(spark, str(tmp_path / "n"),
+                          spark.createDataFrame([(1, None)], "id long, s string").schema,
+                          PartitionSpec())
+    t2.append(spark.createDataFrame([(1, None), (2, "x")], "id long, s string"),
+              checkpoint_key="b0")
+    r2 = update_where(t2, F.col("s") == "zzz", {"id": "id + 100"})
+    assert r2["rows_updated"] == 0
+    assert {r["id"] for r in t2.read().collect()} == {1, 2}
+
+    # unknown column rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(t, "id = 1", {"nope": "1"})
+
+    # no-match is a metadata no-op (no new version)
+    v = t.current_version()
+    r3 = update_where(t, "id = -1", {"v": "0.0"})
+    assert r3["rows_updated"] == 0 and t.current_version() == v
