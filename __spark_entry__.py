@@ -983,6 +983,46 @@ def q_sync_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_sync_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO (lake/dml.py merge_into — SQL:2003 tri-clause,
+    ≡ Delta/Iceberg MERGE): a source of corrections updates matched
+    'purchase' rows (summing both sides), deletes matched 'error' rows,
+    and inserts unseen events — one atomic commit. Oracle restates the
+    clauses as a FULL-OUTER CASE join."""
+    from airbyte_spark.lake.dml import merge_into
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(*src_cols)
+    base = tempfile.mkdtemp(prefix="airbyte_spark_dml_")
+    t = LakeTable.create(spark, base + "/events_mi", ev.schema, PartitionSpec())
+    for i in range(4):
+        t.append(
+            ev.filter(F.col("event_id") % 4 == i),
+            checkpoint_key=f"seg-{i}",
+            stat_cols=["event_id"],
+        )
+    # deterministic correction feed: every 7th event gets touched
+    source = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "ts", "user_id", "event_type",
+        (F.col("value") + 1000).alias("value"),
+        F.upper(F.col("props")).alias("props"),
+    )
+    inserts = ev.filter(F.col("event_id") % 1000 == 1).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "ts", "user_id", F.lit("backfill").alias("event_type"),
+        "value", "props",
+    )
+    merge_into(
+        t,
+        source.unionByName(inserts),
+        on=["event_id"],
+        when_matched_update={"value": "src.value", "props": "src.props"},
+        when_matched_delete="event_type = 'error'",
+    )
+    return t.read().select(*src_cols)
+
+
 def q_sync_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic predicate backfill (≡ Delta replaceWhere / Iceberg
     overwrite-by-filter): the 'purchase' region is deleted and re-inserted
@@ -1825,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_respec_roundtrip": q_sync_respec_roundtrip,
         "sync_delete_where": q_sync_delete_where,
         "sync_update_where": q_sync_update_where,
+        "sync_merge_into": q_sync_merge_into,
         "sync_replace_where": q_sync_replace_where,
         "sync_wap_branch": q_sync_wap_branch,
         "sync_rollback": q_sync_rollback,
@@ -2550,6 +2591,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sync_respec_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "sync_merge_into": """
+            WITH up AS (SELECT event_id, value + 1000 AS value, upper(props) AS props
+                        FROM events WHERE event_id % 7 = 0),
+            t AS (
+              SELECT e.event_id, e.ts, e.user_id, e.event_type,
+                     CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE e.value END AS value,
+                     CASE WHEN u.event_id IS NOT NULL THEN u.props ELSE e.props END AS props
+              FROM events e LEFT JOIN up u USING (event_id)
+              WHERE NOT (u.event_id IS NOT NULL AND e.event_type = 'error')
+            ),
+            ins AS (SELECT event_id + 10000000 AS event_id, ts, user_id,
+                           'backfill' AS event_type, value, props
+                    FROM events WHERE event_id % 1000 = 1)
+            SELECT * FROM t UNION ALL SELECT * FROM ins
         """,
         "sync_update_where": """
             SELECT event_id, ts, user_id, event_type,

@@ -244,3 +244,146 @@ def update_where(
         "files_rewritten": len(to_rewrite),
         "rows_updated": n_hit,
     }
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: "dict[str, Column | str] | None" = None,
+    when_matched_delete: "str | Column | None" = None,
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """General MERGE INTO (≡ Delta MERGE / Iceberg MERGE; SQL:2003
+    tri-clause semantics) — the arbitrary-ETL upsert, distinct from the
+    CDC pipeline's LWW merge (lake/merge.py), which bakes in the
+    cursor-ordering policy. Clauses, evaluated per matched row in standard
+    order:
+
+      when_matched_delete  — predicate; target columns by name, source
+                             fields as `src.<col>`; TRUE deletes the row
+      when_matched_update  — {target col: expression over target columns
+                             and `src.<col>`}; applied to matched rows the
+                             delete clause didn't take
+      when_not_matched_insert — source rows with no target match insert
+                             (source must then carry the target's columns)
+
+    Duplicate source keys are rejected (the SQL standard's
+    non-deterministic-merge error) — one planning aggregate, fail-fast.
+
+    Scale shape: candidate files are pruned to those actually holding
+    matched KEYS (same find-matches pass as the other DML verbs, keyed on
+    an `on`-column equality semi-join); only those rewrite. The source
+    joins candidates once, key-partitioned; inserts stage as appended
+    files. One atomic commit swaps both."""
+    if when_matched_update is None and when_matched_delete is None and not when_not_matched_insert:
+        raise ValueError("merge_into: no clauses given")
+    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(f"merge_into: duplicate source keys, e.g. {dup[0][:len(on)]}")
+
+    tgt_cols = table.schema().fieldNames()
+    src = source.select(
+        *[F.col(c).alias(c) for c in on],
+        F.struct(*[F.col(c) for c in source.columns]).alias("src"),
+    )
+
+    # files holding matched keys: semi-join planning pass (skipped entirely
+    # for insert-only merges — matched rows are then left untouched)
+    candidates = table.files()
+    has_matched_clause = when_matched_update is not None or when_matched_delete is not None
+    pred_files = []
+    if has_matched_clause:
+        key_set = src.select(*on).distinct()
+        pred_files = _matching_files_by_keys(table, key_set, on, candidates)
+
+    rows_deleted = rows_updated = 0
+    new_entries, removed = [], set()
+    if pred_files:
+        t_rows = table.read(files=pred_files)
+        joined = t_rows.join(src, on, "left")  # AQE picks the strategy
+        matched = F.col("src").isNotNull()
+        del_pred = (
+            F.coalesce(_as_column(when_matched_delete), F.lit(False))
+            if when_matched_delete is not None
+            else F.lit(False)
+        )
+        keep = ~(matched & del_pred)
+        upd = when_matched_update or {}
+        out_cols = []
+        for c in tgt_cols:
+            if c in upd:
+                e = upd[c]
+                e = F.expr(e) if isinstance(e, str) else e
+                out_cols.append(
+                    F.when(matched, e.cast(t_rows.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(c).alias(c))
+        upd_hits = matched & ~del_pred if upd else F.lit(False)
+        counts = joined.agg(
+            F.sum((matched & del_pred).cast("long")).alias("d"),
+            F.sum(upd_hits.cast("long")).alias("u"),
+        ).collect()[0]
+        rows_deleted, rows_updated = int(counts["d"] or 0), int(counts["u"] or 0)
+        rewritten = joined.filter(keep).select(*out_cols)
+        new_entries += table._stage_write(
+            rewritten, _stat_cols(table, pred_files),
+            one_file_per_partition=not table.partition_spec().fields,
+        )
+        removed = {e.path for e in pred_files}
+
+    rows_inserted = 0
+    if when_not_matched_insert:
+        existing_keys = table.read().select(*on).distinct()
+        from airbyte_spark.lake.format import _align
+
+        inserts = _align(source.join(existing_keys, on, "left_anti"), table.schema())
+        rows_inserted = inserts.count()
+        if rows_inserted:
+            new_entries += table._stage_write(
+                inserts, _stat_cols(table, candidates),
+                one_file_per_partition=not table.partition_spec().fields,
+            )
+
+    if not new_entries and not removed:
+        return {
+            "version": table.current_version(),
+            "rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0,
+        }
+    version = table.commit(
+        new_entries,
+        removed_paths=removed,
+        operation="merge",
+        summary={
+            "rows_updated": rows_updated,
+            "rows_deleted": rows_deleted,
+            "rows_inserted": rows_inserted,
+        },
+    )
+    return {
+        "version": version,
+        "rows_updated": rows_updated,
+        "rows_deleted": rows_deleted,
+        "rows_inserted": rows_inserted,
+    }
+
+
+def _matching_files_by_keys(
+    table: LakeTable, keys: DataFrame, on: list[str], candidates: list[FileEntry]
+) -> list[FileEntry]:
+    """Files containing any of the given keys (column-pruned pass)."""
+    if not candidates:
+        return []
+    hits = (
+        table.read(files=candidates)
+        .withColumn("_dml_file", F.input_file_name())
+        .join(keys, on, "left_semi")
+        .select("_dml_file")
+        .distinct()
+        .collect()
+    )
+    hit_suffixes = {os.path.basename(r["_dml_file"]) for r in hits}
+    return [e for e in candidates if os.path.basename(e.path) in hit_suffixes]

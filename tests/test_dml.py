@@ -191,3 +191,69 @@ def test_update_where_self_reference_and_pruning(spark, tmp_path):
     v = t.current_version()
     r3 = update_where(t, "id = -1", {"v": "0.0"})
     assert r3["rows_updated"] == 0 and t.current_version() == v
+
+
+# --- MERGE INTO --------------------------------------------------------------
+
+
+def _merge_table(spark, tmp_path, name):
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    rows = [(i, float(i), "keep") for i in range(20)]
+    src = spark.createDataFrame(rows, "id long, v double, note string")
+    t = LakeTable.create(spark, str(tmp_path / name), src.schema, PartitionSpec())
+    t.append(src.filter("id < 10"), checkpoint_key="lo", stat_cols=["id"])
+    t.append(src.filter("id >= 10"), checkpoint_key="hi", stat_cols=["id"])
+    return t
+
+
+def test_merge_into_three_clauses(spark, tmp_path):
+    from airbyte_spark.lake.dml import merge_into
+
+    t = _merge_table(spark, tmp_path, "m1")
+    source = spark.createDataFrame(
+        [
+            (3, 300.0, "upd"),    # matched → update
+            (7, -1.0, "kill"),    # matched → delete (note = 'kill')
+            (25, 250.0, "new"),   # not matched → insert
+        ],
+        "id long, v double, note string",
+    )
+    res = merge_into(
+        t,
+        source,
+        on=["id"],
+        when_matched_update={"v": "src.v + v", "note": "src.note"},
+        when_matched_delete="src.note = 'kill'",
+    )
+    assert (res["rows_updated"], res["rows_deleted"], res["rows_inserted"]) == (1, 1, 1)
+    got = {r["id"]: (r["v"], r["note"]) for r in t.read().collect()}
+    assert got[3] == (303.0, "upd")     # update saw both sides (src.v + v)
+    assert 7 not in got                 # deleted
+    assert got[25] == (250.0, "new")    # inserted
+    assert got[4] == (4.0, "keep")      # untouched
+    assert len(got) == 20
+
+
+def test_merge_into_guards_and_noop(spark, tmp_path):
+    import pytest
+
+    from airbyte_spark.lake.dml import merge_into
+
+    t = _merge_table(spark, tmp_path, "m2")
+    dup = spark.createDataFrame(
+        [(1, 1.0, "a"), (1, 2.0, "b")], "id long, v double, note string"
+    )
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        merge_into(t, dup, on=["id"], when_matched_update={"v": "src.v"})
+
+    with pytest.raises(ValueError, match="no clauses"):
+        merge_into(t, dup.limit(1), on=["id"], when_not_matched_insert=False)
+
+    # insert-only merge with zero new keys = metadata no-op
+    v = t.current_version()
+    existing = spark.createDataFrame([(1, 9.0, "x")], "id long, v double, note string")
+    res = merge_into(t, existing, on=["id"], when_not_matched_insert=True)
+    assert res == {
+        "version": v, "rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0,
+    }
