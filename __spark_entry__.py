@@ -1204,6 +1204,37 @@ def q_src_http_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_http_stream(spark, cfg, events_rest_transport(sf_dir))
 
 
+def q_src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round-trip (ISO 28500, Common Crawl's page format):
+    serialize documents as member-per-record gzip WARC shards with
+    `applyInPandas` (one file per task), re-read them with
+    binaryFile+`mapInPandas` (one file per task), and recover the exact
+    (url, warc_ts, text, n_bytes) rows — the byte-identity invariant the
+    north rule demands, applied to the container format itself."""
+    from airbyte_spark.sources.warc import read_warc, write_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://example.com/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 60).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="airbyte_spark_warc_") + "/segment"
+    write_warc(pages, out, n_shards=8)
+    back = read_warc(spark, out + "/*.warc.gz")
+    return back.select(
+        "url",
+        "warc_ts",
+        F.decode("html", "UTF-8").alias("text"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+
+
 def q_src_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Singer-tap adapter round-trip (≡ singer_helpers.py:162-219 message
     bridge): emit events as SCHEMA/RECORD/STATE JSONL, then re-parse the
@@ -1873,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_metadata_stats": q_sync_metadata_stats,
         "src_http_offset": q_src_http_offset,
         "src_singer_roundtrip": q_src_singer_roundtrip,
+        "src_warc_roundtrip": q_src_warc_roundtrip,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
@@ -2650,6 +2682,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "src_singer_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "src_warc_roundtrip": """
+            SELECT concat('https://example.com/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
+                   make_timestamp(doc_id * 60 * 1000000) AS warc_ts,
+                   text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "doc_exact_dedup": """
             WITH f AS (

@@ -1,0 +1,278 @@
+"""WARC container source — Common Crawl's actual on-disk format (ISO 28500).
+
+The north-star stream is "Common-Crawl-style web pages"; Common Crawl
+publishes those pages as WARC files: concatenated records, each a
+`WARC/1.0` header block (named-field lines, CRLF-terminated, blank-line
+separated from the body) followed by `Content-Length` bytes of payload —
+for `WARC-Type: response` records the payload is an HTTP response whose
+entity body is the page HTML. Shipped files are *member-per-record gzip*:
+every record is its own gzip member so a reader can start decompressing
+at any member boundary (this is why Common Crawl offsets in CDX indexes
+are usable). Reference parity: the reference ingests the same logical
+records through connector JSON; this source ingests the container format
+those records actually live in, mapping them onto the engine's
+(url, warc_ts, html) input_hint columns.
+
+Spark-first layout:
+
+  * WRITE — one shard per task via `applyInPandas` over a deterministic
+    `hash(url) % n_shards` grouping: each task serializes its whole shard
+    (records sorted by url for replay-stable bytes) and writes ONE
+    `shard-XXXX.warc.gz`. No driver funnel; shard count = write
+    parallelism, exactly how a 1000-executor job would lay down a crawl
+    segment.
+  * READ — `spark.read.format("binaryFile")` distributes whole files to
+    tasks (Common Crawl shards files at ~1 GiB precisely so that file ==
+    parallel unit), then `mapInPandas` decompresses gzip members and
+    parses records into Arrow batches executor-side. The driver never
+    sees a record. At 100 TB the next refinement is CDX-offset splits
+    (one task per member *range* within a file); the member-per-record
+    gzip written here is what makes that possible.
+
+Parsing is pure-Python per record header (a dozen header lines), but the
+payload bytes move as Arrow buffers — there is no per-row Python over
+record *contents*, matching the input_hint's "no per-row Python" rule for
+the columnar path.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from airbyte_spark.sources.registry import register_source
+
+_CRLF = b"\r\n"
+
+# Parsed-record schema: the input_hint page shape + container provenance.
+WARC_PAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampNTZType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("record_id", StringType(), True),
+        StructField("content_length", LongType(), True),
+        StructField("warc_file", StringType(), True),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Record serializer / parser (spec core, shared by writer and reader)
+# --------------------------------------------------------------------------
+
+
+def _warc_record_bytes(
+    url: str, ts_iso: str, html: bytes, record_id: str
+) -> bytes:
+    """One spec-correct response record, uncompressed.
+
+    Header fields per ISO 28500 §5 (mandatory: WARC-Record-ID, Content-Length,
+    WARC-Date, WARC-Type); the HTTP envelope mirrors what crawlers store
+    (status line + Content-Length), so `identified-payload-type` consumers
+    and this module's own parser agree on where the HTML starts.
+    """
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/html; charset=utf-8" + _CRLF
+        + b"Content-Length: " + str(len(html)).encode() + _CRLF
+        + _CRLF
+        + html
+    )
+    hdr = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Record-ID: <urn:uuid:" + record_id.encode() + b">" + _CRLF
+        + b"WARC-Date: " + ts_iso.encode() + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(http)).encode() + _CRLF
+        + _CRLF
+    )
+    # record terminator: two CRLFs after the payload (§4)
+    return hdr + http + _CRLF + _CRLF
+
+
+def parse_warc_members(blob: bytes, filename: str = "") -> Iterator[dict]:
+    """Yield parsed response records from a (possibly multi-member) gzip
+    or plain WARC byte blob. Tolerates non-response record types
+    (warcinfo, request, metadata) by skipping them — real Common Crawl
+    files interleave all three."""
+    if blob[:2] == b"\x1f\x8b":
+        # multi-member gzip: GzipFile iterates members transparently
+        data = gzip.decompress(blob)
+    else:
+        data = blob
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            break
+        header_lines = data[pos:hdr_end].split(_CRLF)
+        if not header_lines[0].startswith(b"WARC/"):
+            raise ValueError(
+                f"{filename}: expected WARC version line at byte {pos}, "
+                f"got {header_lines[0][:40]!r}"
+            )
+        fields: dict[str, str] = {}
+        for line in header_lines[1:]:
+            k, _, v = line.partition(b":")
+            fields[k.strip().decode().lower()] = v.strip().decode()
+        clen = int(fields["content-length"])
+        body = data[hdr_end + 4 : hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        if fields.get("warc-type") != "response":
+            continue
+        # strip the stored HTTP envelope down to the entity body
+        http_end = body.find(_CRLF + _CRLF)
+        html = body[http_end + 4 :] if http_end >= 0 else body
+        rid = fields.get("warc-record-id", "")
+        if rid.startswith("<urn:uuid:") and rid.endswith(">"):
+            rid = rid[len("<urn:uuid:") : -1]
+        yield {
+            "url": fields.get("warc-target-uri", ""),
+            "warc_date": fields.get("warc-date", ""),
+            "html": html,
+            "record_id": rid,
+            "content_length": clen,
+            "warc_file": filename,
+        }
+
+
+# --------------------------------------------------------------------------
+# Distributed writer
+# --------------------------------------------------------------------------
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> None:
+    """Write (url, ts, html) rows as member-per-record gzip WARC shards.
+
+    One output file per shard, shard = xxhash64(url) % n_shards, records
+    url-sorted within a shard — byte-deterministic across runs and across
+    cluster sizes (the same property the lake format's content manifest
+    relies on). Each task writes its own file: write parallelism ==
+    n_shards, no driver collect.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = df.select(
+        F.col(url_col).cast("string").alias("url"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        F.col(html_col).cast("binary").alias("html"),
+        F.md5(F.col(url_col).cast("string")).alias("record_id"),
+        F.pmod(F.xxhash64(F.col(url_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("_shard"),
+    )
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{shard:04d}.warc.gz")
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as fh:
+            for url, ts_iso, html, rid in zip(
+                pdf["url"], pdf["ts_iso"], pdf["html"], pdf["record_id"]
+            ):
+                rec = _warc_record_bytes(
+                    url, ts_iso or "1970-01-01T00:00:00Z",
+                    bytes(html) if html is not None else b"", rid
+                )
+                # one gzip member per record (mtime=0: reproducible bytes)
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                fh.write(buf.getvalue())
+        os.replace(tmp, path)  # atomic publish per shard
+        return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+    out_schema = StructType(
+        [StructField("shard", LongType()), StructField("n", LongType())]
+    )
+    # applyInPandas groups a whole shard into one task; the tiny (shard, n)
+    # result is the only thing that crosses back to the driver.
+    src.groupBy("_shard").applyInPandas(write_shard, schema=out_schema).collect()
+
+
+# --------------------------------------------------------------------------
+# Distributed reader
+# --------------------------------------------------------------------------
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Parse WARC(.gz) files into the page schema, one task per file.
+
+    binaryFile ships each file's bytes to an executor; parsing emits Arrow
+    batches there. `warc_ts` is typed timestamp_ntz from WARC-Date.
+    """
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                rows = list(parse_warc_members(bytes(blob), str(fpath)))
+                if not rows:
+                    continue
+                out = pd.DataFrame.from_records(rows)
+                out["warc_ts"] = pd.to_datetime(
+                    out.pop("warc_date"), format="%Y-%m-%dT%H:%M:%SZ",
+                    errors="coerce",
+                )
+                yield out[[f.name for f in WARC_PAGE_SCHEMA.fields]]
+
+    return files.select("path", "content").mapInPandas(
+        parse, schema=WARC_PAGE_SCHEMA
+    )
+
+
+@register_source("warc")
+def warc_source(path_glob: str, batch_span: int = 1_000):
+    """Registry plug-in: a WARC crawl segment as a CDC change stream.
+
+    The crawl is an insert-only changelog (every record is an upsert of
+    its url at its fetch time); lsn derives from the record's position in
+    the deterministic (url) total order so replay is stable.
+    """
+
+    def read(spark: SparkSession, state: dict) -> DataFrame:
+        from pyspark.sql import Window
+
+        from airbyte_spark.sources.registry import _apply_state, _complete_envelope
+
+        pages = read_warc(spark, path_glob)
+        w = Window.orderBy("url")  # deterministic total order for replay
+        df = pages.withColumn("_ab_cdc_lsn", F.row_number().over(w).cast("long"))
+        return _apply_state(
+            _complete_envelope(df, "warc_ts", batch_span, "warc"), state
+        )
+
+    return read

@@ -1,0 +1,140 @@
+"""WARC container source: spec shape, determinism, round-trip, registry."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from airbyte_spark.sources.warc import (
+    _warc_record_bytes,
+    parse_warc_members,
+    read_warc,
+    write_warc,
+)
+
+
+def _pages(spark, n=50):
+    return (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("https://t.example/"), F.col("id").cast("string")).alias(
+                "url"
+            ),
+            F.timestamp_seconds(F.col("id") * 3600).cast("timestamp_ntz").alias(
+                "warc_ts"
+            ),
+            F.encode(
+                F.concat(F.lit("<html><body>pg "), F.col("id").cast("string"),
+                         F.lit(" é中</body></html>")),
+                "UTF-8",
+            ).alias("html"),
+        )
+    )
+
+
+def test_record_bytes_spec_shape():
+    rec = _warc_record_bytes(
+        "https://t.example/1", "2024-01-01T00:00:00Z", b"<html>x</html>", "rid1"
+    )
+    assert rec.startswith(b"WARC/1.0\r\n")
+    head = rec.split(b"\r\n\r\n")[0]
+    for field in (
+        b"WARC-Type: response",
+        b"WARC-Record-ID: <urn:uuid:rid1>",
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"WARC-Target-URI: https://t.example/1",
+        b"Content-Length: ",
+    ):
+        assert field in head, field
+    assert rec.endswith(b"\r\n\r\n")
+    (parsed,) = parse_warc_members(rec)
+    assert parsed["url"] == "https://t.example/1"
+    assert parsed["html"] == b"<html>x</html>"
+
+
+def test_parser_skips_non_response_records():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:uuid:w0>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    rec = _warc_record_bytes("https://t.example/2", "2024-01-01T00:00:00Z", b"hi", "r2")
+    out = list(parse_warc_members(info + rec))
+    assert [r["url"] for r in out] == ["https://t.example/2"]
+
+
+def test_parser_rejects_garbage():
+    with pytest.raises(ValueError, match="version line"):
+        list(parse_warc_members(b"NOT-A-WARC\r\n\r\nxx"))
+
+
+def test_write_is_member_per_record_gzip_and_deterministic(spark):
+    pages = _pages(spark, 30)
+    base = tempfile.mkdtemp(prefix="warc_det_")
+    write_warc(pages, base + "/a", n_shards=4)
+    write_warc(pages, base + "/b", n_shards=4)
+    a = sorted(glob.glob(base + "/a/*.warc.gz"))
+    b = sorted(glob.glob(base + "/b/*.warc.gz"))
+    assert len(a) == 4 and not glob.glob(base + "/a/*.inprogress")
+    total_members = 0
+    for fa, fb in zip(a, b):
+        ba, bb = open(fa, "rb").read(), open(fb, "rb").read()
+        assert ba == bb, "shard bytes must be replay-stable"
+        # member-per-record: count gzip magic at member starts via GzipFile
+        # member iteration (decompress-one-member-at-a-time)
+        import io
+
+        members = 0
+        stream = io.BytesIO(ba)
+        while True:
+            g = gzip.GzipFile(fileobj=stream)
+            try:
+                g.read()
+            except EOFError:
+                break
+            members += 1
+            break  # GzipFile consumes ALL members; fall back to magic scan
+        total_members += ba.count(b"\x1f\x8b\x08")
+    assert total_members == 30, "one gzip member per record"
+
+
+def test_roundtrip_distributed(spark):
+    pages = _pages(spark, 57)
+    base = tempfile.mkdtemp(prefix="warc_rt_") + "/seg"
+    write_warc(pages, base, n_shards=3)
+    back = read_warc(spark, base + "/*.warc.gz")
+    got = {
+        r["url"]: (r["warc_ts"], bytes(r["html"]), r["content_length"])
+        for r in back.collect()
+    }
+    want = {r["url"]: (r["warc_ts"], bytes(r["html"])) for r in pages.collect()}
+    assert set(got) == set(want)
+    for url, (ts, html) in want.items():
+        bts, bhtml, clen = got[url]
+        assert bhtml == html, url
+        assert bts == ts, url
+        assert clen > len(html)  # includes the HTTP envelope
+    files = {os.path.basename(r["warc_file"]) for r in back.collect()}
+    assert len(files) == 3
+
+
+def test_warc_registry_source_envelope(spark):
+    from airbyte_spark.sources.registry import source_factory
+
+    pages = _pages(spark, 12)
+    base = tempfile.mkdtemp(prefix="warc_src_") + "/seg"
+    write_warc(pages, base, n_shards=2)
+    src = source_factory("warc")(base + "/*.warc.gz", batch_span=5)
+    df = src(spark, {})
+    cols = set(df.columns)
+    assert {"_ab_cdc_lsn", "_ab_cdc_updated_at", "_ab_cdc_deleted_at",
+            "checkpoint_id", "url", "html"} <= cols
+    rows = df.orderBy("_ab_cdc_lsn").collect()
+    assert [r["_ab_cdc_lsn"] for r in rows] == list(range(1, 13))
+    urls = [r["url"] for r in rows]
+    assert urls == sorted(urls), "lsn follows the deterministic url order"
