@@ -1074,6 +1074,42 @@ def q_sync_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_sync_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table catalog transaction (≡ Iceberg REST-catalog multi-table
+    commit; fixes the reference's per-stream-flush visibility gap): an
+    events table and its per-user rollup are appended on txn branches and
+    published by ONE logged decision — readers see neither or both. The
+    query asserts the torn state is never visible, commits, and returns
+    the rollup, which must equal the oracle's direct aggregate (proof the
+    two tables were written consistently)."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+    from airbyte_spark.lake.transaction import CatalogTransaction
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    rollup = src.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_txn_")
+    ta = LakeTable.create(spark, base + "/events_txn", src.schema, PartitionSpec())
+    tb = LakeTable.create(spark, base + "/rollup_txn", rollup.schema, PartitionSpec())
+    txn = CatalogTransaction.begin(
+        spark, base + "/_txn_log",
+        {"events": base + "/events_txn", "rollup": base + "/rollup_txn"},
+    )
+    txn.table("events").append(src, checkpoint_key="txn-ev")
+    txn.table("rollup").append(rollup, checkpoint_key="txn-ru")
+    assert ta.read().count() == 0 and tb.read().count() == 0  # staged = invisible
+    txn.commit()
+    return (
+        LakeTable.load(spark, base + "/rollup_txn")
+        .read()
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
 def q_sync_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot rollback (LakeTable.rollback ≡ Iceberg rollback_to_snapshot
     / Delta RESTORE — bad-batch recovery): a corrupt batch lands and is
@@ -1899,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_merge_into": q_sync_merge_into,
         "sync_replace_where": q_sync_replace_where,
         "sync_wap_branch": q_sync_wap_branch,
+        "sync_catalog_txn": q_sync_catalog_txn,
         "sync_rollback": q_sync_rollback,
         "sync_rename_column": q_sync_rename_column,
         "sync_metadata_stats": q_sync_metadata_stats,
@@ -2662,6 +2699,11 @@ def oracle_sql() -> dict[str, str]:
         "sync_wap_branch": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
             WHERE event_id % 3 IN (0, 1) AND event_type <> 'error'
+        """,
+        "sync_catalog_txn": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   SUM(value) AS sum_value
+            FROM events GROUP BY user_id
         """,
         "sync_rollback": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

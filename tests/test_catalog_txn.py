@@ -1,0 +1,118 @@
+"""Multi-table catalog transactions: atomicity, conflicts, crash recovery."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from airbyte_spark.lake.format import LakeTable, PartitionSpec
+from airbyte_spark.lake.transaction import (
+    CatalogTransaction,
+    TransactionAborted,
+    _acquire,
+    recover,
+)
+
+
+def _mk_tables(spark, tmp_path):
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    ta = LakeTable.create(spark, pa, df.schema, PartitionSpec())
+    tb = LakeTable.create(spark, pb, df.schema, PartitionSpec())
+    ta.append(df, checkpoint_key="seed-a")
+    tb.append(df, checkpoint_key="seed-b")
+    return pa, pb, df
+
+
+def test_commit_publishes_all_or_nothing(spark, tmp_path):
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    log = str(tmp_path / "log")
+    txn = CatalogTransaction.begin(spark, log, {"a": pa, "b": pb})
+    txn.table("a").append(df.withColumn("k", F.col("k") + 100), checkpoint_key="x-a")
+    txn.table("b").append(df.withColumn("k", F.col("k") + 100), checkpoint_key="x-b")
+    # invisible while staged
+    assert LakeTable.load(spark, pa).read().count() == 10
+    assert LakeTable.load(spark, pb).read().count() == 10
+    versions = txn.commit()
+    assert set(versions) == {"a", "b"}
+    assert LakeTable.load(spark, pa).read().count() == 20
+    assert LakeTable.load(spark, pb).read().count() == 20
+    # decision record reached terminal state; locks released
+    rec = json.load(open(os.path.join(log, f"txn-{txn.txn_id}.json")))
+    assert rec["status"] == "done" and rec["versions"]
+    assert not os.path.isdir(os.path.join(pa, "_lake", "txn.lock"))
+
+
+def test_abort_leaves_no_trace(spark, tmp_path):
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    txn = CatalogTransaction.begin(spark, str(tmp_path / "log"), {"a": pa, "b": pb})
+    txn.table("a").append(df, checkpoint_key="x-a")
+    va = LakeTable.load(spark, pa).current_version()
+    txn.abort()
+    assert LakeTable.load(spark, pa).current_version() == va
+    assert LakeTable.load(spark, pa).branches() == []
+    with pytest.raises(ValueError, match="finished"):
+        txn.table("a")
+
+
+def test_external_write_aborts_whole_txn(spark, tmp_path):
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    txn = CatalogTransaction.begin(spark, str(tmp_path / "log"), {"a": pa, "b": pb})
+    txn.table("a").append(df, checkpoint_key="x-a")
+    txn.table("b").append(df, checkpoint_key="x-b")
+    # a non-transactional writer slips a commit onto b's main
+    LakeTable.load(spark, pb).append(df, checkpoint_key="external")
+    with pytest.raises(TransactionAborted, match="advanced"):
+        txn.commit()
+    # table a (whose own fast-forward was fine) must NOT have published
+    assert LakeTable.load(spark, pa).read().count() == 10
+    assert LakeTable.load(spark, pa).branches() == []
+    assert LakeTable.load(spark, pb).branches() == []
+
+
+def test_lock_held_by_other_txn_aborts(spark, tmp_path):
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    txn = CatalogTransaction.begin(spark, str(tmp_path / "log"), {"a": pa, "b": pb})
+    txn.table("a").append(df, checkpoint_key="x-a")
+    _acquire(pb, "someone-else")
+    with pytest.raises(TransactionAborted, match="locked"):
+        txn.commit()
+    # the foreign lock is untouched; ours were released
+    assert open(os.path.join(pb, "_lake", "txn.lock", "owner")).read() == "someone-else"
+    assert not os.path.isdir(os.path.join(pa, "_lake", "txn.lock"))
+
+
+def test_crash_after_decision_rolls_forward(spark, tmp_path):
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    log = str(tmp_path / "log")
+    txn = CatalogTransaction.begin(spark, log, {"a": pa, "b": pb})
+    txn.table("a").append(df.withColumn("v", F.lit(1)), checkpoint_key="x-a")
+    txn.table("b").append(df.withColumn("v", F.lit(1)), checkpoint_key="x-b")
+    # hand-write the decision record (≡ crash immediately after commit point)
+    entries = [
+        {"name": n, "path": p, "base": LakeTable.load(spark, p).current_version()}
+        for n, p in sorted(txn.tables.items(), key=lambda kv: kv[1])
+    ]
+    rec = {
+        "txn_id": txn.txn_id,
+        "branch": txn._branch_name,
+        "tables": entries,
+        "status": "committed",
+    }
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"txn-{txn.txn_id}.json"), "w") as fh:
+        json.dump(rec, fh)
+    # crash scenario: one table already published before the crash
+    LakeTable.load(spark, pa).publish_branch(txn._branch_name)
+    assert LakeTable.load(spark, pa).read().count() == 20
+    assert LakeTable.load(spark, pb).read().count() == 10  # torn state
+    repaired = recover(spark, log)
+    assert txn.txn_id in repaired and set(repaired[txn.txn_id]) == {"a", "b"}
+    assert LakeTable.load(spark, pb).read().count() == 20
+    # second recover is a no-op (record now terminal)
+    assert recover(spark, log) == {}
