@@ -1163,6 +1163,51 @@ def q_sync_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "score", "props")
 
 
+def q_sync_distinct_urls_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-incremental cardinality (DataSketches HLL, hll_sketch_agg /
+    hll_union_agg): one mergeable sketch per checkpoint segment, unioned
+    into a whole-stream distinct-url estimate with NO rescan. The gate is
+    an accuracy contract: the query returns the EXACT distinct count plus
+    a flag that the union-of-segment-sketches estimate lands within 1% of
+    it (lgK=14 ⇒ ~0.8% rse); a drifting estimate flips the flag and fails
+    the hash."""
+    from airbyte_spark.operators.sketches import (
+        segment_key_sketches,
+        union_distinct_estimate,
+    )
+
+    log = read_changelog(spark, sf_dir)
+    est = union_distinct_estimate(segment_key_sketches(log, "url"))
+    exact = log.agg(
+        F.countDistinct("url").alias("n_distinct_urls"),
+        F.count("*").alias("n_rows"),
+    )
+    return exact.crossJoin(est.select("n_distinct_est")).select(
+        "n_rows",
+        "n_distinct_urls",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_distinct_urls"))
+            <= 0.01 * F.col("n_distinct_urls")
+        ).alias("est_within_1pct"),
+    )
+
+
+def q_sync_hot_domain_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-domain detection for skew salting (Misra-Gries candidates →
+    exact broadcast recount, operators/sketches.py): every domain holding
+    > 1/25 of the change stream, with its exact event count — bounded
+    O(k) memory per task and no shuffle of the key column beyond the
+    candidate subset. Output is exact, so the oracle is a plain
+    GROUP BY ... HAVING."""
+    from airbyte_spark.functions.urls import url_domain
+    from airbyte_spark.operators.sketches import heavy_hitters
+
+    log = read_changelog(spark, sf_dir)
+    return heavy_hitters(log, url_domain(F.col("url")), k=25).select(
+        F.col("key").alias("domain"), F.col("n").alias("n_events")
+    )
+
+
 def q_sync_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT/MIN/MAX (≡ Iceberg snapshot-summary fast path):
     the answer is folded from per-file parquet-footer stats recorded in the
@@ -1939,6 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_rollback": q_sync_rollback,
         "sync_rename_column": q_sync_rename_column,
         "sync_metadata_stats": q_sync_metadata_stats,
+        "sync_distinct_urls_sketch": q_sync_distinct_urls_sketch,
+        "sync_hot_domain_hitters": q_sync_hot_domain_hitters,
         "src_http_offset": q_src_http_offset,
         "src_singer_roundtrip": q_src_singer_roundtrip,
         "src_warc_roundtrip": q_src_warc_roundtrip,
@@ -2725,6 +2772,21 @@ def oracle_sql() -> dict[str, str]:
         "src_singer_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
         """,
+        "sync_distinct_urls_sketch": """
+            WITH ch AS ({CH})
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_urls,
+                   TRUE AS est_within_1pct
+            FROM ch
+        """.replace("{CH}", changelog_oracle_cte()),
+        "sync_hot_domain_hitters": """
+            WITH ch AS ({CH}),
+            d AS (SELECT 'site-' || CAST(CAST(regexp_extract(url, 'site-(\\d+)', 1) AS BIGINT) AS VARCHAR)
+                         || '.example.com' AS domain FROM ch)
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_events
+            FROM d GROUP BY domain
+            HAVING count(*) * 25 > (SELECT count(*) FROM ch)
+        """.replace("{CH}", changelog_oracle_cte()),
         "src_warc_roundtrip": """
             SELECT concat('https://example.com/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
                    make_timestamp(doc_id * 60 * 1000000) AS warc_ts,
