@@ -1316,6 +1316,41 @@ def q_src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_src_warc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-indexed random access (≡ Common Crawl's cdx-index + HTTP range
+    GET): write documents as indexed WARC shards, then fetch ONLY the
+    doc_id%7==0 subset through (warc_file, offset, length) seek-reads —
+    kilobytes touched per page regardless of corpus size. Recovered rows
+    must equal the oracle's direct selection."""
+    from airbyte_spark.sources.warc import read_warc_indexed, write_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://example.com/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 60).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="airbyte_spark_cdx_") + "/segment"
+    write_warc(pages, out, n_shards=4, index=True)
+    wanted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("https://example.com/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    back = read_warc_indexed(spark, out, urls=wanted)
+    return back.select(
+        "url", "warc_ts", F.decode("html", "UTF-8").alias("text")
+    )
+
+
 def q_src_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Singer-tap adapter round-trip (≡ singer_helpers.py:162-219 message
     bridge): emit events as SCHEMA/RECORD/STATE JSONL, then re-parse the
@@ -1989,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_http_offset": q_src_http_offset,
         "src_singer_roundtrip": q_src_singer_roundtrip,
         "src_warc_roundtrip": q_src_warc_roundtrip,
+        "src_warc_point_lookup": q_src_warc_point_lookup,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
@@ -2787,6 +2823,12 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY domain
             HAVING count(*) * 25 > (SELECT count(*) FROM ch)
         """.replace("{CH}", changelog_oracle_cte()),
+        "src_warc_point_lookup": """
+            SELECT concat('https://example.com/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
+                   make_timestamp(doc_id * 60 * 1000000) AS warc_ts,
+                   text
+            FROM documents WHERE doc_id % 7 = 0
+        """,
         "src_warc_roundtrip": """
             SELECT concat('https://example.com/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
                    make_timestamp(doc_id * 60 * 1000000) AS warc_ts,

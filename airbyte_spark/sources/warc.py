@@ -168,6 +168,7 @@ def write_warc(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     html_col: str = "html",
+    index: bool = False,
 ) -> None:
     """Write (url, ts, html) rows as member-per-record gzip WARC shards.
 
@@ -176,6 +177,11 @@ def write_warc(
     cluster sizes (the same property the lake format's content manifest
     relies on). Each task writes its own file: write parallelism ==
     n_shards, no driver collect.
+
+    index=True additionally emits a CDX-style sidecar per shard
+    (`shard-XXXX.cdx.parquet`: url, offset, length, warc_file) — Common
+    Crawl's random-access map, in a columnar form Spark can push url
+    predicates into. See read_warc_indexed.
     """
     import os
 
@@ -195,8 +201,11 @@ def write_warc(
 
         shard = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values("url", kind="mergesort")
-        path = os.path.join(out_dir, f"shard-{shard:04d}.warc.gz")
+        fname = f"shard-{shard:04d}.warc.gz"
+        path = os.path.join(out_dir, fname)
         tmp = path + ".inprogress"
+        idx_rows = []
+        pos = 0
         with open(tmp, "wb") as fh:
             for url, ts_iso, html, rid in zip(
                 pdf["url"], pdf["ts_iso"], pdf["html"], pdf["record_id"]
@@ -209,8 +218,26 @@ def write_warc(
                 buf = io.BytesIO()
                 with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
                     gz.write(rec)
-                fh.write(buf.getvalue())
+                member = buf.getvalue()
+                fh.write(member)
+                idx_rows.append((url, pos, len(member)))
+                pos += len(member)
         os.replace(tmp, path)  # atomic publish per shard
+        if index:
+            import pyarrow as pa
+            import pyarrow.parquet as papq
+
+            tbl = pa.table(
+                {
+                    "url": [r[0] for r in idx_rows],
+                    "offset": pa.array([r[1] for r in idx_rows], pa.int64()),
+                    "length": pa.array([r[2] for r in idx_rows], pa.int64()),
+                    "warc_file": [fname] * len(idx_rows),
+                }
+            )
+            ipath = os.path.join(out_dir, f"shard-{shard:04d}.cdx.parquet")
+            papq.write_table(tbl, ipath + ".inprogress")
+            os.replace(ipath + ".inprogress", ipath)
         return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
 
     out_schema = StructType(
@@ -251,6 +278,77 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
 
     return files.select("path", "content").mapInPandas(
         parse, schema=WARC_PAGE_SCHEMA
+    )
+
+
+def read_warc_indexed(
+    spark: SparkSession,
+    segment_dir: str,
+    urls: DataFrame | None = None,
+    tasks: int | None = None,
+) -> DataFrame:
+    """Random-access / range-split WARC read through the CDX sidecar.
+
+    Instead of shipping whole files to tasks (read_warc), the CDX index
+    supplies (warc_file, offset, length) per record, so:
+
+      * POINT LOOKUPS — pass `urls` (a one-column DataFrame): the index is
+        join-pruned to just those records and each task seek-reads only
+        its members' byte ranges. Fetching 1k pages out of a 100 TB crawl
+        touches kilobytes per page, not files.
+      * RANGE SPLITS — without `urls`, the index rows are repartitioned to
+        `tasks` (default: shuffle partitions), decoupling read parallelism
+        from file count: one 1 GiB shard can feed 32 tasks because every
+        member is an independently-decompressible gzip member.
+
+    Local seek-read here ≡ an S3/HTTP ranged GET in deployment — Common
+    Crawl serves exactly these (offset, length) ranges over HTTP.
+    """
+    idx = spark.read.parquet(f"{segment_dir}/*.cdx.parquet")
+    if urls is not None:
+        ucol = urls.columns[0]
+        idx = idx.join(
+            F.broadcast(urls.select(F.col(ucol).alias("url")).distinct()),
+            on="url",
+            how="left_semi",
+        )
+    n = tasks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    idx = idx.repartition(n)
+
+    def fetch(batches: Iterator) -> Iterator:
+        import os
+
+        import pandas as pd
+
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                rows = []
+                for fname, off, ln in zip(
+                    pdf["warc_file"], pdf["offset"], pdf["length"]
+                ):
+                    fh = handles.get(fname)
+                    if fh is None:
+                        fh = handles[fname] = open(
+                            os.path.join(segment_dir, fname), "rb"
+                        )
+                    fh.seek(int(off))
+                    member = fh.read(int(ln))
+                    rows.extend(parse_warc_members(member, str(fname)))
+                if not rows:
+                    continue
+                out = pd.DataFrame.from_records(rows)
+                out["warc_ts"] = pd.to_datetime(
+                    out.pop("warc_date"), format="%Y-%m-%dT%H:%M:%SZ",
+                    errors="coerce",
+                )
+                yield out[[f.name for f in WARC_PAGE_SCHEMA.fields]]
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return idx.select("warc_file", "offset", "length").mapInPandas(
+        fetch, schema=WARC_PAGE_SCHEMA
     )
 
 

@@ -123,6 +123,45 @@ def test_roundtrip_distributed(spark):
     assert len(files) == 3
 
 
+def test_cdx_index_offsets_are_exact(spark):
+    import pyarrow.parquet as pq
+
+    pages = _pages(spark, 20)
+    base = tempfile.mkdtemp(prefix="warc_cdx_") + "/seg"
+    write_warc(pages, base, n_shards=2, index=True)
+    for ipath in sorted(glob.glob(base + "/*.cdx.parquet")):
+        idx = pq.read_table(ipath).to_pylist()
+        fname = idx[0]["warc_file"]
+        blob = open(os.path.join(base, fname), "rb").read()
+        covered = 0
+        for row in idx:
+            member = blob[row["offset"] : row["offset"] + row["length"]]
+            (rec,) = parse_warc_members(member, fname)
+            assert rec["url"] == row["url"]
+            covered += row["length"]
+        assert covered == len(blob), "members must tile the file exactly"
+
+
+def test_indexed_point_lookup_and_range_split(spark):
+    from airbyte_spark.sources.warc import read_warc_indexed
+
+    pages = _pages(spark, 40)
+    base = tempfile.mkdtemp(prefix="warc_pt_") + "/seg"
+    write_warc(pages, base, n_shards=2, index=True)
+    want_urls = [f"https://t.example/{i}" for i in (0, 7, 33)]
+    urls_df = spark.createDataFrame([(u,) for u in want_urls], ["url"])
+    got = read_warc_indexed(spark, base, urls=urls_df).collect()
+    assert sorted(r["url"] for r in got) == sorted(want_urls)
+    for r in got:
+        assert f"pg {r['url'].rsplit('/', 1)[1]} " in bytes(r["html"]).decode()
+    # range-split full read == whole-file read, despite only 2 files
+    full = read_warc_indexed(spark, base, tasks=16)
+    byfile = read_warc(spark, base + "/*.warc.gz")
+    a = {(r["url"], bytes(r["html"])) for r in full.collect()}
+    b = {(r["url"], bytes(r["html"])) for r in byfile.collect()}
+    assert a == b and len(a) == 40
+
+
 def test_warc_registry_source_envelope(spark):
     from airbyte_spark.sources.registry import source_factory
 
