@@ -210,6 +210,47 @@ def _roll_forward(spark: SparkSession, record: dict, rec_path: str) -> dict[str,
     return versions
 
 
+def consistent_versions(log_dir: str) -> dict[str, tuple[str, int]]:
+    """The last completed transaction's published version per table:
+    {table name: (path, version)}. A reader that pins table reads to these
+    versions sees the catalog exactly as some transaction left it — never
+    a mix of one table's newer state with another's older state, even
+    while writers keep committing.
+
+    (≡ Iceberg REST catalog's consistent multi-table snapshot / a
+    cross-table read timestamp. Tables without any transactional commit
+    are absent — read them at HEAD.)"""
+    out: dict[str, tuple[str, int]] = {}
+    if not os.path.isdir(log_dir):
+        return out
+    for fn in sorted(os.listdir(log_dir)):
+        if not (fn.startswith("txn-") and fn.endswith(".json")):
+            continue
+        with open(os.path.join(log_dir, fn)) as fh:
+            record = json.load(fh)
+        if record.get("status") != "done":
+            continue
+        for ent in record["tables"]:
+            name = ent["name"]
+            v = record["versions"][name]
+            # later transactions win per table (files sort by txn id, but
+            # versions are monotone per table — keep the max)
+            if name not in out or v > out[name][1]:
+                out[name] = (ent["path"], v)
+    return out
+
+
+def read_consistent(
+    spark: SparkSession, log_dir: str, name: str
+) -> "DataFrame":  # noqa: F821 (DataFrame via LakeTable.read)
+    """Read one table pinned at the catalog's last transactional snapshot."""
+    versions = consistent_versions(log_dir)
+    if name not in versions:
+        raise KeyError(f"no completed transaction published table '{name}'")
+    path, v = versions[name]
+    return LakeTable.load(spark, path).read(version=v)
+
+
 def recover(spark: SparkSession, log_dir: str) -> dict[str, dict[str, int]]:
     """Repair after a crash: roll every decided-but-undone transaction
     forward. Returns {txn_id: {table name: version}} for repaired ones.

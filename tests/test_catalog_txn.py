@@ -87,6 +87,26 @@ def test_lock_held_by_other_txn_aborts(spark, tmp_path):
     assert not os.path.isdir(os.path.join(pa, "_lake", "txn.lock"))
 
 
+def test_consistent_reads_pin_the_txn_snapshot(spark, tmp_path):
+    from airbyte_spark.lake.transaction import consistent_versions, read_consistent
+
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    log = str(tmp_path / "log")
+    txn = CatalogTransaction.begin(spark, log, {"a": pa, "b": pb})
+    txn.table("a").append(df, checkpoint_key="x-a")
+    txn.table("b").append(df, checkpoint_key="x-b")
+    versions = txn.commit()
+    # a non-transactional writer advances table a past the snapshot
+    LakeTable.load(spark, pa).append(df, checkpoint_key="later")
+    assert LakeTable.load(spark, pa).read().count() == 30  # HEAD moved on
+    pinned = consistent_versions(log)
+    assert {n: v for n, (_, v) in pinned.items()} == versions
+    assert read_consistent(spark, log, "a").count() == 20  # snapshot, not HEAD
+    assert read_consistent(spark, log, "b").count() == 20
+    with pytest.raises(KeyError):
+        read_consistent(spark, log, "nope")
+
+
 def test_crash_after_decision_rolls_forward(spark, tmp_path):
     pa, pb, df = _mk_tables(spark, tmp_path)
     log = str(tmp_path / "log")
