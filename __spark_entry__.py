@@ -1351,6 +1351,73 @@ def q_src_warc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_src_warc_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: two WARC crawl segments (full crawl at t, recrawl of
+    doc_id%3==0 pages a day later with revised bodies) ingested through
+    the registry `warc` source into the LWW merge — final table state must
+    be 'latest fetch per url', i.e. revised text for recrawled pages and
+    the original elsewhere. Exercises the whole chain the north rule
+    names: container read → CDC envelope → key-partitioned merge."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+    from airbyte_spark.lake.merge import merge_upsert
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.sources.registry import source_factory
+    from airbyte_spark.sources.warc import write_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://example.com/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    seg0 = docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 60).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    seg1 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        url.alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 60 + 86400)
+        .cast("timestamp_ntz")
+        .alias("warc_ts"),
+        F.encode(F.concat(F.col("text"), F.lit(" rev2")), "UTF-8").alias("html"),
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_warc_e2e_")
+    write_warc(seg0, base + "/seg0", n_shards=4)
+    write_warc(seg1, base + "/seg1", n_shards=2)
+
+    target = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("warc_ts", TimestampNTZType(), True),
+            StructField("html", BinaryType(), True),
+            StructField("_ab_cdc_lsn", LongType(), True),
+            StructField("_ab_cdc_deleted_at", TimestampNTZType(), True),
+        ]
+    )
+    cfg = StreamConfig(name="crawl", schema=target, primary_key=["url"])
+    t = LakeTable.create(
+        spark, base + "/crawl", target, PartitionSpec.bucket("url", 4)
+    )
+    for i, seg in enumerate(("seg0", "seg1")):
+        batch = source_factory("warc")(f"{base}/{seg}/*.warc.gz")(spark, {})
+        merge_upsert(t, batch.select(*target.fieldNames()), cfg,
+                     checkpoint_key=f"crawl-{i}")
+    return t.read().select(
+        "url", "warc_ts", F.decode("html", "UTF-8").alias("text")
+    )
+
+
 def q_src_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Singer-tap adapter round-trip (≡ singer_helpers.py:162-219 message
     bridge): emit events as SCHEMA/RECORD/STATE JSONL, then re-parse the
@@ -2025,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_singer_roundtrip": q_src_singer_roundtrip,
         "src_warc_roundtrip": q_src_warc_roundtrip,
         "src_warc_point_lookup": q_src_warc_point_lookup,
+        "src_warc_cdc_e2e": q_src_warc_cdc_e2e,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
@@ -2828,6 +2896,14 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(doc_id * 60 * 1000000) AS warc_ts,
                    text
             FROM documents WHERE doc_id % 7 = 0
+        """,
+        "src_warc_cdc_e2e": """
+            SELECT concat('https://example.com/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN make_timestamp((doc_id * 60 + 86400) * 1000000)
+                        ELSE make_timestamp(doc_id * 60 * 1000000) END AS warc_ts,
+                   CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END AS text
+            FROM documents
         """,
         "src_warc_roundtrip": """
             SELECT concat('https://example.com/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
