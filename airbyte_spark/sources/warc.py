@@ -353,24 +353,31 @@ def read_warc_indexed(
 
 
 @register_source("warc")
-def warc_source(path_glob: str, batch_span: int = 1_000):
+def warc_source(path_glob: str, n_checkpoints: int = 16):
     """Registry plug-in: a WARC crawl segment as a CDC change stream.
 
     The crawl is an insert-only changelog (every record is an upsert of
-    its url at its fetch time); lsn derives from the record's position in
-    the deterministic (url) total order so replay is stable.
+    its url at its fetch time). lsn must only be a *deterministic, unique*
+    tiebreaker — LWW ordering rides warc_ts — so it derives from
+    xxhash64(url, warc_ts) rather than a global row_number (which would be
+    a one-task global sort at crawl scale). checkpoint_id buckets records
+    by url hash into `n_checkpoints` replayable segments; segment order is
+    arbitrary, which is safe because an insert-only LWW stream is
+    order-confluent (the property the engine's permutation tests pin).
     """
 
     def read(spark: SparkSession, state: dict) -> DataFrame:
-        from pyspark.sql import Window
-
         from airbyte_spark.sources.registry import _apply_state, _complete_envelope
 
         pages = read_warc(spark, path_glob)
-        w = Window.orderBy("url")  # deterministic total order for replay
-        df = pages.withColumn("_ab_cdc_lsn", F.row_number().over(w).cast("long"))
+        h = F.xxhash64("url", F.col("warc_ts").cast("string"))
+        df = pages.withColumn(
+            "_ab_cdc_lsn", F.abs(h).cast("long")
+        ).withColumn(
+            "checkpoint_id", F.pmod(F.xxhash64("url"), F.lit(n_checkpoints)).cast("long")
+        )
         return _apply_state(
-            _complete_envelope(df, "warc_ts", batch_span, "warc"), state
+            _complete_envelope(df, "warc_ts", n_checkpoints, "warc"), state
         )
 
     return read

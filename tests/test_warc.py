@@ -168,12 +168,15 @@ def test_warc_registry_source_envelope(spark):
     pages = _pages(spark, 12)
     base = tempfile.mkdtemp(prefix="warc_src_") + "/seg"
     write_warc(pages, base, n_shards=2)
-    src = source_factory("warc")(base + "/*.warc.gz", batch_span=5)
+    src = source_factory("warc")(base + "/*.warc.gz", n_checkpoints=4)
     df = src(spark, {})
     cols = set(df.columns)
     assert {"_ab_cdc_lsn", "_ab_cdc_updated_at", "_ab_cdc_deleted_at",
             "checkpoint_id", "url", "html"} <= cols
-    rows = df.orderBy("_ab_cdc_lsn").collect()
-    assert [r["_ab_cdc_lsn"] for r in rows] == list(range(1, 13))
-    urls = [r["url"] for r in rows]
-    assert urls == sorted(urls), "lsn follows the deterministic url order"
+    rows = df.collect()
+    lsns = [r["_ab_cdc_lsn"] for r in rows]
+    assert len(set(lsns)) == 12, "lsn must be unique per record"
+    assert all(0 <= r["checkpoint_id"] < 4 for r in rows)
+    # deterministic across reads (replay stability)
+    again = {r["url"]: r["_ab_cdc_lsn"] for r in src(spark, {}).collect()}
+    assert again == {r["url"]: r["_ab_cdc_lsn"] for r in rows}
