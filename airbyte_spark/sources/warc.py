@@ -253,13 +253,9 @@ def write_warc(
 # --------------------------------------------------------------------------
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
-    """Parse WARC(.gz) files into the page schema, one task per file.
-
-    binaryFile ships each file's bytes to an executor; parsing emits Arrow
-    batches there. `warc_ts` is typed timestamp_ntz from WARC-Date.
-    """
-    files = spark.read.format("binaryFile").load(path_glob)
+def parse_warc_files_df(files: DataFrame) -> DataFrame:
+    """binaryFile rows (path, content) → parsed page rows (shared by the
+    batch reader and the streaming ingest's foreachBatch)."""
 
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -279,6 +275,15 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         parse, schema=WARC_PAGE_SCHEMA
     )
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Parse WARC(.gz) files into the page schema, one task per file.
+
+    binaryFile ships each file's bytes to an executor; parsing emits Arrow
+    batches there. `warc_ts` is typed timestamp_ntz from WARC-Date.
+    """
+    return parse_warc_files_df(spark.read.format("binaryFile").load(path_glob))
 
 
 def read_warc_indexed(
@@ -350,6 +355,86 @@ def read_warc_indexed(
     return idx.select("warc_file", "offset", "length").mapInPandas(
         fetch, schema=WARC_PAGE_SCHEMA
     )
+
+
+def stream_warc_ingest(
+    table,
+    cfg,
+    warc_dir: str,
+    spark_checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Tail a crawl-segment directory as a Structured Streaming source and
+    merge each WARC file into the lake with one idempotent commit per file.
+
+    This is the deployment loop for a live crawl: the crawler drops
+    `*.warc.gz` shards into `warc_dir`; the engine's binaryFile stream
+    picks up new files, parses them executor-side, derives the CDC
+    envelope (hash lsn, LWW on WARC-Date) and applies merge_upsert with
+    checkpoint key `warc-<filename>`. Exactly-once holds even if the
+    Spark checkpoint dir is lost, because the committed-file set lives in
+    the table manifest, transactional with the data — the same guarantee
+    the parquet-changelog path (pipeline.run_stream) provides.
+
+    `table`/`cfg`: LakeTable + StreamConfig whose schema is the page shape
+    (url, warc_ts, html, _ab_cdc_lsn, _ab_cdc_deleted_at). Returns the
+    query handle (terminated when available_now).
+    """
+    import os
+
+    from airbyte_spark.lake.merge import merge_upsert
+
+    from pyspark.sql.types import TimestampType
+
+    spark = table.spark
+    binfile_schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("modificationTime", TimestampType(), False),
+            StructField("length", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binfile_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(warc_dir)
+    )
+
+    def handle(files: DataFrame, epoch_id: int) -> None:
+        names = sorted(
+            os.path.basename(r[0]) for r in files.select("path").distinct().collect()
+        )
+        pending = [n for n in names if f"warc-{n}" not in table.committed()]
+        if not pending:
+            return
+        keep = files.filter(
+            F.element_at(F.split(F.col("path"), "/"), -1).isin(pending)
+        )
+        pages = parse_warc_files_df(keep)
+        h = F.xxhash64("url", F.col("warc_ts").cast("string"))
+        batch = (
+            pages.withColumn("_ab_cdc_lsn", F.abs(h).cast("long"))
+            .withColumn(
+                "_ab_cdc_deleted_at", F.lit(None).cast("timestamp_ntz")
+            )
+            .select(*cfg.schema.fieldNames())
+        )
+        merge_upsert(
+            table, batch, cfg, checkpoint_key=[f"warc-{n}" for n in pending]
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", spark_checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
 
 
 @register_source("warc")

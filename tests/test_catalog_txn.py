@@ -107,6 +107,27 @@ def test_consistent_reads_pin_the_txn_snapshot(spark, tmp_path):
         read_consistent(spark, log, "nope")
 
 
+def test_ddl_inside_transaction_publishes_atomically(spark, tmp_path):
+    """Schema evolution staged on a txn branch must reach main only at
+    commit, together with the other table's data."""
+    import pyspark.sql.functions as F2
+
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    txn = CatalogTransaction.begin(spark, str(tmp_path / "log"), {"a": pa, "b": pb})
+    ba = txn.table("a")
+    evolved = df.withColumn("w", F2.lit("x"))
+    ba.evolve_schema(evolved.schema)
+    ba.append(evolved, checkpoint_key="ddl-a")
+    txn.table("b").append(df, checkpoint_key="x-b")
+    # main still has the old schema while staged
+    assert "w" not in LakeTable.load(spark, pa).read().columns
+    txn.commit()
+    ta = LakeTable.load(spark, pa)
+    assert "w" in ta.read().columns
+    assert ta.read().filter(F2.col("w").isNull()).count() == 10  # old gen NULL-filled
+    assert LakeTable.load(spark, pb).read().count() == 20
+
+
 def test_crash_after_decision_rolls_forward(spark, tmp_path):
     pa, pb, df = _mk_tables(spark, tmp_path)
     log = str(tmp_path / "log")

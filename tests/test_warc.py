@@ -162,6 +162,69 @@ def test_indexed_point_lookup_and_range_split(spark):
     assert a == b and len(a) == 40
 
 
+def test_stream_warc_ingest_exactly_once_lww(spark, tmp_path):
+    """Crawl shards land as files; the stream merges each exactly once,
+    recrawls win by WARC-Date, and losing the Spark checkpoint dir does
+    not double-apply (committed set is in the table manifest)."""
+    import shutil
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.sources.warc import stream_warc_ingest
+
+    target = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("warc_ts", TimestampNTZType(), True),
+            StructField("html", BinaryType(), True),
+            StructField("_ab_cdc_lsn", LongType(), True),
+            StructField("_ab_cdc_deleted_at", TimestampNTZType(), True),
+        ]
+    )
+    cfg = StreamConfig(name="crawl", schema=target, primary_key=["url"])
+    tpath = str(tmp_path / "crawl")
+    t = LakeTable.create(spark, tpath, target, PartitionSpec.bucket("url", 4))
+    wdir, ckpt = str(tmp_path / "inbox"), str(tmp_path / "sck")
+    os.makedirs(wdir)
+
+    write_warc(_pages(spark, 30), wdir, n_shards=2)
+    stream_warc_ingest(t, cfg, wdir, ckpt)
+    assert t.read().count() == 30
+    v1 = t.current_version()
+
+    # recrawl of ids 0..9 a day later, new body — lands as new shard files
+    recrawl = spark.range(10).select(
+        F.concat(F.lit("https://t.example/"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.col("id") * 3600 + 86400).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(F.lit("<html>rev2</html>"), "UTF-8").alias("html"),
+    )
+    sub = str(tmp_path / "re")
+    write_warc(recrawl, sub, n_shards=1)
+    shutil.move(os.path.join(sub, "shard-0000.warc.gz"),
+                os.path.join(wdir, "recrawl-0000.warc.gz"))
+    stream_warc_ingest(t, cfg, wdir, ckpt)
+    rows = {r["url"]: bytes(r["html"]) for r in t.read().collect()}
+    assert len(rows) == 30
+    assert rows["https://t.example/3"] == b"<html>rev2</html>"
+    assert b"pg 15 " in rows["https://t.example/15"]
+
+    # lost Spark checkpoint: rerun from scratch -> table version unchanged
+    v2 = t.current_version()
+    assert v2 > v1
+    shutil.rmtree(ckpt)
+    stream_warc_ingest(t, cfg, wdir, str(tmp_path / "sck2"))
+    assert t.current_version() == v2
+
+
 def test_warc_registry_source_envelope(spark):
     from airbyte_spark.sources.registry import source_factory
 
