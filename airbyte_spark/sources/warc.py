@@ -105,55 +105,137 @@ def _warc_record_bytes(
     return hdr + http + _CRLF + _CRLF
 
 
-def parse_warc_members(blob: bytes, filename: str = "") -> Iterator[dict]:
-    """Yield parsed response records from a (possibly multi-member) gzip
-    or plain WARC byte blob. Tolerates non-response record types
-    (warcinfo, request, metadata) by skipping them — real Common Crawl
-    files interleave all three."""
-    if blob[:2] == b"\x1f\x8b":
-        # multi-member gzip: GzipFile iterates members transparently
-        data = gzip.decompress(blob)
-    else:
-        data = blob
-    pos, n = 0, len(data)
+def iter_gzip_members(blob: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield (byte offset, decompressed member) per gzip member.
+
+    Member-wise decompression (zlib wbits=31 + unused_data resync) is what
+    makes corrupt-shard tolerance possible: a broken member poisons only
+    itself, and the next member starts at a known byte boundary."""
+    import zlib
+
+    pos, n = 0, len(blob)
     while pos < n:
-        # skip inter-record padding
-        while pos < n and data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        hdr_end = data.find(_CRLF + _CRLF, pos)
-        if hdr_end < 0:
-            break
-        header_lines = data[pos:hdr_end].split(_CRLF)
-        if not header_lines[0].startswith(b"WARC/"):
-            raise ValueError(
-                f"{filename}: expected WARC version line at byte {pos}, "
-                f"got {header_lines[0][:40]!r}"
-            )
-        fields: dict[str, str] = {}
-        for line in header_lines[1:]:
-            k, _, v = line.partition(b":")
-            fields[k.strip().decode().lower()] = v.strip().decode()
-        clen = int(fields["content-length"])
-        body = data[hdr_end + 4 : hdr_end + 4 + clen]
-        pos = hdr_end + 4 + clen
-        if fields.get("warc-type") != "response":
-            continue
-        # strip the stored HTTP envelope down to the entity body
-        http_end = body.find(_CRLF + _CRLF)
-        html = body[http_end + 4 :] if http_end >= 0 else body
-        rid = fields.get("warc-record-id", "")
-        if rid.startswith("<urn:uuid:") and rid.endswith(">"):
-            rid = rid[len("<urn:uuid:") : -1]
-        yield {
+        d = zlib.decompressobj(wbits=31)
+        try:
+            member = d.decompress(blob[pos:])
+            member += d.flush()
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member at byte {pos}: {exc}") from exc
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"gzip member at byte {pos} consumed no input")
+        yield pos, member
+        pos += consumed
+
+
+def _parse_one_record(data: bytes, pos: int, filename: str) -> tuple[dict | None, int]:
+    """Parse the record starting at `pos`; return (record-or-None, next pos).
+    None = a valid non-response record (warcinfo/request/metadata)."""
+    hdr_end = data.find(_CRLF + _CRLF, pos)
+    if hdr_end < 0:
+        raise ValueError(f"{filename}: truncated header at byte {pos}")
+    header_lines = data[pos:hdr_end].split(_CRLF)
+    if not header_lines[0].startswith(b"WARC/"):
+        raise ValueError(
+            f"{filename}: expected WARC version line at byte {pos}, "
+            f"got {header_lines[0][:40]!r}"
+        )
+    fields: dict[str, str] = {}
+    for line in header_lines[1:]:
+        k, _, v = line.partition(b":")
+        fields[k.strip().decode().lower()] = v.strip().decode()
+    clen = int(fields["content-length"])
+    body = data[hdr_end + 4 : hdr_end + 4 + clen]
+    if len(body) < clen:
+        raise ValueError(f"{filename}: truncated body at byte {pos}")
+    nxt = hdr_end + 4 + clen
+    if fields.get("warc-type") != "response":
+        return None, nxt
+    # strip the stored HTTP envelope down to the entity body
+    http_end = body.find(_CRLF + _CRLF)
+    html = body[http_end + 4 :] if http_end >= 0 else body
+    rid = fields.get("warc-record-id", "")
+    if rid.startswith("<urn:uuid:") and rid.endswith(">"):
+        rid = rid[len("<urn:uuid:") : -1]
+    return (
+        {
             "url": fields.get("warc-target-uri", ""),
             "warc_date": fields.get("warc-date", ""),
             "html": html,
             "record_id": rid,
             "content_length": clen,
             "warc_file": filename,
-        }
+        },
+        nxt,
+    )
+
+
+def _parse_plain(data: bytes, filename: str) -> Iterator[dict]:
+    pos, n = 0, len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        rec, pos = _parse_one_record(data, pos, filename)
+        if rec is not None:
+            yield rec
+
+
+def parse_warc_members(
+    blob: bytes, filename: str = "", on_error: str = "fail"
+) -> Iterator[dict]:
+    """Yield parsed response records from a (possibly multi-member) gzip
+    or plain WARC byte blob. Tolerates non-response record types
+    (warcinfo, request, metadata) by skipping them — real Common Crawl
+    files interleave all three.
+
+    on_error: "fail" raises on the first malformed member/record;
+    "skip" quarantines it (yields a {"_error": ..., "_offset": ...} marker
+    instead) and resumes at the next gzip member boundary — a corrupt
+    member must cost one record, not a 1 GiB shard, let alone the job.
+    """
+    if blob[:2] == b"\x1f\x8b":
+        import zlib
+
+        pos, n = 0, len(blob)
+        while pos < n:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                member = d.decompress(blob[pos:]) + d.flush()
+                consumed = (n - pos) - len(d.unused_data)
+                if consumed <= 0:
+                    raise ValueError("member consumed no input")
+            except (zlib.error, ValueError) as exc:
+                if on_error != "skip":
+                    raise ValueError(
+                        f"{filename}: corrupt gzip member at byte {pos}: {exc}"
+                    ) from exc
+                yield {
+                    "_error": f"corrupt gzip member: {exc}",
+                    "_offset": pos,
+                    "warc_file": filename,
+                }
+                # resync: next gzip magic after the broken member's start
+                nxt = blob.find(b"\x1f\x8b\x08", pos + 1)
+                if nxt < 0:
+                    return
+                pos = nxt
+                continue
+            try:
+                yield from _parse_plain(member, filename)
+            except ValueError as exc:
+                if on_error != "skip":
+                    raise
+                yield {"_error": str(exc), "_offset": pos, "warc_file": filename}
+            pos += consumed
+    else:
+        try:
+            yield from _parse_plain(blob, filename)
+        except ValueError as exc:
+            if on_error != "skip":
+                raise
+            yield {"_error": str(exc), "_offset": -1, "warc_file": filename}
 
 
 # --------------------------------------------------------------------------
@@ -253,16 +335,24 @@ def write_warc(
 # --------------------------------------------------------------------------
 
 
-def parse_warc_files_df(files: DataFrame) -> DataFrame:
+def parse_warc_files_df(files: DataFrame, on_error: str = "fail") -> DataFrame:
     """binaryFile rows (path, content) → parsed page rows (shared by the
-    batch reader and the streaming ingest's foreachBatch)."""
+    batch reader and the streaming ingest's foreachBatch). on_error="skip"
+    drops quarantined markers from the page output (surface them with
+    warc_quarantine)."""
 
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                rows = list(parse_warc_members(bytes(blob), str(fpath)))
+                rows = [
+                    r
+                    for r in parse_warc_members(
+                        bytes(blob), str(fpath), on_error=on_error
+                    )
+                    if "_error" not in r
+                ]
                 if not rows:
                     continue
                 out = pd.DataFrame.from_records(rows)
@@ -277,13 +367,51 @@ def parse_warc_files_df(files: DataFrame) -> DataFrame:
     )
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path_glob: str, on_error: str = "fail"
+) -> DataFrame:
     """Parse WARC(.gz) files into the page schema, one task per file.
 
     binaryFile ships each file's bytes to an executor; parsing emits Arrow
     batches there. `warc_ts` is typed timestamp_ntz from WARC-Date.
+    on_error="skip": malformed members are quarantined instead of failing
+    the job — pair with warc_quarantine for the audit trail.
     """
-    return parse_warc_files_df(spark.read.format("binaryFile").load(path_glob))
+    return parse_warc_files_df(
+        spark.read.format("binaryFile").load(path_glob), on_error=on_error
+    )
+
+
+def warc_quarantine(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Audit scan: one row per malformed member/record across the segment
+    (warc_file, offset, error). Empty = the segment is clean. Distributed
+    the same way as read_warc (one task per file)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def scan(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                errs = [
+                    r
+                    for r in parse_warc_members(
+                        bytes(blob), str(fpath), on_error="skip"
+                    )
+                    if "_error" in r
+                ]
+                if errs:
+                    yield pd.DataFrame(
+                        {
+                            "warc_file": [e["warc_file"] for e in errs],
+                            "offset": [e["_offset"] for e in errs],
+                            "error": [e["_error"] for e in errs],
+                        }
+                    )
+
+    return files.select("path", "content").mapInPandas(
+        scan, schema="warc_file string, offset long, error string"
+    )
 
 
 def read_warc_indexed(

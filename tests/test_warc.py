@@ -162,6 +162,52 @@ def test_indexed_point_lookup_and_range_split(spark):
     assert a == b and len(a) == 40
 
 
+def _corrupt_one_member(path):
+    """Flip bytes inside the SECOND gzip member of a shard; returns its offset."""
+    blob = bytearray(open(path, "rb").read())
+    first = blob.find(b"\x1f\x8b\x08", 1)
+    assert first > 0, "need >=2 members"
+    # damage the member body (past its 10-byte header so magic scan resyncs)
+    for i in range(first + 12, first + 20):
+        blob[i] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    return first
+
+
+def test_corrupt_member_skip_and_quarantine(spark):
+    from airbyte_spark.sources.warc import warc_quarantine
+
+    pages = _pages(spark, 24)
+    base = tempfile.mkdtemp(prefix="warc_bad_") + "/seg"
+    write_warc(pages, base, n_shards=1)
+    shard = glob.glob(base + "/*.warc.gz")[0]
+    _corrupt_one_member(shard)
+    # strict mode: the job fails loudly
+    with pytest.raises(Exception, match="corrupt gzip member"):
+        read_warc(spark, base + "/*.warc.gz").collect()
+    # skip mode: exactly one record lost, the rest recovered via resync
+    got = read_warc(spark, base + "/*.warc.gz", on_error="skip").collect()
+    assert len(got) == 23
+    q = warc_quarantine(spark, base + "/*.warc.gz").collect()
+    assert len(q) == 1
+    assert "corrupt gzip member" in q[0]["error"]
+    assert q[0]["offset"] > 0
+    # a clean segment quarantines nothing
+    clean = tempfile.mkdtemp(prefix="warc_ok_") + "/seg"
+    write_warc(pages, clean, n_shards=2)
+    assert warc_quarantine(spark, clean + "/*.warc.gz").count() == 0
+
+
+def test_plain_warc_garbage_quarantined():
+    rec = _warc_record_bytes("https://t.example/9", "2024-01-01T00:00:00Z", b"ok", "r9")
+    out = list(parse_warc_members(rec + b"GARBAGE-NO-VERSION\r\n\r\nxx",
+                                  "f", on_error="skip"))
+    good = [r for r in out if "_error" not in r]
+    bad = [r for r in out if "_error" in r]
+    assert [r["url"] for r in good] == ["https://t.example/9"]
+    assert len(bad) == 1 and "version line" in bad[0]["_error"]
+
+
 def test_stream_warc_ingest_exactly_once_lww(spark, tmp_path):
     """Crawl shards land as files; the stream merges each exactly once,
     recrawls win by WARC-Date, and losing the Spark checkpoint dir does
