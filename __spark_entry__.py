@@ -1418,6 +1418,60 @@ def q_src_warc_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_src_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl storage dedup via WARC revisit records (ISO 28500
+    §6.7.2 identical-payload-digest — what real web archives do): the
+    second crawl stores bodies only for changed pages (doc_id%3==0);
+    unchanged pages become digest-only revisit records resolved back to
+    bytes from the first crawl's store. The recovered second crawl must
+    equal the oracle's closed form, with is_revisit marking exactly the
+    unchanged pages."""
+    from airbyte_spark.sources.warc import (
+        read_warc,
+        resolve_revisits,
+        write_warc,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://example.com/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    crawl0 = docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 60).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    crawl1 = docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 60 + 86400)
+        .cast("timestamp_ntz")
+        .alias("warc_ts"),
+        F.encode(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_rv_")
+    write_warc(crawl0, base + "/c0", n_shards=4)
+    pages0 = read_warc(spark, base + "/c0/*.warc.gz")
+    write_warc(
+        crawl1, base + "/c1", n_shards=4,
+        revisit_digests=pages0.select("payload_digest"),
+    )
+    resolved = resolve_revisits(read_warc(spark, base + "/c1/*.warc.gz"), pages0)
+    return resolved.select(
+        "url",
+        "warc_ts",
+        F.decode("html", "UTF-8").alias("text"),
+        "is_revisit",
+    )
+
+
 def q_src_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Singer-tap adapter round-trip (≡ singer_helpers.py:162-219 message
     bridge): emit events as SCHEMA/RECORD/STATE JSONL, then re-parse the
@@ -2093,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_warc_roundtrip": q_src_warc_roundtrip,
         "src_warc_point_lookup": q_src_warc_point_lookup,
         "src_warc_cdc_e2e": q_src_warc_cdc_e2e,
+        "src_warc_revisit_dedup": q_src_warc_revisit_dedup,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
@@ -2896,6 +2951,13 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(doc_id * 60 * 1000000) AS warc_ts,
                    text
             FROM documents WHERE doc_id % 7 = 0
+        """,
+        "src_warc_revisit_dedup": """
+            SELECT concat('https://example.com/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
+                   make_timestamp((doc_id * 60 + 86400) * 1000000) AS warc_ts,
+                   CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END AS text,
+                   doc_id % 3 <> 0 AS is_revisit
+            FROM documents
         """,
         "src_warc_cdc_e2e": """
             SELECT concat('https://example.com/', source, '/', CAST(doc_id AS VARCHAR)) AS url,

@@ -45,6 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -57,6 +58,8 @@ from airbyte_spark.sources.registry import register_source
 _CRLF = b"\r\n"
 
 # Parsed-record schema: the input_hint page shape + container provenance.
+# payload_digest/is_revisit carry the archive-dedup semantics (see
+# write_warc's revisit_digests and resolve_revisits).
 WARC_PAGE_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -65,6 +68,8 @@ WARC_PAGE_SCHEMA = StructType(
         StructField("record_id", StringType(), True),
         StructField("content_length", LongType(), True),
         StructField("warc_file", StringType(), True),
+        StructField("payload_digest", StringType(), True),
+        StructField("is_revisit", BooleanType(), False),
     ]
 )
 
@@ -74,29 +79,55 @@ WARC_PAGE_SCHEMA = StructType(
 # --------------------------------------------------------------------------
 
 
+def payload_digest(html: bytes) -> str:
+    """Labelled payload digest per ISO 28500 §5.9 (hex instead of the
+    Common-Crawl base32 — the label makes either self-describing)."""
+    import hashlib
+
+    return "sha1:" + hashlib.sha1(html).hexdigest()
+
+
 def _warc_record_bytes(
-    url: str, ts_iso: str, html: bytes, record_id: str
+    url: str, ts_iso: str, html: bytes, record_id: str, revisit: bool = False
 ) -> bytes:
-    """One spec-correct response record, uncompressed.
+    """One spec-correct record, uncompressed.
 
     Header fields per ISO 28500 §5 (mandatory: WARC-Record-ID, Content-Length,
     WARC-Date, WARC-Type); the HTTP envelope mirrors what crawlers store
     (status line + Content-Length), so `identified-payload-type` consumers
     and this module's own parser agree on where the HTML starts.
+
+    revisit=True writes a `WARC-Type: revisit` record (§6.7.2,
+    identical-payload-digest profile): the fetch is recorded — url, time,
+    digest — but the unchanged body is NOT stored again. `html` must then
+    be the body whose digest is recorded (used for the digest header only).
     """
-    http = (
-        b"HTTP/1.1 200 OK" + _CRLF
-        + b"Content-Type: text/html; charset=utf-8" + _CRLF
-        + b"Content-Length: " + str(len(html)).encode() + _CRLF
-        + _CRLF
-        + html
-    )
+    digest = payload_digest(html)
+    if revisit:
+        http = b""
+        wtype = b"revisit"
+        profile = (
+            b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+            b"identical-payload-digest" + _CRLF
+        )
+    else:
+        http = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: text/html; charset=utf-8" + _CRLF
+            + b"Content-Length: " + str(len(html)).encode() + _CRLF
+            + _CRLF
+            + html
+        )
+        wtype = b"response"
+        profile = b""
     hdr = (
         b"WARC/1.0" + _CRLF
-        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Type: " + wtype + _CRLF
         + b"WARC-Record-ID: <urn:uuid:" + record_id.encode() + b">" + _CRLF
         + b"WARC-Date: " + ts_iso.encode() + _CRLF
         + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Payload-Digest: " + digest.encode() + _CRLF
+        + profile
         + b"Content-Type: application/http; msgtype=response" + _CRLF
         + b"Content-Length: " + str(len(http)).encode() + _CRLF
         + _CRLF
@@ -149,11 +180,15 @@ def _parse_one_record(data: bytes, pos: int, filename: str) -> tuple[dict | None
     if len(body) < clen:
         raise ValueError(f"{filename}: truncated body at byte {pos}")
     nxt = hdr_end + 4 + clen
-    if fields.get("warc-type") != "response":
+    wtype = fields.get("warc-type")
+    if wtype not in ("response", "revisit"):
         return None, nxt
-    # strip the stored HTTP envelope down to the entity body
-    http_end = body.find(_CRLF + _CRLF)
-    html = body[http_end + 4 :] if http_end >= 0 else body
+    if wtype == "revisit":
+        html = None
+    else:
+        # strip the stored HTTP envelope down to the entity body
+        http_end = body.find(_CRLF + _CRLF)
+        html = body[http_end + 4 :] if http_end >= 0 else body
     rid = fields.get("warc-record-id", "")
     if rid.startswith("<urn:uuid:") and rid.endswith(">"):
         rid = rid[len("<urn:uuid:") : -1]
@@ -165,6 +200,8 @@ def _parse_one_record(data: bytes, pos: int, filename: str) -> tuple[dict | None
             "record_id": rid,
             "content_length": clen,
             "warc_file": filename,
+            "payload_digest": fields.get("warc-payload-digest"),
+            "is_revisit": wtype == "revisit",
         },
         nxt,
     )
@@ -251,6 +288,7 @@ def write_warc(
     ts_col: str = "warc_ts",
     html_col: str = "html",
     index: bool = False,
+    revisit_digests: DataFrame | None = None,
 ) -> None:
     """Write (url, ts, html) rows as member-per-record gzip WARC shards.
 
@@ -264,6 +302,14 @@ def write_warc(
     (`shard-XXXX.cdx.parquet`: url, offset, length, warc_file) — Common
     Crawl's random-access map, in a columnar form Spark can push url
     predicates into. See read_warc_indexed.
+
+    revisit_digests: one-column DataFrame of payload digests already held
+    by earlier crawls (build with `payload_digest_expr`). Pages whose body
+    digest is in the set are written as `WARC-Type: revisit` records —
+    the archive-world dedup: the fetch event keeps its url/time/digest,
+    the unchanged bytes are stored ONCE across crawls. The digest set
+    joins as a normal equi-join (broadcast when small, shuffle when not);
+    resolve_revisits() reconstitutes bodies at read time.
     """
     import os
 
@@ -277,6 +323,19 @@ def write_warc(
         .cast("int")
         .alias("_shard"),
     )
+    if revisit_digests is not None:
+        dcol = revisit_digests.columns[0]
+        known = revisit_digests.select(
+            F.col(dcol).alias("_known_digest")
+        ).distinct()
+        src = (
+            src.withColumn("_digest", payload_digest_expr(F.col("html")))
+            .join(known, F.col("_digest") == F.col("_known_digest"), "left")
+            .withColumn("_revisit", F.col("_known_digest").isNotNull())
+            .drop("_digest", "_known_digest")
+        )
+    else:
+        src = src.withColumn("_revisit", F.lit(False))
 
     def write_shard(pdf):
         import pandas as pd
@@ -289,12 +348,14 @@ def write_warc(
         idx_rows = []
         pos = 0
         with open(tmp, "wb") as fh:
-            for url, ts_iso, html, rid in zip(
-                pdf["url"], pdf["ts_iso"], pdf["html"], pdf["record_id"]
+            for url, ts_iso, html, rid, rev in zip(
+                pdf["url"], pdf["ts_iso"], pdf["html"], pdf["record_id"],
+                pdf["_revisit"],
             ):
                 rec = _warc_record_bytes(
                     url, ts_iso or "1970-01-01T00:00:00Z",
-                    bytes(html) if html is not None else b"", rid
+                    bytes(html) if html is not None else b"", rid,
+                    revisit=bool(rev),
                 )
                 # one gzip member per record (mtime=0: reproducible bytes)
                 buf = io.BytesIO()
@@ -364,6 +425,33 @@ def parse_warc_files_df(files: DataFrame, on_error: str = "fail") -> DataFrame:
 
     return files.select("path", "content").mapInPandas(
         parse, schema=WARC_PAGE_SCHEMA
+    )
+
+
+def payload_digest_expr(html_col) -> F.Column:
+    """Column form of payload_digest (JVM sha1, no Python)."""
+    return F.concat(F.lit("sha1:"), F.sha1(html_col))
+
+
+def resolve_revisits(pages: DataFrame, bodies: DataFrame) -> DataFrame:
+    """Reconstitute revisit records' bodies from a digest→html store.
+
+    `bodies` is any DataFrame carrying (payload_digest, html) — typically
+    the previous crawl's parsed pages. One equi-join on the digest; rows
+    that already carry a body pass through untouched. Revisits whose
+    digest is absent from the store keep html NULL (surface them — that's
+    a broken archive)."""
+    b = (
+        bodies.select(
+            F.col("payload_digest").alias("_pd"), F.col("html").alias("_body")
+        )
+        .filter(F.col("_pd").isNotNull() & F.col("_body").isNotNull())
+        .dropDuplicates(["_pd"])
+    )
+    return (
+        pages.join(b, pages["payload_digest"] == b["_pd"], "left")
+        .withColumn("html", F.coalesce(pages["html"], F.col("_body")))
+        .drop("_pd", "_body")
     )
 
 

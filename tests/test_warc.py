@@ -162,6 +162,78 @@ def test_indexed_point_lookup_and_range_split(spark):
     assert a == b and len(a) == 40
 
 
+def test_revisit_record_shape_and_parse():
+    from airbyte_spark.sources.warc import payload_digest
+
+    rec = _warc_record_bytes(
+        "https://t.example/1", "2024-01-02T00:00:00Z", b"<html>same</html>",
+        "r1", revisit=True,
+    )
+    head = rec.split(b"\r\n\r\n")[0]
+    assert b"WARC-Type: revisit" in head
+    assert b"identical-payload-digest" in head
+    assert b"Content-Length: 0" in head  # no body stored
+    (parsed,) = parse_warc_members(rec)
+    assert parsed["is_revisit"] is True
+    assert parsed["html"] is None
+    assert parsed["payload_digest"] == payload_digest(b"<html>same</html>")
+
+
+def test_revisit_dedup_shrinks_storage_and_resolves(spark):
+    from airbyte_spark.sources.warc import payload_digest_expr, resolve_revisits
+
+    import pyspark.sql.functions as F2
+
+    def big_pages():
+        # ~2 KiB semi-random bodies so body bytes dominate record headers
+        # 16 distinct per-url hashes -> ~2 KiB that gzip cannot collapse
+        chunks = [
+            F2.sha2(F2.concat(F2.col("url"), F2.lit(str(i))), 512)
+            for i in range(16)
+        ]
+        return _pages(spark, 30).withColumn(
+            "html",
+            F2.encode(
+                F2.concat(F2.decode(F2.col("html"), "UTF-8"), *chunks), "UTF-8"
+            ),
+        )
+
+    crawl0 = big_pages()
+    base = tempfile.mkdtemp(prefix="warc_rv_")
+    write_warc(crawl0, base + "/c0", n_shards=2)
+    pages0 = read_warc(spark, base + "/c0/*.warc.gz")
+
+    # recrawl: ids %3==0 changed, the rest byte-identical
+    crawl1 = big_pages().withColumn(
+        "html",
+        F2.when(
+            F2.expr("CAST(split(url, '/')[3] AS BIGINT) % 3 = 0"),
+            F2.encode(F2.lit("<html>changed</html>"), "UTF-8"),
+        ).otherwise(F2.col("html")),
+    ).withColumn("warc_ts", F2.expr("warc_ts + INTERVAL 1 DAY"))
+    # full second crawl vs revisit-deduped second crawl
+    write_warc(crawl1, base + "/c1full", n_shards=2)
+    write_warc(
+        crawl1, base + "/c1", n_shards=2,
+        revisit_digests=pages0.select(F2.col("payload_digest")),
+    )
+    size = lambda d: sum(os.path.getsize(p) for p in glob.glob(d + "/*.warc.gz"))  # noqa: E731
+    assert size(base + "/c1") < 0.7 * size(base + "/c1full")
+
+    pages1 = read_warc(spark, base + "/c1/*.warc.gz")
+    assert pages1.filter("is_revisit").count() == 20
+    assert pages1.filter("is_revisit AND html IS NOT NULL").count() == 0
+    resolved = resolve_revisits(pages1, pages0)
+    assert resolved.filter("html IS NULL").count() == 0
+    got = {r["url"]: bytes(r["html"]) for r in resolved.collect()}
+    want = {r["url"]: bytes(r["html"]) for r in crawl1.collect()}
+    assert got == want  # byte-identical reconstruction
+
+    # digest absent from the store -> html stays NULL (broken-archive signal)
+    resolved_empty = resolve_revisits(pages1, pages0.limit(0))
+    assert resolved_empty.filter("html IS NULL").count() == 20
+
+
 def _corrupt_one_member(path):
     """Flip bytes inside the SECOND gzip member of a shard; returns its offset."""
     blob = bytearray(open(path, "rb").read())
