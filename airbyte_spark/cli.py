@@ -57,6 +57,9 @@ Commands:
   curate   --docs PARQUET [--out DIR] [--min-quality Q] [--langs en,de]
                                  per-document retention verdict (quality ∧
                                  language ∧ near-dup canonical)
+  ingest-warc --warc-dir DIR --target T --spark-checkpoint C
+                                 tail a crawl inbox of *.warc.gz shards,
+                                 one idempotent LWW merge per file
   ingest-docs --docs PARQUET --registry T --checkpoint K [--near] [--out DIR]
                                  dedup-at-ingest admission against the
                                  fingerprint (or --near MinHash band-key)
@@ -131,6 +134,9 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", default=None)
     sp.add_argument("--min-quality", type=float, default=0.75)
     sp.add_argument("--langs", default=None, help="comma-separated accept list")
+    sp = add("ingest-warc", "--target", "--spark-checkpoint")
+    sp.add_argument("--warc-dir", required=True, help="crawl inbox of *.warc.gz")
+    sp.add_argument("--n-buckets", type=int, default=16)
     sp = sub.add_parser("ingest-docs")
     sp.add_argument("--docs", required=True)
     sp.add_argument("--registry", required=True)
@@ -419,6 +425,46 @@ def run(spark, args) -> dict:
             "retained": counts.get(True, 0),
             "rejected": counts.get(False, 0),
             "out": args.out,
+        }
+
+    if args.cmd == "ingest-warc":
+        from pyspark.sql.types import (
+            BinaryType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampNTZType,
+        )
+
+        from airbyte_spark.lake.format import PartitionSpec
+        from airbyte_spark.protocol import StreamConfig
+        from airbyte_spark.sources.warc import stream_warc_ingest
+
+        target_schema = StructType(
+            [
+                StructField("url", StringType(), False),
+                StructField("warc_ts", TimestampNTZType(), True),
+                StructField("html", BinaryType(), True),
+                StructField("_ab_cdc_lsn", LongType(), True),
+                StructField("_ab_cdc_deleted_at", TimestampNTZType(), True),
+            ]
+        )
+        cfg = StreamConfig(name="crawl", schema=target_schema, primary_key=["url"])
+        if LakeTable.exists(args.target):
+            t = LakeTable.load(spark, args.target)
+        else:
+            t = LakeTable.create(
+                spark, args.target, target_schema,
+                PartitionSpec.bucket("url", args.n_buckets),
+            )
+        stream_warc_ingest(t, cfg, args.warc_dir, args.spark_checkpoint)
+        return {
+            "type": "INGEST_RESULT",
+            "mode": "warc",
+            "rows": t.read().count(),
+            "version": t.current_version(),
+            "committed": len(t.committed()),
         }
 
     if args.cmd == "ingest-docs":

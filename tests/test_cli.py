@@ -225,3 +225,40 @@ def test_spec_and_export_shards(spark, tmp_path, sf_dir):
                         target=shards, max_tokens=256, n_shards=4))
     assert res["type"] == "EXPORT_RESULT" and len(res["shards"]) == 4
     assert spark.read.parquet(shards).count() > 0
+
+
+def test_ingest_warc_cli(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from airbyte_spark.sources.warc import write_warc
+
+    pages = spark.range(20).select(
+        F.concat(F.lit("https://c.example/"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.col("id")).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(F.lit("<html>x</html>"), "UTF-8").alias("html"),
+    )
+    inbox = str(tmp_path / "inbox")
+    write_warc(pages, inbox, n_shards=2)
+    out = run(
+        spark,
+        ns(
+            cmd="ingest-warc",
+            warc_dir=inbox,
+            target=str(tmp_path / "crawl"),
+            spark_checkpoint=str(tmp_path / "sck"),
+            n_buckets=4,
+        ),
+    )
+    assert out["rows"] == 20 and out["mode"] == "warc"
+    # rerun with a fresh spark checkpoint: exactly-once, version unchanged
+    again = run(
+        spark,
+        ns(
+            cmd="ingest-warc",
+            warc_dir=inbox,
+            target=str(tmp_path / "crawl"),
+            spark_checkpoint=str(tmp_path / "sck2"),
+            n_buckets=4,
+        ),
+    )
+    assert again["version"] == out["version"] and again["rows"] == 20
