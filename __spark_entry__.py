@@ -1491,6 +1491,24 @@ def q_src_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- training-data operators: documents ------------------------------------------
 
 
+def q_doc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-rules compliance verdict (RFC 9309 longest-prefix-match,
+    operators/robots.py): sites 0-4 disallow /p/ but re-allow /p/1* (the
+    longer rule wins), sites 5-9 publish no rules (default allow). The
+    broadcast rules join + per-url max_by must reproduce the closed-form
+    oracle on every distinct page url."""
+    from airbyte_spark.operators.robots import apply_robots_rules
+
+    log = read_changelog(spark, sf_dir)
+    pages = log.select("url").distinct()
+    rules = spark.createDataFrame(
+        [(f"site-{k}.example.com", "/p/", False) for k in range(5)]
+        + [(f"site-{k}.example.com", "/p/1", True) for k in range(5)],
+        ["domain", "path_prefix", "allow"],
+    )
+    return apply_robots_rules(pages, rules).select("url", "robots_allowed")
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airbyte_spark.operators.dedup_text import exact_dedup
 
@@ -2149,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_warc_cdc_e2e": q_src_warc_cdc_e2e,
         "src_warc_revisit_dedup": q_src_warc_revisit_dedup,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_robots_filter": q_doc_robots_filter,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -2973,6 +2992,14 @@ def oracle_sql() -> dict[str, str]:
                    text,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "doc_robots_filter": """
+            SELECT DISTINCT
+              'https://site-' || CAST(user_id % 10 AS VARCHAR)
+                || '.example.com/p/' || CAST(user_id AS VARCHAR) AS url,
+              (user_id % 10 >= 5) OR (CAST(user_id AS VARCHAR) LIKE '1%')
+                AS robots_allowed
+            FROM events
         """,
         "doc_exact_dedup": """
             WITH f AS (
