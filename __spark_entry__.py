@@ -2109,6 +2109,52 @@ def q_cdc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.py): top-20 documents for
+    a 3-term keyword query. Rational Robertson idf + exactly-representable
+    k1/b keep each per-term score a deterministic IEEE chain; floor-scaling
+    to integers makes the per-doc sum associative — full value oracle.
+    Plan: one tf shuffle (map-side combined), broadcast df of the 3 query
+    terms, integer sum, one top-k window."""
+    from airbyte_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+def q_web_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling from the change stream
+    (operators/crawl.py): per-url change-rate estimate (Cho & Garcia-Molina
+    refresh policy) × staleness since last observation = expected missed
+    changes; tombstoned urls (LWW-last event deleted) are dropped. Pure
+    integer math → exact oracle. One map-side-combinable groupBy(url)."""
+    from airbyte_spark.operators.crawl import recrawl_schedule
+
+    return recrawl_schedule(read_changelog(spark, sf_dir), top=100)
+
+
+def q_cdc_segment_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-segment histogram sketch → corpus length quantiles
+    (operators/sketches.py segment_histograms/merged_quantiles): each
+    checkpoint segment contributes a fixed-width histogram of its
+    extracted-text lengths (rides the ingest scan); histograms merge by
+    bucket-sum — order/partitioning-independent — and p50/p90/p99 read off
+    the merged cumulative counts. Doubles as one more end-to-end check of
+    the byte-identical extraction invariant (the oracle measures the
+    *expected* text, Spark measures what the UDF actually extracted)."""
+    from airbyte_spark.functions.extract import extract_text
+    from airbyte_spark.operators.sketches import merged_quantiles, segment_histograms
+
+    ch = read_changelog(spark, sf_dir).withColumn(
+        "text_len", F.length(extract_text(F.col("html")))
+    )
+    h = segment_histograms(ch, "text_len", segment="checkpoint_id", bucket_width=16)
+    return merged_quantiles(h, [0.5, 0.9, 0.99], bucket_width=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -2205,6 +2251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_text": q_web_anchor_text,
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
+        "doc_bm25_topk": q_doc_bm25_topk,
+        "web_recrawl_schedule": q_web_recrawl_schedule,
+        "cdc_segment_quantiles": q_cdc_segment_quantiles,
     }
 
 
@@ -3714,4 +3763,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS canon_url
             FROM b
         """,
+        "doc_bm25_topk": _bm25_oracle(),
+        "web_recrawl_schedule": _recrawl_oracle(),
+        # merged histogram quantiles over expected extracted-text lengths;
+        # DuckDB sums promote to HUGEINT, so every count is pinned BIGINT
+        "cdc_segment_quantiles": """
+            WITH ch AS ({CH}),
+            v AS (SELECT CAST(length(text) AS BIGINT) // 16 AS bucket FROM ch),
+            m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+                  FROM v GROUP BY bucket),
+            c AS (SELECT bucket, n,
+                         CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+                         CAST(sum(n) OVER () AS BIGINT) AS total
+                  FROM m),
+            qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                  CAST(0.99 AS DOUBLE)]) AS q),
+            hit AS (SELECT q, min(bucket) AS bucket,
+                           CAST(max(total) AS BIGINT) AS n_rows
+                    FROM c JOIN qs
+                      ON cum >= ceil(q * CAST(total AS DOUBLE))
+                    GROUP BY q)
+            SELECT q, CAST((bucket + 1) * 16 - 1 AS BIGINT) AS estimate, n_rows
+            FROM hit ORDER BY q
+        """.replace("{CH}", _CH),
     }
+
+
+def _bm25_oracle() -> str:
+    from airbyte_spark.operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=20)
+
+
+def _recrawl_oracle() -> str:
+    from airbyte_spark.operators.crawl import recrawl_oracle_sql
+
+    return recrawl_oracle_sql(_CH, top=100)

@@ -1,0 +1,115 @@
+"""Recrawl scheduling from observed change rates (crawl-frontier planning).
+
+A CDC ingest engine over web crawls sees each url's change history as the
+stream of events it merged. The classic freshness result (Cho &
+Garcia-Molina, "Effective Page Refresh Policies for Web Crawlers", TODS
+2003) schedules recrawls from the per-page change rate estimated over the
+observation window. This operator derives that schedule directly from the
+changelog: urls that change often and haven't been fetched recently float
+to the top of the frontier.
+
+Estimator (all integer arithmetic → exact cross-engine oracle):
+  n_events      events observed for the url
+  span          last_lsn - first_lsn  (observation window, in stream
+                positions — the stream's own clock, uniform by
+                construction of a WAL)
+  rate_ppm      (n_events - 1) * 1_000_000 div span   (changes per
+                position, parts-per-million; 0 when only one observation —
+                no interval evidence)
+  staleness     horizon_lsn - last_lsn (positions since last observation)
+  priority      rate_ppm * staleness  — expected missed changes, scaled;
+                the greedy frontier order under a Poisson change model.
+
+Deleted pages are dropped: a url whose LAST event (by lsn — the stream's
+total order) is a tombstone is gone; recrawling it wastes fetch budget.
+This is the same LWW rule the merge applies, restated as max_by.
+
+Scale shape: one groupBy(url) aggregation — map-side combinable, hot-domain
+skew collapses in the combiner; the horizon is a single-row aggregate the
+planner broadcasts; final top-n is a window over the (much smaller)
+per-url aggregate — at 100 TB swap for per-partition top-n + merge.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def recrawl_schedule(
+    changelog: DataFrame,
+    top: int = 100,
+    url_col: str = "url",
+    lsn_col: str = "_ab_cdc_lsn",
+    deleted_col: str = "_ab_cdc_deleted_at",
+) -> DataFrame:
+    """Rank live urls by expected missed changes (see module docstring).
+
+    Returns (url, n_events, rate_ppm, staleness, priority, rank), rank 1 =
+    recrawl first. Ties break by url ascending — fully deterministic.
+    """
+    lsn = F.col(lsn_col)
+    per_url = changelog.groupBy(url_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(lsn).cast("bigint").alias("first_lsn"),
+        F.max(lsn).cast("bigint").alias("last_lsn"),
+        # the url's final state under the stream's total order: tombstone?
+        F.max_by(F.col(deleted_col).isNotNull(), lsn).alias("_dead"),
+    )
+    horizon = changelog.agg(F.max(lsn).cast("bigint").alias("horizon_lsn"))
+
+    span = F.col("last_lsn") - F.col("first_lsn")
+    rate = F.when(
+        span > 0,
+        F.expr("(n_events - 1) * 1000000 DIV (last_lsn - first_lsn)"),
+    ).otherwise(F.lit(0))
+    scored = (
+        per_url.filter(~F.col("_dead"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            url_col,
+            "n_events",
+            rate.cast("bigint").alias("rate_ppm"),
+            (F.col("horizon_lsn") - F.col("last_lsn")).cast("bigint").alias("staleness"),
+        )
+        .withColumn(
+            "priority", (F.col("rate_ppm") * F.col("staleness")).cast("bigint")
+        )
+    )
+    w = Window.orderBy(F.desc("priority"), F.asc(url_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top)
+    )
+
+
+def recrawl_oracle_sql(changelog_cte: str, top: int = 100) -> str:
+    """DuckDB restatement over the reconstructed stream (integer-exact)."""
+    return f"""
+        WITH ch AS ({changelog_cte}),
+        per_url AS (
+          SELECT url,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(min(_ab_cdc_lsn) AS BIGINT) AS first_lsn,
+                 CAST(max(_ab_cdc_lsn) AS BIGINT) AS last_lsn,
+                 max_by(_ab_cdc_deleted_at IS NOT NULL, _ab_cdc_lsn) AS dead
+          FROM ch GROUP BY url),
+        h AS (SELECT CAST(max(_ab_cdc_lsn) AS BIGINT) AS horizon_lsn FROM ch),
+        s AS (
+          SELECT url, n_events,
+                 CAST(CASE WHEN last_lsn - first_lsn > 0
+                      THEN (n_events - 1) * 1000000 // (last_lsn - first_lsn)
+                      ELSE 0 END AS BIGINT) AS rate_ppm,
+                 CAST(horizon_lsn - last_lsn AS BIGINT) AS staleness
+          FROM per_url CROSS JOIN h
+          WHERE NOT dead),
+        r AS (
+          SELECT url, n_events, rate_ppm, staleness,
+                 CAST(rate_ppm * staleness AS BIGINT) AS priority,
+                 row_number() OVER (
+                   ORDER BY rate_ppm * staleness DESC, url ASC) AS rank
+          FROM s)
+        SELECT url, n_events, rate_ppm, staleness, priority,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {top}
+    """

@@ -1,0 +1,155 @@
+"""Ranked retrieval over the extracted-text corpus: BM25 scoring.
+
+The crawl-curation counterpart of the reference's full-corpus scan: once
+pages are ingested and text-extracted, a ranked keyword query ("find the
+documents most about X") is the first retrieval primitive a training-data
+pipeline needs (topic routing, targeted decontamination, eval-set mining).
+
+Scale shape (the part that must survive 100 TB):
+  - tokenize → per-(doc, term) counts: one shuffle, map-side combinable
+    (Zipf-skewed hot terms collapse in the combiner);
+  - document frequencies are computed for the QUERY terms only (a handful
+    of rows) and broadcast back — the corpus-wide df table is never
+    materialized;
+  - per-doc score is an integer SUM (see below) — map-side combinable;
+  - final top-k is a single-partition window over the per-doc scores of
+    docs that matched ≥1 query term — at web scale swap for a
+    per-partition top-k + merge (monotone in the same score).
+
+Cross-engine exactness: BM25's idf is normally log((N-df+.5)/(df+.5));
+libm log() differs in the last ulp across engines, so the oracle would be
+flaky. We use the RATIONAL Robertson idf (N - df + 0.5)/(df + 0.5) — the
+same monotone ordering per term — and keep k1/b as exactly-representable
+binary fractions (1.25, 0.75), so every per-term score is a short chain of
+IEEE-754 double ops that both Spark and DuckDB evaluate bit-identically.
+Each per-term contribution is then floor-scaled to an integer, making the
+per-doc SUM associative (integer addition) — summation order cannot change
+the result, which is what makes the operator oracle-checkable end-to-end.
+
+Reference parity: the reference has no retrieval engine — this is one of
+the beyond-reference corpus operators the brief calls for (text analysis /
+quality scoring family, SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+TOKEN_RE = r"[a-z]+"
+SCALE = 1_000_000.0  # per-term contributions are floor(SCALE * score)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (k1=1.25,
+    b=0.75, rational idf — see module docstring).
+
+    Returns (doc_id, n_terms_hit, score, rank): `score` is the integer
+    SCALE-scaled BM25 total, `n_terms_hit` the number of distinct query
+    terms present. Ties break by doc_id ascending (fully deterministic).
+    """
+    qterms = sorted(set(query_terms))
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+
+    # corpus constants: docs-with-tokens count and average doc length.
+    # One tiny collect; both are exact derivations of integer aggregates,
+    # so the Python-side division reproduces the oracle's CAST/CAST division
+    # bit-for-bit.
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
+    if n_docs == 0:
+        return (
+            tf.select(
+                F.col(id_col),
+                F.lit(0).cast("bigint").alias("n_terms_hit"),
+                F.lit(0).cast("bigint").alias("score"),
+                F.lit(0).cast("int").alias("rank"),
+            ).limit(0)
+        )
+    avgdl = sum_dl / n_docs
+
+    qtf = tf.filter(F.col("term").isin(qterms))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # per-(doc, term) contribution — expression shape mirrors the oracle
+    # SQL exactly (left-associative, same literals) for bit-identical
+    # doubles before the floor.
+    idf = (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tfc = (F.col("tf").cast("double") * F.lit(2.25)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.25)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    )
+    contrib = F.floor(F.lit(SCALE) * (idf * tfc)).cast("bigint")
+
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")  # |query| rows — broadcast
+        .join(dl, id_col)  # both sides already keyed by doc
+        .select(F.col(id_col), contrib.alias("contrib"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum("contrib").cast("bigint").alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "n_terms_hit", "score", "rank")
+    )
+
+
+def bm25_oracle_sql(query_terms: list[str], k: int = 10) -> str:
+    """DuckDB restatement — same tokenizer, same literal expression shapes,
+    same integer floor-scaling, so value hashes match exactly."""
+    qterms = sorted(set(query_terms))
+    in_list = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        consts AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                   FROM dl),
+        qtf AS (SELECT * FROM tf WHERE term IN ({in_list})),
+        dfr AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+        c AS (SELECT q.doc_id,
+                     CAST(floor(1000000.0 * (
+                        ((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                        * ((CAST(tf AS DOUBLE) * 2.25)
+                           / (CAST(tf AS DOUBLE)
+                              + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+                     )) AS BIGINT) AS contrib
+              FROM qtf q
+              JOIN dfr USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN consts),
+        s AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_terms_hit,
+                     CAST(sum(contrib) AS BIGINT) AS score
+              FROM c GROUP BY doc_id),
+        r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM s)
+        SELECT doc_id, n_terms_hit, score, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {k}
+    """

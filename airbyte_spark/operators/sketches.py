@@ -152,3 +152,79 @@ def skew_salt_map(
             F.lit(1), F.ceil(F.col("n") / F.lit(rows_per_task)).cast("int")
         ).alias("salt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantiles: per-segment fixed-width histograms, mergeable by bucket-sum
+# ---------------------------------------------------------------------------
+
+
+def segment_histograms(
+    df: DataFrame,
+    value_col: str,
+    segment: str = "checkpoint_id",
+    bucket_width: int = 16,
+) -> DataFrame:
+    """One fixed-width histogram of `value_col` per `segment` group — the
+    mergeable quantile sketch for commit-time distribution tracking
+    ("what's the p99 extracted-text length of this crawl segment / of the
+    whole table?").
+
+    A histogram row is (segment, bucket, n) with bucket = value DIV width.
+    Like the HLL sketches above it rides the ingest scan (one map-side-
+    combined aggregate), is a few KB per segment at realistic widths, and
+    MERGES exactly: histograms over any segment range sum per bucket —
+    order- and partitioning-independent, so results are deterministic and
+    a plain-SQL oracle reproduces them bit-for-bit (pure integer math; the
+    trade vs KLL/t-digest sketches is a fixed absolute resolution of
+    `bucket_width` instead of a relative-rank guarantee, which is the
+    right trade when the tracked quantity has a known bounded range, as
+    byte/char lengths do)."""
+    b = F.expr(f"CAST({value_col} AS BIGINT) DIV {bucket_width}")
+    return (
+        df.groupBy(F.col(segment).alias("segment"), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def merged_quantiles(
+    histograms: DataFrame, qs: list[float], bucket_width: int = 16
+) -> DataFrame:
+    """Merge per-segment histograms and read quantile estimates.
+
+    For each q: the smallest bucket whose cumulative count reaches
+    ceil(q * total); the estimate reported is that bucket's inclusive
+    upper bound (bucket+1)*width - 1 — an overestimate by < width, the
+    histogram's resolution contract. Pure integer output → exact oracle.
+
+    Plan: bucket-sum (tiny — |buckets| rows), one cumulative window over
+    the merged histogram, then a broadcast-range join against the literal
+    quantile list. Nothing here touches data files — sketches only."""
+    from pyspark.sql import Window
+
+    merged = histograms.groupBy("bucket").agg(F.sum("n").alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    spark = histograms.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = (
+        cum.join(
+            F.broadcast(qdf),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("total").cast("double")),
+        )
+        .groupBy("q")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.max("total").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "q",
+            ((F.col("bucket") + 1) * F.lit(bucket_width) - 1)
+            .cast("bigint")
+            .alias("estimate"),
+            "n_rows",
+        )
+    )
+    return hit.orderBy("q")
