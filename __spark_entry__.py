@@ -2155,6 +2155,42 @@ def q_cdc_segment_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged_quantiles(h, [0.5, 0.9, 0.99], bucket_width=16)
 
 
+def q_cdc_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained inverted index (operators/retrieval.py
+    build_postings/apply_postings_delta): the (term, url, tf) postings view
+    is built at a mid-replay version of the session's table, then advanced
+    ONLY with exploded signed deltas from the row-level change feed —
+    unchanged documents are never re-tokenized. Must equal a full postings
+    rebuild over the final state (the oracle): the O(changes) index-
+    maintenance contract a 100 TB retrieval corpus needs."""
+    from airbyte_spark.lake.changes import row_changes
+    from airbyte_spark.operators.retrieval import apply_postings_delta, build_postings
+
+    pipe = _replayed_pipe(spark, sf_dir)
+    v_mid = max(1, pipe.table.current_version() // 2)
+
+    def visible(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("_ab_cdc_deleted_at").isNull())
+
+    postings = build_postings(visible(pipe.table.read(v_mid)))
+    feed = visible(row_changes(pipe.table, v_mid))
+    return apply_postings_delta(postings, feed).select(
+        "term", "url", F.col("tf").cast("bigint").alias("tf")
+    )
+
+
+def q_web_fetch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain fetch-budget apportionment over the recrawl frontier
+    (operators/crawl.py allocate_fetch_budget): 40 fetch slots split
+    across domains by largest-remainder apportionment of priority mass,
+    slots going to each domain's highest-priority urls. Integer-exact
+    Hamilton method → full value oracle."""
+    from airbyte_spark.operators.crawl import allocate_fetch_budget, recrawl_schedule
+
+    sched = recrawl_schedule(read_changelog(spark, sf_dir), top=100)
+    return allocate_fetch_budget(sched, budget=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -2254,6 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": q_doc_bm25_topk,
         "web_recrawl_schedule": q_web_recrawl_schedule,
         "cdc_segment_quantiles": q_cdc_segment_quantiles,
+        "cdc_postings_incremental": q_cdc_postings_incremental,
+        "web_fetch_budget": q_web_fetch_budget,
     }
 
 
@@ -3765,6 +3803,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_bm25_topk": _bm25_oracle(),
         "web_recrawl_schedule": _recrawl_oracle(),
+        "web_fetch_budget": _fetch_budget_oracle(),
+        # incremental index maintenance must equal a full rebuild over the
+        # final replayed state (expected text from the closed-form stream)
+        "cdc_postings_incremental": """
+            WITH ch AS ({CH}),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY url
+                    ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch),
+            fs AS (SELECT url, text FROM r
+                   WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL),
+            t AS (SELECT url,
+                         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM fs)
+            SELECT term, url, CAST(count(*) AS BIGINT) AS tf
+            FROM t GROUP BY term, url
+        """.replace("{CH}", _CH),
         # merged histogram quantiles over expected extracted-text lengths;
         # DuckDB sums promote to HUGEINT, so every count is pinned BIGINT
         "cdc_segment_quantiles": """
@@ -3799,3 +3854,12 @@ def _recrawl_oracle() -> str:
     from airbyte_spark.operators.crawl import recrawl_oracle_sql
 
     return recrawl_oracle_sql(_CH, top=100)
+
+
+def _fetch_budget_oracle() -> str:
+    from airbyte_spark.operators.crawl import (
+        fetch_budget_oracle_sql,
+        recrawl_oracle_sql,
+    )
+
+    return fetch_budget_oracle_sql(recrawl_oracle_sql(_CH, top=100), budget=40)

@@ -113,3 +113,96 @@ def recrawl_oracle_sql(changelog_cte: str, top: int = 100) -> str:
                CAST(rank AS INT) AS rank
         FROM r WHERE rank <= {top}
     """
+
+
+def allocate_fetch_budget(
+    schedule: DataFrame,
+    budget: int,
+    url_col: str = "url",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Apportion a global fetch budget across domains (crawl politeness):
+    a frontier must not spend its whole budget on one hot site, so domain
+    quotas are allocated proportionally to the domain's total priority
+    mass using the LARGEST-REMAINDER method (Hamilton apportionment) —
+    quota_d = floor(B·w_d / W) plus one extra slot for the domains with
+    the largest remainders until exactly B slots are assigned. Within a
+    domain, slots go to its highest-priority urls.
+
+    Integer-exact throughout (remainders are B·w_d mod W — no doubles),
+    ties by domain/url ascending → fully deterministic, oracle-checkable.
+
+    Scale shape: per-domain weights are one map-side-combinable aggregate;
+    the apportionment windows run over |domains| rows (tiny); the final
+    per-domain slot ranking partitions by domain — hot domains are bounded
+    by their quota, not their size. Domains whose quota exceeds their url
+    count fetch everything they have (the slack is reported, not
+    silently reassigned — re-run apportionment on the remainder if full
+    budget use matters more than proportionality).
+    """
+    domain = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    per = schedule.select(
+        domain.alias("domain"), F.col(url_col), F.col(priority_col).cast("bigint")
+    )
+    wts = per.groupBy("domain").agg(F.sum(priority_col).cast("bigint").alias("w"))
+    wts = wts.withColumn(
+        "tw", F.sum("w").over(Window.partitionBy())
+    ).filter(F.col("tw") > 0)
+    wts = wts.select(
+        "domain",
+        "w",
+        F.expr(f"{budget} * w DIV tw").alias("base"),
+        F.expr(f"{budget} * w % tw").alias("rem"),
+    )
+    wall = Window.partitionBy()
+    worder = Window.orderBy(F.desc("rem"), F.asc("domain"))
+    quotas = wts.select(
+        "domain",
+        (
+            F.col("base")
+            + (
+                F.row_number().over(worder)
+                <= (F.lit(budget) - F.sum("base").over(wall))
+            ).cast("bigint")
+        ).alias("quota"),
+    )
+    wslot = Window.partitionBy("domain").orderBy(
+        F.desc(priority_col), F.asc(url_col)
+    )
+    return (
+        per.withColumn("slot", F.row_number().over(wslot).cast("int"))
+        .join(F.broadcast(quotas), "domain")
+        .filter(F.col("slot") <= F.col("quota"))
+        .select("domain", url_col, priority_col, "slot", F.col("quota").cast("bigint"))
+    )
+
+
+def fetch_budget_oracle_sql(schedule_sql: str, budget: int) -> str:
+    """DuckDB restatement over a schedule CTE (must yield url, priority)."""
+    return f"""
+        WITH sched AS ({schedule_sql}),
+        per AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+                       url, CAST(priority AS BIGINT) AS priority
+                FROM sched),
+        wts AS (SELECT domain, CAST(sum(priority) AS BIGINT) AS w
+                FROM per GROUP BY domain),
+        tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+        ap AS (SELECT domain, w,
+                      CAST({budget} * w // tw AS BIGINT) AS base,
+                      CAST({budget} * w % tw AS BIGINT) AS rem
+               FROM wts CROSS JOIN tw WHERE tw > 0),
+        q AS (SELECT domain,
+                     CAST(base + CASE WHEN row_number() OVER (
+                              ORDER BY rem DESC, domain ASC)
+                            <= {budget} - (SELECT sum(base) FROM ap)
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+              FROM ap),
+        slots AS (SELECT domain, url, priority,
+                         CAST(row_number() OVER (
+                           PARTITION BY domain
+                           ORDER BY priority DESC, url ASC) AS INT) AS slot
+                  FROM per)
+        SELECT s.domain, s.url, s.priority, s.slot, q.quota
+        FROM slots s JOIN q USING (domain)
+        WHERE s.slot <= q.quota
+    """

@@ -153,3 +153,108 @@ def bm25_oracle_sql(query_terms: list[str], k: int = 10) -> str:
         SELECT doc_id, n_terms_hit, score, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (postings) as an incrementally-maintained materialized view
+# ---------------------------------------------------------------------------
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Full (re)build of the postings view: (term, id, tf). The initial
+    build and the oracle the incremental path must equal."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    return terms.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+
+
+def apply_postings_delta(
+    postings: DataFrame,
+    changes: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Advance the postings view with a row-level change feed
+    (lake/changes.row_changes images) — O(changed docs), never O(corpus).
+
+    Each pre/post image explodes to one row per token occurrence; the
+    signed COUNT algebra (operators/matview.py) then adds the post-image's
+    term frequencies and retracts the pre-image's. tf is its own liveness
+    witness (tf 0 ⟺ term gone from doc), so entries vanish exactly when a
+    recompute would drop them — the maintained view stays bit-identical to
+    build_postings over the new snapshot, which is what the gated oracle
+    pins. This is the classic incremental-index maintenance step: a 100 TB
+    corpus updates its retrieval index from the CDC feed without ever
+    re-tokenizing unchanged documents."""
+    from airbyte_spark.lake.changes import CHANGE_TYPE_COL
+    from airbyte_spark.operators.matview import apply_agg_delta
+
+    exploded = changes.select(
+        F.col(id_col),
+        F.col(CHANGE_TYPE_COL),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    return apply_agg_delta(postings, exploded, ["term", id_col], {"tf": None})
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "url",
+) -> DataFrame:
+    """BM25 served FROM the maintained postings view — no touch of the
+    corpus text. dl/avgdl/df all derive from the (term, id, tf) triples,
+    so a query costs O(postings of the query terms) + one tiny dl join;
+    scoring math is identical to bm25_topk (same literals, same floor
+    scaling), so the two agree exactly on the same snapshot."""
+    qterms = sorted(set(query_terms))
+    dl = postings.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
+    n_docs, sum_dl = int(row["n"] or 0), int(row["s"] or 0)
+    if n_docs == 0:
+        return postings.select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_terms_hit"),
+            F.lit(0).cast("bigint").alias("score"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
+    avgdl = sum_dl / n_docs
+
+    qtf = postings.filter(F.col("term").isin(qterms))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tfc = (F.col("tf").cast("double") * F.lit(2.25)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.25)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    )
+    contrib = F.floor(F.lit(SCALE) * (idf * tfc)).cast("bigint")
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .select(F.col(id_col), contrib.alias("contrib"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum("contrib").cast("bigint").alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "n_terms_hit", "score", "rank")
+    )

@@ -127,3 +127,101 @@ def test_histogram_is_partitioning_independent(spark):
     qa = merged_quantiles(segment_histograms(a, "v", bucket_width=8), [0.5], 8).collect()
     qb = merged_quantiles(segment_histograms(b, "v", bucket_width=8), [0.5], 8).collect()
     assert [r.asDict() for r in qa] == [r.asDict() for r in qb]
+
+
+def test_bm25_from_postings_equals_direct(spark):
+    docs = {
+        1: "spark merge window spark spark",
+        2: "merge merge merge table scan",
+        3: "window window the quick fox",
+        5: "spark",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    from airbyte_spark.operators.retrieval import (
+        bm25_topk_from_postings,
+        build_postings,
+    )
+
+    direct = bm25_topk(df, ["spark", "merge"], k=10).collect()
+    postings = build_postings(df, id_col="doc_id")
+    served = bm25_topk_from_postings(postings, ["spark", "merge"], k=10, id_col="doc_id").collect()
+    key = lambda r: r["rank"]  # noqa: E731
+    assert sorted((r.asDict() for r in direct), key=lambda d: d["rank"]) == sorted(
+        (r.asDict() for r in served), key=lambda d: d["rank"]
+    )
+
+
+def test_postings_delta_equals_rebuild(spark):
+    from airbyte_spark.lake.changes import CHANGE_TYPE_COL
+    from airbyte_spark.operators.retrieval import apply_postings_delta, build_postings
+
+    old = spark.createDataFrame(
+        [("u1", "alpha beta beta"), ("u2", "gamma alpha"), ("u3", "delta")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        # u1 edited (one beta gone, epsilon added), u3 deleted, u4 inserted
+        [("u1", "alpha beta epsilon"), ("u2", "gamma alpha"), ("u4", "zeta")],
+        "url string, text string",
+    )
+    feed = spark.createDataFrame(
+        [
+            ("u1", "alpha beta beta", "update_preimage"),
+            ("u1", "alpha beta epsilon", "update_postimage"),
+            ("u3", "delta", "delete"),
+            ("u4", "zeta", "insert"),
+        ],
+        f"url string, text string, {CHANGE_TYPE_COL} string",
+    )
+    maintained = {
+        (r["term"], r["url"]): r["tf"]
+        for r in apply_postings_delta(build_postings(old), feed).collect()
+    }
+    rebuilt = {
+        (r["term"], r["url"]): r["tf"] for r in build_postings(new).collect()
+    }
+    assert maintained == rebuilt
+    assert ("delta", "u3") not in maintained  # deleted doc fully retracted
+    assert maintained[("beta", "u1")] == 1  # tf decremented, not dropped
+
+
+def test_fetch_budget_hamilton_apportionment(spark):
+    from airbyte_spark.operators.crawl import allocate_fetch_budget
+
+    rows = []
+    # domain a: weight 50 over 3 urls; b: weight 30 over 2; c: weight 20 over 1
+    for u, p in [("a/1", 30), ("a/2", 15), ("a/3", 5)]:
+        rows.append((f"https://a.example.com/{u[2:]}", p))
+    for u, p in [("b/1", 20), ("b/2", 10)]:
+        rows.append((f"https://b.example.com/{u[2:]}", p))
+    rows.append(("https://c.example.com/1", 20))
+    df = spark.createDataFrame(rows, "url string, priority long")
+    # budget 4: exact shares a=2.0, b=1.2, c=0.8 → floors 2,1,0; leftover 1
+    # goes to the largest remainder (c, .8) → quotas a=2, b=1, c=1
+    got = allocate_fetch_budget(df, budget=4).collect()
+    by_dom: dict[str, list] = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert {d: len(v) for d, v in by_dom.items()} == {
+        "a.example.com": 2, "b.example.com": 1, "c.example.com": 1,
+    }
+    # slots go to the highest-priority urls of each domain
+    a_urls = sorted(r["url"] for r in by_dom["a.example.com"])
+    assert a_urls == ["https://a.example.com/1", "https://a.example.com/2"]
+    assert sum(r["quota"] for r in {r["domain"]: r for r in got}.values()) == 4
+
+
+def test_fetch_budget_quota_exceeding_domain_size(spark):
+    from airbyte_spark.operators.crawl import allocate_fetch_budget
+
+    df = spark.createDataFrame(
+        [("https://a.example.com/1", 99), ("https://b.example.com/1", 1)],
+        "url string, priority long",
+    )
+    # budget 10, weights 99/1: floors 9/0, leftover slot goes to a's larger
+    # remainder (90 vs 10) → quotas a=10, b=0. a has only 1 url, so the
+    # selection is bounded by the domain's actual frontier — the slack is
+    # visible as quota(10) > selected rows(1), per the documented contract.
+    got = allocate_fetch_budget(df, budget=10).collect()
+    assert len(got) == 1
+    assert got[0]["domain"] == "a.example.com" and got[0]["quota"] == 10
