@@ -2191,6 +2191,60 @@ def q_web_fetch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allocate_fetch_budget(sched, budget=40)
 
 
+def q_web_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery → frontier seeding (operators/crawl.py
+    parse_sitemaps + frontier_from_sitemap): per-domain sitemap XML is
+    synthesized deterministically from the generating rule (each known
+    url announced at its max stream revision — bumped for user_id%7==0
+    pages to exercise the 'updated' branch — plus one never-ingested
+    phantom page per domain), parsed with scan-fused regexes, and diffed
+    against the session's replayed table. Entries seed the frontier iff
+    unknown ('new' — includes tombstoned-but-still-announced pages) or
+    announced newer than the stored winner's lsn ('updated'). The oracle
+    derives the expected frontier in closed form from events and NEVER
+    runs the XML regex — the parse path is independently checked."""
+    from airbyte_spark.operators.crawl import frontier_from_sitemap, parse_sitemaps
+    from airbyte_spark.sources.changelog import page_url_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    domain = F.concat(
+        F.lit("site-"), (F.col("user_id") % 10).cast("string"), F.lit(".example.com")
+    )
+    per = (
+        ev.groupBy("user_id")
+        .agg(F.max("event_id").alias("rev"))
+        .select(
+            domain.alias("domain"),
+            page_url_expr().alias("url"),
+            (F.col("rev") + (F.col("user_id") % 7 == 0).cast("bigint")).alias("srev"),
+        )
+    )
+    phantom = per.select("domain").distinct().select(
+        "domain",
+        F.concat(F.lit("https://"), F.col("domain"), F.lit("/p/new")).alias("url"),
+        F.lit(1).cast("bigint").alias("srev"),
+    )
+    entries = per.unionByName(phantom)
+    xml = entries.groupBy("domain").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("url", "srev"))),
+                lambda s: F.concat(
+                    F.lit("<url><loc>"),
+                    s["url"],
+                    F.lit("</loc><rev>"),
+                    s["srev"].cast("string"),
+                    F.lit("</rev></url>"),
+                ),
+            ),
+        ).alias("sitemap_xml")
+    )
+    parsed = parse_sitemaps(xml)
+    state = _replayed_pipe(spark, sf_dir).final_state()
+    return frontier_from_sitemap(parsed, state)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -2292,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_segment_quantiles": q_cdc_segment_quantiles,
         "cdc_postings_incremental": q_cdc_postings_incremental,
         "web_fetch_budget": q_web_fetch_budget,
+        "web_sitemap_frontier": q_web_sitemap_frontier,
     }
 
 
@@ -3804,6 +3859,39 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _bm25_oracle(),
         "web_recrawl_schedule": _recrawl_oracle(),
         "web_fetch_budget": _fetch_budget_oracle(),
+        # closed-form frontier derivation from events — never runs the
+        # engine's XML parse regexes (independent check of the parse path)
+        "web_sitemap_frontier": """
+            WITH ch AS ({CH}),
+            fs AS (SELECT url, _ab_cdc_lsn AS stored FROM (
+                     SELECT url, _ab_cdc_lsn, _ab_cdc_deleted_at,
+                            row_number() OVER (PARTITION BY url
+                              ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                     FROM ch)
+                   WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL),
+            b AS (SELECT 'site-' || CAST(user_id % 10 AS VARCHAR)
+                           || '.example.com' AS domain,
+                         'https://site-' || CAST(user_id % 10 AS VARCHAR)
+                           || '.example.com/p/' || CAST(user_id AS VARCHAR) AS url,
+                         CAST(max(event_id) + CASE WHEN user_id % 7 = 0
+                              THEN 1 ELSE 0 END AS BIGINT) AS sitemap_rev
+                  FROM events GROUP BY user_id),
+            ph AS (SELECT DISTINCT
+                          'site-' || CAST(user_id % 10 AS VARCHAR)
+                            || '.example.com' AS domain,
+                          'https://site-' || CAST(user_id % 10 AS VARCHAR)
+                            || '.example.com/p/new' AS url,
+                          CAST(1 AS BIGINT) AS sitemap_rev
+                   FROM events),
+            e AS (SELECT * FROM b UNION ALL SELECT * FROM ph),
+            j AS (SELECT e.domain, e.url, e.sitemap_rev, f.stored
+                  FROM e LEFT JOIN fs f ON e.url = f.url)
+            SELECT domain, url, sitemap_rev,
+                   CAST(stored AS BIGINT) AS stored_lsn,
+                   CASE WHEN stored IS NULL THEN 'new'
+                        ELSE 'updated' END AS reason
+            FROM j WHERE stored IS NULL OR sitemap_rev > stored
+        """.replace("{CH}", _CH),
         # incremental index maintenance must equal a full rebuild over the
         # final replayed state (expected text from the closed-form stream)
         "cdc_postings_incremental": """

@@ -206,3 +206,77 @@ def fetch_budget_oracle_sql(schedule_sql: str, budget: int) -> str:
         FROM slots s JOIN q USING (domain)
         WHERE s.slot <= q.quota
     """
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery → frontier seeding
+# ---------------------------------------------------------------------------
+
+_SITEMAP_ENTRY_RE = r"<url>\s*<loc>[^<]+</loc>\s*(?:<rev>\d+</rev>\s*)?</url>"
+
+
+def parse_sitemaps(
+    df: DataFrame, xml_col: str = "sitemap_xml", domain_col: str = "domain"
+) -> DataFrame:
+    """Parse sitemap documents into (domain, url, sitemap_rev) entries.
+
+    Scan-fused regex extraction (same pattern as the anchor-text operator):
+    one pass pulls whole `<url>` entries, then per-entry column regexes
+    pick the fields — no XML library, no Python. Entries without a
+    revision marker default to rev 0 (sitemaps' optional lastmod ≡ our
+    integer revision: the stream's own lsn clock, so frontier comparisons
+    stay integer-exact). Malformed fragments simply don't match — a
+    corrupt sitemap degrades to fewer entries, never an error, the same
+    tolerance contract as the WARC parser."""
+    entries = df.select(
+        F.col(domain_col),
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(_SITEMAP_ENTRY_RE), 0)
+        ).alias("entry"),
+    )
+    return entries.select(
+        domain_col,
+        F.regexp_extract(F.col("entry"), r"<loc>([^<]+)</loc>", 1).alias("url"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col("entry"), r"<rev>(\d+)</rev>", 1), F.lit("")
+            ).cast("bigint"),
+            F.lit(0),
+        ).alias("sitemap_rev"),
+    )
+
+
+def frontier_from_sitemap(
+    entries: DataFrame,
+    state: DataFrame,
+    url_col: str = "url",
+    stored_rev_col: str = "_ab_cdc_lsn",
+) -> DataFrame:
+    """Diff announced sitemap entries against the ingested table: an entry
+    seeds the fetch frontier iff the url is unknown ('new' — includes
+    urls we tombstoned but the site still announces: re-discovery) or the
+    site announces a revision newer than what we stored ('updated').
+
+    ≡ the discover step of an incremental crawl: the sitemap is the
+    source's own change manifest, and this is the same cursor comparison
+    the incremental sync runs, keyed by url instead of stream position.
+
+    Scale shape: one left join on url (both sides shuffle on the key;
+    at 100 TB the state side is the lake table — bucket-pruned by the
+    same url-hash layout the merge uses)."""
+    st = state.select(
+        F.col(url_col), F.col(stored_rev_col).cast("bigint").alias("_stored")
+    )
+    j = entries.join(st, url_col, "left")
+    return (
+        j.filter(F.col("_stored").isNull() | (F.col("sitemap_rev") > F.col("_stored")))
+        .select(
+            "domain",
+            url_col,
+            F.col("sitemap_rev").cast("bigint"),
+            F.col("_stored").alias("stored_lsn"),
+            F.when(F.col("_stored").isNull(), F.lit("new"))
+            .otherwise(F.lit("updated"))
+            .alias("reason"),
+        )
+    )

@@ -225,3 +225,39 @@ def test_fetch_budget_quota_exceeding_domain_size(spark):
     got = allocate_fetch_budget(df, budget=10).collect()
     assert len(got) == 1
     assert got[0]["domain"] == "a.example.com" and got[0]["quota"] == 10
+
+
+def test_parse_sitemaps_tolerates_messy_xml(spark):
+    from airbyte_spark.operators.crawl import parse_sitemaps
+
+    xml = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url>\n  <loc>https://a.example.com/1</loc>\n  <rev>42</rev>\n</url>"
+        "<url><loc>https://a.example.com/2</loc></url>"  # no rev -> 0
+        "<url><rev>9</rev></url>"  # no loc -> not an entry
+        "<url><loc>https://a.example.com/3</loc><rev>x</rev></url>"  # bad rev -> no match
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a.example.com", xml)], "domain string, sitemap_xml string")
+    got = {r["url"]: r["sitemap_rev"] for r in parse_sitemaps(df).collect()}
+    assert got == {"https://a.example.com/1": 42, "https://a.example.com/2": 0}
+
+
+def test_frontier_from_sitemap_new_updated_current(spark):
+    from airbyte_spark.operators.crawl import frontier_from_sitemap
+
+    entries = spark.createDataFrame(
+        [
+            ("d", "u_new", 5),      # unknown -> new
+            ("d", "u_stale", 9),    # announced 9 > stored 7 -> updated
+            ("d", "u_current", 7),  # announced == stored -> not seeded
+            ("d", "u_older", 3),    # announced < stored -> not seeded
+        ],
+        "domain string, url string, sitemap_rev long",
+    )
+    state = spark.createDataFrame(
+        [("u_stale", 7), ("u_current", 7), ("u_older", 7)],
+        "url string, _ab_cdc_lsn long",
+    )
+    got = {r["url"]: r["reason"] for r in frontier_from_sitemap(entries, state).collect()}
+    assert got == {"u_new": "new", "u_stale": "updated"}
