@@ -64,6 +64,10 @@ Commands:
                                  dedup-at-ingest admission against the
                                  fingerprint (or --near MinHash band-key)
                                  registry, exactly-once per checkpoint key
+  frontier --source DIR [--budget N] [--top K] [--out DIR]
+                                 next crawl wave: change-rate recrawl
+                                 schedule over the changelog, fetch budget
+                                 apportioned per domain (Hamilton)
 """
 
 from __future__ import annotations
@@ -137,6 +141,12 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("ingest-warc", "--target", "--spark-checkpoint")
     sp.add_argument("--warc-dir", required=True, help="crawl inbox of *.warc.gz")
     sp.add_argument("--n-buckets", type=int, default=16)
+    sp = add("frontier", "--source")
+    sp.add_argument("--budget", type=int, default=100)
+    sp.add_argument("--top", type=int, default=10_000)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--limit", type=int, default=20,
+                    help="max picks echoed (full set goes to --out)")
     sp = sub.add_parser("ingest-docs")
     sp.add_argument("--docs", required=True)
     sp.add_argument("--registry", required=True)
@@ -492,6 +502,33 @@ def run(spark, args) -> dict:
             "admitted": n_adm,
             "dropped": n_in - n_adm,
             "registry_version": reg.current_version(),
+            "out": args.out,
+        }
+
+    if args.cmd == "frontier":
+        from airbyte_spark.operators.crawl import (
+            allocate_fetch_budget,
+            recrawl_schedule,
+        )
+        from airbyte_spark.schema import CHANGE_SCHEMA
+
+        ch = spark.read.schema(CHANGE_SCHEMA).option(
+            "basePath", args.source
+        ).parquet(args.source)
+        sched = recrawl_schedule(ch, top=args.top)
+        picks = allocate_fetch_budget(sched, budget=args.budget)
+        if args.out:
+            picks.write.mode("overwrite").parquet(args.out)
+        rows = picks.orderBy("domain", "slot").limit(args.limit).collect()
+        return {
+            "type": "FRONTIER",
+            "budget": args.budget,
+            "selected": picks.count(),
+            "head": [
+                {"domain": r["domain"], "url": r["url"], "slot": r["slot"],
+                 "priority": r["priority"]}
+                for r in rows
+            ],
             "out": args.out,
         }
 

@@ -262,3 +262,18 @@ def test_ingest_warc_cli(spark, tmp_path):
         ),
     )
     assert again["version"] == out["version"] and again["rows"] == 20
+
+
+def test_frontier_cmd(spark, changelog_dir, tmp_path):
+    out_dir = str(tmp_path / "frontier")
+    out = run(
+        spark,
+        ns(cmd="frontier", source=changelog_dir, budget=8, top=1000,
+           out=out_dir, limit=3),
+    )
+    assert out["type"] == "FRONTIER" and 1 <= out["selected"] <= 8
+    assert len(out["head"]) <= 3
+    # the full pick set is materialized for a fetcher fleet to consume
+    picks = spark.read.parquet(out_dir)
+    assert picks.count() == out["selected"]
+    assert {"domain", "url", "priority", "slot", "quota"} <= set(picks.columns)
