@@ -2245,6 +2245,36 @@ def q_web_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_from_sitemap(parsed, state)
 
 
+def q_cdc_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-quality gate (functions/urls.py url_quality — the C4-style
+    pre-fetch curation rule: blocklisted word / crawler-trap depth /
+    session-id query / auto-generated numeric slug) over a fixture stream
+    with one deliberate violation class per event_id%6 branch. The oracle
+    assigns verdicts and features from the BRANCH NUMBER in closed form —
+    it never runs the rules — so the heuristics are checked against their
+    intent, not against themselves."""
+    from airbyte_spark.functions.urls import url_quality, url_quality_features
+    from airbyte_spark.sources.changelog import page_url_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = page_url_expr()
+    v = F.col("event_id") % 6
+    fixture = (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(base, F.lit("/casino-bonus")))
+        .when(v == 2, F.concat(base, F.lit("/a/b/c/d/e/f")))
+        .when(v == 3, F.concat(base, F.lit("?q="), F.lit("a" * 80)))
+        .when(v == 4, F.concat(base, F.lit("000000000000")))
+        .otherwise(F.concat(base, F.lit("?page=2")))
+    )
+    return ev.select(
+        "event_id",
+        fixture.alias("url"),
+        url_quality(fixture).alias("verdict"),
+        *url_quality_features(fixture),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -2347,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_postings_incremental": q_cdc_postings_incremental,
         "web_fetch_budget": q_web_fetch_budget,
         "web_sitemap_frontier": q_web_sitemap_frontier,
+        "cdc_url_quality": q_cdc_url_quality,
     }
 
 
@@ -3859,6 +3890,35 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _bm25_oracle(),
         "web_recrawl_schedule": _recrawl_oracle(),
         "web_fetch_budget": _fetch_budget_oracle(),
+        # verdicts + features derived from the fixture branch number —
+        # the url heuristics are never re-run in the oracle
+        "cdc_url_quality": """
+            WITH b AS (
+              SELECT event_id,
+                     'https://site-' || CAST(user_id % 10 AS VARCHAR)
+                       || '.example.com/p/' || CAST(user_id AS VARCHAR) AS base,
+                     CAST(event_id % 6 AS INT) AS v
+              FROM events)
+            SELECT event_id,
+                   CASE v
+                     WHEN 0 THEN base
+                     WHEN 1 THEN base || '/casino-bonus'
+                     WHEN 2 THEN base || '/a/b/c/d/e/f'
+                     WHEN 3 THEN base || '?q=' || repeat('a', 80)
+                     WHEN 4 THEN base || '000000000000'
+                     ELSE base || '?page=2'
+                   END AS url,
+                   CASE v
+                     WHEN 1 THEN 'blocked_word'
+                     WHEN 2 THEN 'too_deep'
+                     WHEN 3 THEN 'long_query'
+                     WHEN 4 THEN 'numeric_slug'
+                     ELSE 'ok'
+                   END AS verdict,
+                   CAST(CASE v WHEN 1 THEN 3 WHEN 2 THEN 8 ELSE 2 END AS INT) AS depth,
+                   CAST(CASE v WHEN 3 THEN 82 WHEN 5 THEN 6 ELSE 0 END AS INT) AS query_len
+            FROM b
+        """,
         # closed-form frontier derivation from events — never runs the
         # engine's XML parse regexes (independent check of the parse path)
         "web_sitemap_frontier": """

@@ -83,3 +83,62 @@ def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
         F.sum("n_deletes_url").alias("n_deletes"),
         F.max("max_ts_url").alias("max_warc_ts"),
     ).withColumnRenamed("_domain", "domain")
+
+
+# --- URL quality filtering (C4/RefinedWeb-style curation heuristic) ----------
+
+# words whose presence in a url marks the page as unwanted for a training
+# corpus (the classic C4 "bad words in url" rule, applied to the url only —
+# content-level filtering is doc_quality/doc_curate's job)
+URL_BLOCKLIST = ["casino", "gamble", "xxx", "porn", "viagra"]
+
+
+def url_quality(
+    url: Column,
+    blocklist: "list[str] | None" = None,
+    max_depth: int = 6,
+    max_query_len: int = 64,
+    min_digit_slug: int = 12,
+) -> Column:
+    """Typed URL-quality verdict — the cheap pre-content curation gate a
+    crawl pipeline runs BEFORE fetching or extracting anything (it needs
+    only the frontier row, not the page bytes):
+
+      blocked_word   a blocklisted token appears anywhere in the url
+      too_deep       path depth > max_depth (deep archives/calendars are
+                     crawler traps and rarely prose)
+      long_query     query string longer than max_query_len (session ids,
+                     search results, faceted navigation)
+      numeric_slug   last path segment is >= min_digit_slug digits (auto-
+                     generated ids: pagination mirrors, tracking pages)
+      ok             none of the above
+
+    First matching rule wins, in that priority order. Pure column
+    expressions (regexp/string ops over the url) — fused into the scan,
+    zero shuffles, usable as a frontier filter or a corpus filter alike.
+    """
+    words = blocklist if blocklist is not None else URL_BLOCKLIST
+    blocked = F.lower(url).rlike("(" + "|".join(words) + ")")
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    last_seg = F.try_element_at(
+        F.filter(F.split(path, "/"), lambda s: s != ""), F.lit(-1)
+    )
+    numeric = F.coalesce(last_seg.rlike(r"^[0-9]{%d,}$" % min_digit_slug), F.lit(False))
+    return (
+        F.when(blocked, F.lit("blocked_word"))
+        .when(depth > max_depth, F.lit("too_deep"))
+        .when(F.length(query) > max_query_len, F.lit("long_query"))
+        .when(numeric, F.lit("numeric_slug"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def url_quality_features(url: Column) -> "list[Column]":
+    """The measured features behind url_quality, for audit output:
+    (path depth, query length)."""
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    return [depth.cast("int").alias("depth"), F.length(query).cast("int").alias("query_len")]

@@ -261,3 +261,27 @@ def test_frontier_from_sitemap_new_updated_current(spark):
     )
     got = {r["url"]: r["reason"] for r in frontier_from_sitemap(entries, state).collect()}
     assert got == {"u_new": "new", "u_stale": "updated"}
+
+
+def test_url_quality_rules_and_priority(spark):
+    from airbyte_spark.functions.urls import url_quality
+
+    cases = [
+        ("https://a.com/p/1", "ok"),
+        ("https://a.com/p/casino-night", "blocked_word"),
+        ("https://a.com/a/b/c/d/e/f/g", "too_deep"),
+        ("https://a.com/p?q=" + "z" * 100, "long_query"),
+        ("https://a.com/p/123456789012345", "numeric_slug"),
+        ("https://a.com/p/12345678901", "ok"),  # 11 digits < threshold
+        # blocked beats deep (priority order)
+        ("https://a.com/xxx/a/b/c/d/e/f/g", "blocked_word"),
+        # deep beats long query
+        ("https://a.com/a/b/c/d/e/f/g?q=" + "z" * 100, "too_deep"),
+        ("https://a.com/", "ok"),  # root: depth 0, no last segment
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["v"]
+        for r in df.select(url_quality(F.col("url")).alias("v")).collect()
+    ]
+    assert got == [want for _, want in cases]
