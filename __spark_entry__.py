@@ -2275,6 +2275,19 @@ def q_cdc_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking for retrieval/RAG export
+    (operators/corpus.py passage_chunks): 32-token windows, stride 24
+    (8-token overlap keeps boundary-straddling sentences retrievable).
+    Deterministic (doc, passage_idx) ids; zero shuffles — the chunk rule
+    is pure scan-fused column math, mirrored exactly by the list-slicing
+    oracle."""
+    from airbyte_spark.operators.corpus import passage_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return passage_chunks(docs, window=32, stride=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -2378,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_fetch_budget": q_web_fetch_budget,
         "web_sitemap_frontier": q_web_sitemap_frontier,
         "cdc_url_quality": q_cdc_url_quality,
+        "doc_passages": q_doc_passages,
     }
 
 
@@ -3890,6 +3904,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _bm25_oracle(),
         "web_recrawl_schedule": _recrawl_oracle(),
         "web_fetch_budget": _fetch_budget_oracle(),
+        "doc_passages": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '') AS ws
+                       FROM documents),
+            n AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+            k AS (SELECT doc_id, ws,
+                         unnest(range(0, CAST((n + 23) // 24 AS BIGINT)))
+                           AS passage_idx
+                  FROM n)
+            SELECT doc_id,
+                   CAST(passage_idx AS BIGINT) AS passage_idx,
+                   array_to_string(
+                     ws[passage_idx * 24 + 1 : passage_idx * 24 + 32],
+                     ' ') AS passage,
+                   CAST(len(ws[passage_idx * 24 + 1 : passage_idx * 24 + 32])
+                        AS INT) AS n_tokens
+            FROM k
+        """,
         # verdicts + features derived from the fixture branch number —
         # the url heuristics are never re-run in the oracle
         "cdc_url_quality": """

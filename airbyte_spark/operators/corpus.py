@@ -429,3 +429,53 @@ def plan_mixture(
         .withColumn("epochs", F.ceil(F.col("rate")).cast("long"))
     )
     return planned
+
+
+def passage_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window passage chunking for retrieval/RAG export: each
+    document splits into word windows of `window` tokens advancing by
+    `stride` (overlap = window - stride keeps sentences that straddle a
+    boundary retrievable from at least one passage). Deterministic ids
+    (doc, passage_idx) make the export replay-stable.
+
+    Chunk rule: passage k covers tokens [k*stride, k*stride + window);
+    windows start while k*stride < n_tokens, so the tail is always
+    covered and a short document yields exactly one (possibly short)
+    passage. Empty/whitespace-only docs yield none.
+
+    Scale shape: split + sequence + transform are scan-fused column
+    expressions; the explode multiplies rows by ~n/stride but carries only
+    the passage slice, not the full document, into downstream shuffles.
+    Zero shuffles in the operator itself.
+    """
+    ws = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda s: s != ""
+    )
+    n = F.size(ws)
+    # number of windows: ceil(n / stride) bounded so last window starts < n
+    n_win = F.when(n <= 0, F.lit(0)).otherwise(
+        (n + F.lit(stride - 1)).cast("bigint") / F.lit(stride)
+    ).cast("bigint")
+    idx = F.sequence(F.lit(0).cast("bigint"), n_win - 1)
+    out = df.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        F.explode(
+            F.when(n_win > 0, idx).otherwise(F.array().cast("array<bigint>"))
+        ).alias("passage_idx"),
+    )
+    sliced = F.slice(
+        F.col("_ws"), (F.col("passage_idx") * stride + 1).cast("int"), window
+    )
+    return out.select(
+        id_col,
+        F.col("passage_idx").cast("bigint"),
+        F.array_join(sliced, " ").alias("passage"),
+        F.size(sliced).cast("int").alias("n_tokens"),
+    )

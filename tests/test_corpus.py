@@ -450,3 +450,29 @@ def test_plan_mixture_rates_and_epochs(spark):
     assert en["rate"] == pytest.approx(0.1) and en["epochs"] == 1
     # nd needs 500 tokens but has 100 → rate 5.0, five epochs
     assert nd["rate"] == pytest.approx(5.0) and nd["epochs"] == 5
+
+
+def test_passage_chunks_rule(spark):
+    from airbyte_spark.operators.corpus import passage_chunks
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+        (2, "single"),
+        (3, "   "),  # whitespace only -> no passages
+        (4, " ".join(f"v{i}" for i in range(4))),  # exactly one window
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["passage_idx"]): (r["passage"], r["n_tokens"])
+        for r in passage_chunks(df, window=4, stride=3).collect()
+    }
+    # doc 1: windows start at 0,3,6,9 (ceil(10/3)=4)
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert got[(1, 3)] == ("w9", 1)  # tail window, short
+    assert got[(2, 0)] == ("single", 1)
+    assert got[(4, 0)] == ("v0 v1 v2 v3", 4)
+    assert all(d != 3 for d, _ in got)  # empty doc chunks to nothing
+    # overlap invariant: consecutive windows share window-stride tokens
+    assert got[(1, 0)][0].split()[3:] == got[(1, 1)][0].split()[:1]
