@@ -2288,6 +2288,29 @@ def q_doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_chunks(docs, window=32, stride=24)
 
 
+def q_sync_sql_over_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-first access path (LakeTable.register_view): the replayed lake
+    table is registered as a Spark SQL temp view and an analytic query —
+    per-language active-page stats — runs through spark.sql, exercising
+    the same schema-aligned snapshot read underneath Catalyst's SQL
+    front-end. The oracle runs the equivalent SQL over the closed-form
+    final state."""
+    pipe = _replayed_pipe(spark, sf_dir)
+    pipe.table.register_view("pages_lake")
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               CAST(max(_ab_cdc_lsn) AS BIGINT) AS max_lsn
+        FROM pages_lake
+        WHERE _ab_cdc_deleted_at IS NULL
+        GROUP BY lang
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -2392,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemap_frontier": q_web_sitemap_frontier,
         "cdc_url_quality": q_cdc_url_quality,
         "doc_passages": q_doc_passages,
+        "sync_sql_over_lake": q_sync_sql_over_lake,
     }
 
 
@@ -3904,6 +3928,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _bm25_oracle(),
         "web_recrawl_schedule": _recrawl_oracle(),
         "web_fetch_budget": _fetch_budget_oracle(),
+        "sync_sql_over_lake": """
+            WITH ch AS ({CH}),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY url
+                    ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch),
+            fs AS (SELECT * FROM r
+                   WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(max(_ab_cdc_lsn) AS BIGINT) AS max_lsn
+            FROM fs GROUP BY lang
+        """.replace("{CH}", _CH),
         "doc_passages": """
             WITH w AS (SELECT doc_id,
                               list_filter(string_split_regex(text, '\\s+'),

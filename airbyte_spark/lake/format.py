@@ -507,6 +507,17 @@ class LakeTable:
             "columns": cols,
         }
 
+    def register_view(self, name: str, version: int | None = None) -> None:
+        """Register this table (optionally at a historical version) as a
+        Spark SQL temp view — the SQL-first access path (≡ registering an
+        Iceberg table in the session catalog): `spark.sql(f"SELECT ...
+        FROM {name}")` then runs any analytic SQL over the lake snapshot,
+        with the same schema alignment / field-id projection as read().
+        The view is lazy: each SQL query plans against the manifest
+        captured here (snapshot isolation — later commits don't shift
+        results under a registered view)."""
+        self.read(version).createOrReplaceTempView(name)
+
     def read(
         self,
         version: int | None = None,

@@ -158,3 +158,25 @@ def test_auto_compaction_bounds_file_count(spark, sf_dir, tmp_path):
     # committed checkpoint set identical → replay skips everything
     again = auto.replay(ch, group_size=1)
     assert all(r.skipped for r in again)
+
+
+def test_register_view_snapshot_isolation(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a")], "id long, v string").schema,
+        PartitionSpec(),
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.register_view("sql_view_t")
+    assert spark.sql("SELECT count(*) AS n FROM sql_view_t").collect()[0]["n"] == 2
+    # a later commit must not shift results under the registered view
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert spark.sql("SELECT count(*) AS n FROM sql_view_t").collect()[0]["n"] == 2
+    # re-register picks up the new snapshot
+    t.register_view("sql_view_t")
+    assert spark.sql("SELECT max(id) AS m FROM sql_view_t").collect()[0]["m"] == 3
