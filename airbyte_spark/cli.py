@@ -516,14 +516,19 @@ def run(spark, args) -> dict:
             "basePath", args.source
         ).parquet(args.source)
         sched = recrawl_schedule(ch, top=args.top)
-        picks = allocate_fetch_budget(sched, budget=args.budget)
-        if args.out:
-            picks.write.mode("overwrite").parquet(args.out)
-        rows = picks.orderBy("domain", "slot").limit(args.limit).collect()
+        # one execution of the plan: persist, then write/head/count reuse it
+        picks = allocate_fetch_budget(sched, budget=args.budget).persist()
+        try:
+            if args.out:
+                picks.write.mode("overwrite").parquet(args.out)
+            rows = picks.orderBy("domain", "slot").limit(args.limit).collect()
+            n = picks.count()
+        finally:
+            picks.unpersist()
         return {
             "type": "FRONTIER",
             "budget": args.budget,
-            "selected": picks.count(),
+            "selected": n,
             "head": [
                 {"domain": r["domain"], "url": r["url"], "slot": r["slot"],
                  "priority": r["priority"]}

@@ -117,8 +117,17 @@ def url_quality(
     expressions (regexp/string ops over the url) — fused into the scan,
     zero shuffles, usable as a frontier filter or a corpus filter alike.
     """
+    import re as _re
+
     words = blocklist if blocklist is not None else URL_BLOCKLIST
-    blocked = F.lower(url).rlike("(" + "|".join(words) + ")")
+    # escape metacharacters (a blocklist word is a literal token, not a
+    # pattern); an EMPTY blocklist disables the rule — a naive "()" join
+    # would match every url
+    blocked = (
+        F.lower(url).rlike("(" + "|".join(_re.escape(w) for w in words) + ")")
+        if words
+        else F.lit(False)
+    )
     path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
     query = F.regexp_extract(url, r"\?([^#]*)", 1)

@@ -50,7 +50,10 @@ def recrawl_schedule(
     """
     lsn = F.col(lsn_col)
     per_url = changelog.groupBy(url_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        # DISTINCT lsns, not raw rows: the changelog is at-least-once, so a
+        # redelivered segment duplicates (url, lsn) rows — the estimator
+        # must be redelivery-invariant or redelivered domains look "hotter"
+        F.countDistinct(lsn).cast("bigint").alias("n_events"),
         F.min(lsn).cast("bigint").alias("first_lsn"),
         F.max(lsn).cast("bigint").alias("last_lsn"),
         # the url's final state under the stream's total order: tombstone?
@@ -89,7 +92,7 @@ def recrawl_oracle_sql(changelog_cte: str, top: int = 100) -> str:
         WITH ch AS ({changelog_cte}),
         per_url AS (
           SELECT url,
-                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(DISTINCT _ab_cdc_lsn) AS BIGINT) AS n_events,
                  CAST(min(_ab_cdc_lsn) AS BIGINT) AS first_lsn,
                  CAST(max(_ab_cdc_lsn) AS BIGINT) AS last_lsn,
                  max_by(_ab_cdc_deleted_at IS NOT NULL, _ab_cdc_lsn) AS dead
@@ -140,21 +143,33 @@ def allocate_fetch_budget(
     silently reassigned — re-run apportionment on the remainder if full
     budget use matters more than proportionality).
     """
-    domain = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    from airbyte_spark.functions.urls import url_domain
+
     per = schedule.select(
-        domain.alias("domain"), F.col(url_col), F.col(priority_col).cast("bigint")
+        url_domain(F.col(url_col)).alias("domain"),
+        F.col(url_col),
+        F.col(priority_col).cast("bigint"),
     )
-    wts = per.groupBy("domain").agg(F.sum(priority_col).cast("bigint").alias("w"))
-    wts = wts.withColumn(
-        "tw", F.sum("w").over(Window.partitionBy())
-    ).filter(F.col("tw") > 0)
+    wall = Window.partitionBy()
+    wts = per.groupBy("domain").agg(
+        F.sum(priority_col).cast("bigint").alias("wp"),
+        F.count(F.lit(1)).cast("bigint").alias("wn"),
+    )
+    # Zero total priority mass (e.g. a fresh corpus where every url has a
+    # single observation → rate 0) falls back to uniform-by-url-count
+    # weights: the loop must still spend its budget to gather the second
+    # observations that make rates estimable, instead of stalling forever.
+    wts = wts.withColumn("twp", F.sum("wp").over(wall)).select(
+        "domain",
+        F.when(F.col("twp") > 0, F.col("wp")).otherwise(F.col("wn")).alias("w"),
+    )
+    wts = wts.withColumn("tw", F.sum("w").over(wall)).filter(F.col("tw") > 0)
     wts = wts.select(
         "domain",
         "w",
         F.expr(f"{budget} * w DIV tw").alias("base"),
         F.expr(f"{budget} * w % tw").alias("rem"),
     )
-    wall = Window.partitionBy()
     worder = Window.orderBy(F.desc("rem"), F.asc("domain"))
     quotas = wts.select(
         "domain",
@@ -181,16 +196,24 @@ def fetch_budget_oracle_sql(schedule_sql: str, budget: int) -> str:
     """DuckDB restatement over a schedule CTE (must yield url, priority)."""
     return f"""
         WITH sched AS ({schedule_sql}),
-        per AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+        per AS (SELECT regexp_replace(
+                         lower(regexp_extract(
+                           url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                         ':(80|443)$', '') AS domain,
                        url, CAST(priority AS BIGINT) AS priority
                 FROM sched),
-        wts AS (SELECT domain, CAST(sum(priority) AS BIGINT) AS w
+        wts AS (SELECT domain, CAST(sum(priority) AS BIGINT) AS wp,
+                       CAST(count(*) AS BIGINT) AS wn
                 FROM per GROUP BY domain),
-        tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+        tots AS (SELECT CAST(sum(wp) AS BIGINT) AS twp FROM wts),
+        wsel AS (SELECT domain,
+                        CASE WHEN twp > 0 THEN wp ELSE wn END AS w
+                 FROM wts CROSS JOIN tots),
+        tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wsel),
         ap AS (SELECT domain, w,
                       CAST({budget} * w // tw AS BIGINT) AS base,
                       CAST({budget} * w % tw AS BIGINT) AS rem
-               FROM wts CROSS JOIN tw WHERE tw > 0),
+               FROM wsel CROSS JOIN tw WHERE tw > 0),
         q AS (SELECT domain,
                      CAST(base + CASE WHEN row_number() OVER (
                               ORDER BY rem DESC, domain ASC)

@@ -6,8 +6,11 @@ documents most about X") is the first retrieval primitive a training-data
 pipeline needs (topic routing, targeted decontamination, eval-set mining).
 
 Scale shape (the part that must survive 100 TB):
-  - tokenize → per-(doc, term) counts: one shuffle, map-side combinable
-    (Zipf-skewed hot terms collapse in the combiner);
+  - tokenize ONCE → per-(doc, term) counts: one shuffle, map-side
+    combinable (Zipf-skewed hot terms collapse in the combiner); doc
+    lengths derive from the same tf table — no second corpus scan;
+  - corpus constants (N, avgdl) are a 1-row aggregate broadcast back
+    into the plan — the whole query is LAZY (no eager driver job);
   - document frequencies are computed for the QUERY terms only (a handful
     of rows) and broadcast back — the corpus-wide df table is never
     materialized;
@@ -40,68 +43,36 @@ TOKEN_RE = r"[a-z]+"
 SCALE = 1_000_000.0  # per-term contributions are floor(SCALE * score)
 
 
-def bm25_topk(
-    df: DataFrame,
-    query_terms: list[str],
-    k: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _score_topk(
+    tf: DataFrame, dl: DataFrame, query_terms: list[str], k: int, id_col: str
 ) -> DataFrame:
-    """Top-k documents for a bag-of-words query under BM25 (k1=1.25,
-    b=0.75, rational idf — see module docstring).
+    """Shared BM25 scoring tail over (id, term, tf) + (id, dl) relations.
 
-    Returns (doc_id, n_terms_hit, score, rank): `score` is the integer
-    SCALE-scaled BM25 total, `n_terms_hit` the number of distinct query
-    terms present. Ties break by doc_id ascending (fully deterministic).
-    """
+    ONE definition of the score expression chain serves both the direct
+    and the postings-served paths — the bit-identical-scores contract
+    between them (and with the SQL oracle) lives here and nowhere else.
+    Corpus constants ride a broadcast 1-row aggregate (CAST/CAST division,
+    the exact expression the oracle uses), so nothing here is eager."""
     qterms = sorted(set(query_terms))
-    terms = df.select(
-        F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-        ).alias("term"),
+    consts = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("_avgdl"),
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-
-    # corpus constants: docs-with-tokens count and average doc length.
-    # One tiny collect; both are exact derivations of integer aggregates,
-    # so the Python-side division reproduces the oracle's CAST/CAST division
-    # bit-for-bit.
-    row = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
-    n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
-    if n_docs == 0:
-        return (
-            tf.select(
-                F.col(id_col),
-                F.lit(0).cast("bigint").alias("n_terms_hit"),
-                F.lit(0).cast("bigint").alias("score"),
-                F.lit(0).cast("int").alias("rank"),
-            ).limit(0)
-        )
-    avgdl = sum_dl / n_docs
-
     qtf = tf.filter(F.col("term").isin(qterms))
     dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    # per-(doc, term) contribution — expression shape mirrors the oracle
-    # SQL exactly (left-associative, same literals) for bit-identical
-    # doubles before the floor.
-    idf = (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5)) / (
+    idf = (F.col("_n") - F.col("df").cast("double") + F.lit(0.5)) / (
         F.col("df").cast("double") + F.lit(0.5)
     )
     tfc = (F.col("tf").cast("double") * F.lit(2.25)) / (
         F.col("tf").cast("double")
         + F.lit(1.25)
-        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl)))
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("_avgdl")))
     )
     contrib = F.floor(F.lit(SCALE) * (idf * tfc)).cast("bigint")
-
     scored = (
         qtf.join(F.broadcast(dfreq), "term")  # |query| rows — broadcast
         .join(dl, id_col)  # both sides already keyed by doc
+        .crossJoin(F.broadcast(consts))  # 1 row of corpus constants
         .select(F.col(id_col), contrib.alias("contrib"))
         .groupBy(id_col)
         .agg(
@@ -117,6 +88,25 @@ def bm25_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (k1=1.25,
+    b=0.75, rational idf — see module docstring).
+
+    Returns (doc_id, n_terms_hit, score, rank): `score` is the integer
+    SCALE-scaled BM25 total, `n_terms_hit` the number of distinct query
+    terms present. Ties break by doc_id ascending (fully deterministic).
+    """
+    tf = build_postings(df, id_col=id_col, text_col=text_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    return _score_topk(tf, dl, query_terms, k, id_col)
+
+
 def bm25_oracle_sql(query_terms: list[str], k: int = 10) -> str:
     """DuckDB restatement — same tokenizer, same literal expression shapes,
     same integer floor-scaling, so value hashes match exactly."""
@@ -127,7 +117,7 @@ def bm25_oracle_sql(query_terms: list[str], k: int = 10) -> str:
                           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
                    FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
-        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
         consts AS (SELECT CAST(count(*) AS DOUBLE) AS n,
                           CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
                    FROM dl),
@@ -216,45 +206,7 @@ def bm25_topk_from_postings(
     """BM25 served FROM the maintained postings view — no touch of the
     corpus text. dl/avgdl/df all derive from the (term, id, tf) triples,
     so a query costs O(postings of the query terms) + one tiny dl join;
-    scoring math is identical to bm25_topk (same literals, same floor
-    scaling), so the two agree exactly on the same snapshot."""
-    qterms = sorted(set(query_terms))
+    the scoring tail is literally the same code path as bm25_topk
+    (_score_topk), so the two agree exactly on the same snapshot."""
     dl = postings.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
-    row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
-    n_docs, sum_dl = int(row["n"] or 0), int(row["s"] or 0)
-    if n_docs == 0:
-        return postings.select(
-            F.col(id_col),
-            F.lit(0).cast("bigint").alias("n_terms_hit"),
-            F.lit(0).cast("bigint").alias("score"),
-            F.lit(0).cast("int").alias("rank"),
-        ).limit(0)
-    avgdl = sum_dl / n_docs
-
-    qtf = postings.filter(F.col("term").isin(qterms))
-    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5)) / (
-        F.col("df").cast("double") + F.lit(0.5)
-    )
-    tfc = (F.col("tf").cast("double") * F.lit(2.25)) / (
-        F.col("tf").cast("double")
-        + F.lit(1.25)
-        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl)))
-    )
-    contrib = F.floor(F.lit(SCALE) * (idf * tfc)).cast("bigint")
-    scored = (
-        qtf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .select(F.col(id_col), contrib.alias("contrib"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
-            F.sum("contrib").cast("bigint").alias("score"),
-        )
-    )
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "n_terms_hit", "score", "rank")
-    )
+    return _score_topk(postings, dl, query_terms, k, id_col)

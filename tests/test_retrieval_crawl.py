@@ -285,3 +285,71 @@ def test_url_quality_rules_and_priority(spark):
         for r in df.select(url_quality(F.col("url")).alias("v")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_fetch_budget_zero_priority_falls_back_to_uniform(spark):
+    from airbyte_spark.operators.crawl import allocate_fetch_budget
+
+    # fresh corpus: every priority is 0 (single observation per url) —
+    # the budget must still be spent (uniform by url count), not stall
+    rows = [(f"https://a.example.com/{i}", 0) for i in range(3)] + [
+        (f"https://b.example.com/{i}", 0) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "url string, priority long")
+    got = allocate_fetch_budget(df, budget=4).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert {d: len(v) for d, v in by_dom.items()} == {
+        "a.example.com": 2, "b.example.com": 2,
+    }
+
+
+def test_fetch_budget_normalizes_domains(spark):
+    from airbyte_spark.operators.crawl import allocate_fetch_budget
+
+    # case / default-port / query-string variants are ONE politeness unit
+    rows = [
+        ("https://A.example.com/1", 10),
+        ("https://a.example.com:443/2", 10),
+        ("https://a.example.com/3?x=1", 10),
+        ("https://b.example.com/1", 30),
+    ]
+    df = spark.createDataFrame(rows, "url string, priority long")
+    got = allocate_fetch_budget(df, budget=2).collect()
+    assert {r["domain"] for r in got} == {"a.example.com", "b.example.com"}
+    assert {d: q for d, q in ((r["domain"], r["quota"]) for r in got)} == {
+        "a.example.com": 1, "b.example.com": 1,
+    }
+
+
+def test_recrawl_is_redelivery_invariant(spark):
+    df1 = spark.createDataFrame(
+        [("A", 0, None), ("A", 5, None), ("B", 3, None)],
+        "url string, _ab_cdc_lsn long, d string",
+    ).select(
+        "url", "_ab_cdc_lsn",
+        F.col("d").cast("timestamp_ntz").alias("_ab_cdc_deleted_at"),
+    )
+    # redeliver every row once (at-least-once upstream)
+    df2 = df1.unionAll(df1)
+    a = sorted((r.asDict() for r in recrawl_schedule(df1, top=10).collect()),
+               key=lambda d: d["url"])
+    b = sorted((r.asDict() for r in recrawl_schedule(df2, top=10).collect()),
+               key=lambda d: d["url"])
+    assert a == b
+
+
+def test_url_quality_blocklist_edge_cases(spark):
+    from airbyte_spark.functions.urls import url_quality
+
+    df = spark.createDataFrame(
+        [("https://a.com/casino",), ("https://a.com/ads.txt/x",)], "url string"
+    )
+    # empty blocklist disables the word rule entirely
+    got = [r["v"] for r in df.select(url_quality(F.col("url"), blocklist=[]).alias("v")).collect()]
+    assert got == ["ok", "ok"]
+    # metacharacters in words are literal: 'ads.txt' must not match 'adsstxt'
+    df2 = spark.createDataFrame([("https://a.com/adsstxt/x",)], "url string")
+    got2 = df2.select(url_quality(F.col("url"), blocklist=["ads.txt"]).alias("v")).collect()
+    assert got2[0]["v"] == "ok"
