@@ -2311,6 +2311,43 @@ def q_sync_sql_over_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sync_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement (lake/format.py add_constraint ≡ Delta
+    ALTER TABLE ADD CONSTRAINT): a conforming batch commits, a violating
+    batch is rejected ATOMICALLY (staged files reclaimed, version
+    unchanged), and the surviving table state is exactly the conforming
+    rows — which is what the oracle derives directly from events. Commit-
+    time enforcement scans the STAGED files only: O(commit), not
+    O(table)."""
+    import tempfile as _tf
+
+    from airbyte_spark.lake.format import (
+        ConstraintViolation,
+        LakeTable,
+        PartitionSpec,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    t = LakeTable.create(
+        spark,
+        _tf.mkdtemp(prefix="airbyte_spark_constraint_") + "/t",
+        ev.schema,
+        PartitionSpec(),
+    )
+    t.add_constraint("value_nonneg", "value >= 0")
+    good = ev.filter(F.col("event_id") % 5 != 0)
+    bad = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", -F.col("value") - F.lit(1.0)
+    )
+    t.append(good, checkpoint_key="good-1")
+    try:
+        t.append(bad, checkpoint_key="bad-1")
+        raise AssertionError("violating batch must be rejected")
+    except ConstraintViolation:
+        pass
+    return t.read().select("event_id", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -2416,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_url_quality": q_cdc_url_quality,
         "doc_passages": q_doc_passages,
         "sync_sql_over_lake": q_sync_sql_over_lake,
+        "sync_constraint_gate": q_sync_constraint_gate,
     }
 
 
@@ -3928,6 +3966,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _bm25_oracle(),
         "web_recrawl_schedule": _recrawl_oracle(),
         "web_fetch_budget": _fetch_budget_oracle(),
+        "sync_constraint_gate": """
+            SELECT event_id, value FROM events WHERE event_id % 5 <> 0
+        """,
         "sync_sql_over_lake": """
             WITH ch AS ({CH}),
             r AS (SELECT *, row_number() OVER (

@@ -63,6 +63,12 @@ class CommitConflict(Exception):
     conflicting deleted data files)."""
 
 
+class ConstraintViolation(Exception):
+    """A CHECK constraint rejected a commit (or an add_constraint found
+    existing rows violating it). The offending commit's staged files are
+    garbage-collected before this raises — the table is unchanged."""
+
+
 # --- partition spec --------------------------------------------------------------
 
 
@@ -466,6 +472,93 @@ class LakeTable:
             ignore_errors=True,
         )
 
+    # ---- CHECK constraints (≡ Delta ALTER TABLE ADD CONSTRAINT) ----
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name → SQL boolean expression."""
+        return {
+            k[len("constraint."):]: v
+            for k, v in self.properties().items()
+            if k.startswith("constraint.")
+        }
+
+    @staticmethod
+    def _violation_expr(expr: str):
+        # SQL-standard 3VL (≡ Delta CHECK): a row violates iff the
+        # expression evaluates FALSE; NULL passes.
+        return F.expr(f"NOT coalesce(({expr}), true)")
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Add a table-level CHECK constraint, enforced on every later
+        commit that adds data files (only the STAGED files are scanned at
+        commit time — enforcement cost is O(commit), not O(table)).
+        Existing rows must already satisfy it: validated here with one
+        scan, exactly Delta's ADD CONSTRAINT contract. Dropping or
+        renaming a column a constraint references makes later commits
+        fail analysis — drop the constraint first (Delta blocks the same
+        way)."""
+        bad = self.read().filter(self._violation_expr(expr)).limit(1).count()
+        if bad:
+            raise ConstraintViolation(
+                f"existing rows violate CHECK {name!r}: {expr}"
+            )
+        return self._update_properties(
+            {f"constraint.{name}": expr}, set(), f"add-constraint:{name}"
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        return self._update_properties(
+            {}, {f"constraint.{name}"}, f"drop-constraint:{name}"
+        )
+
+    def _check_constraints(self, added: "list[FileEntry]") -> None:
+        """Validate staged files against active constraints; on violation,
+        reclaim the staged files and raise (table unchanged)."""
+        cons = self.constraints()
+        if not added or not cons:
+            return
+        staged = self.read(files=added)
+        viol = None
+        for e in cons.values():
+            v = self._violation_expr(e)
+            viol = v if viol is None else viol | v
+        if staged.filter(viol).limit(1).count() == 0:
+            return
+        # identify the violated constraint for the error, then GC staged
+        names = [
+            n
+            for n, e in sorted(cons.items())
+            if staged.filter(self._violation_expr(e)).limit(1).count()
+        ]
+        for entry in added:
+            p = os.path.join(self.path, entry.path)
+            for stale in (p, p + ".bloom"):
+                if os.path.exists(stale):
+                    os.remove(stale)
+        raise ConstraintViolation(
+            f"commit rejected by CHECK {names}: "
+            + "; ".join(f"{n}: {cons[n]}" for n in names)
+        )
+
+    def _update_properties(
+        self, sets: dict[str, str], removes: set[str], operation: str
+    ) -> int:
+        """CAS loop for metadata-only property commits."""
+        while True:
+            m = self.manifest()
+            props = dict(m.get("properties") or {})
+            props.update(sets)
+            for k in removes:
+                props.pop(k, None)
+            m["properties"] = props
+            m["operation"] = operation
+            m["parent"] = m["version"]
+            m["version"] += 1
+            try:
+                return self._write_manifest(m)
+            except CommitConflict:
+                continue
+
     # ---- reads ----
 
     def properties(self) -> dict[str, str]:
@@ -853,6 +946,9 @@ class LakeTable:
             else list(checkpoint_key or [])
         )
         removed_paths = removed_paths or set()
+        # CHECK constraints gate every data-adding commit; scans staged
+        # files only (and GCs them on violation — atomic reject)
+        self._check_constraints(added)
         added_json = [e.to_json() for e in added]
         full_summary = {
             "rows_written": sum(e.rows for e in added),

@@ -1,0 +1,88 @@
+"""Table-level CHECK constraints (≡ Delta ALTER TABLE ADD CONSTRAINT):
+commit-time enforcement over staged files only, atomic reject, SQL 3VL.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from airbyte_spark.lake.format import (
+    ConstraintViolation,
+    LakeTable,
+    PartitionSpec,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([], "id long, v long, s string").schema,
+        PartitionSpec(),
+    )
+    t.append(spark.createDataFrame([(1, 10, "a"), (2, 20, None)], "id long, v long, s string"))
+    return t
+
+
+def test_add_enforce_and_drop(table, spark):
+    table.add_constraint("v_positive", "v > 0")
+    assert table.constraints() == {"v_positive": "v > 0"}
+    v_before = table.current_version()
+    files_before = {e.path for e in table.files()}
+
+    # violating append rejected atomically: version, files, data unchanged
+    with pytest.raises(ConstraintViolation, match="v_positive"):
+        table.append(spark.createDataFrame([(3, -5, "x")], "id long, v long, s string"))
+    assert table.current_version() == v_before
+    assert {e.path for e in table.files()} == files_before
+
+    # conforming append passes
+    table.append(spark.createDataFrame([(3, 5, "x")], "id long, v long, s string"))
+    assert table.read().count() == 3
+
+    # dropping the constraint re-admits previously-rejected data
+    table.drop_constraint("v_positive")
+    assert table.constraints() == {}
+    table.append(spark.createDataFrame([(4, -1, "y")], "id long, v long, s string"))
+    assert table.read().count() == 4
+
+
+def test_add_constraint_validates_existing_rows(table, spark):
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        table.add_constraint("v_big", "v >= 15")  # row (1, 10) violates
+    assert table.constraints() == {}
+
+
+def test_null_passes_three_valued_logic(table, spark):
+    # SQL standard: CHECK fails only on FALSE; NULL passes (row 2 has s NULL)
+    table.add_constraint("s_short", "length(s) < 10")
+    table.append(
+        spark.createDataFrame([(5, 1, None)], "id long, v long, s string")
+    )
+    assert table.read().count() == 3
+    with pytest.raises(ConstraintViolation):
+        table.append(
+            spark.createDataFrame(
+                [(6, 1, "definitely-way-too-long")], "id long, v long, s string"
+            )
+        )
+
+
+def test_multiple_constraints_all_reported(table, spark):
+    table.add_constraint("v_positive", "v > 0")
+    table.add_constraint("id_positive", "id > 0")
+    with pytest.raises(ConstraintViolation) as exc:
+        table.append(
+            spark.createDataFrame([(-1, -1, "x")], "id long, v long, s string")
+        )
+    assert "v_positive" in str(exc.value) and "id_positive" in str(exc.value)
+
+
+def test_no_orphans_after_reject(table, spark, tmp_path):
+    table.add_constraint("v_positive", "v > 0")
+    with pytest.raises(ConstraintViolation):
+        table.append(spark.createDataFrame([(9, -9, "z")], "id long, v long, s string"))
+    # staged files of the rejected commit were reclaimed (no orphans)
+    orphans = [i for i in table.fsck() if i["kind"] == "orphan-file"]
+    assert orphans == []
