@@ -68,6 +68,10 @@ Commands:
                                  next crawl wave: change-rate recrawl
                                  schedule over the changelog, fetch budget
                                  apportioned per domain (Hamilton)
+  constraint --target T [--add NAME EXPR | --drop NAME]
+                                 CHECK constraints (≡ Delta ADD CONSTRAINT):
+                                 enforced atomically on every commit; with
+                                 no flags, lists active constraints
 """
 
 from __future__ import annotations
@@ -141,6 +145,9 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("ingest-warc", "--target", "--spark-checkpoint")
     sp.add_argument("--warc-dir", required=True, help="crawl inbox of *.warc.gz")
     sp.add_argument("--n-buckets", type=int, default=16)
+    sp = add("constraint", "--target")
+    sp.add_argument("--add", nargs=2, metavar=("NAME", "EXPR"), default=None)
+    sp.add_argument("--drop", default=None, metavar="NAME")
     sp = add("frontier", "--source")
     sp.add_argument("--budget", type=int, default=100)
     sp.add_argument("--top", type=int, default=10_000)
@@ -504,6 +511,24 @@ def run(spark, args) -> dict:
             "registry_version": reg.current_version(),
             "out": args.out,
         }
+
+    if args.cmd == "constraint":
+        t = LakeTable.load(spark, args.target)
+        if args.add:
+            from airbyte_spark.lake.format import ConstraintViolation
+
+            name, expr = args.add
+            try:
+                v = t.add_constraint(name, expr)
+            except ConstraintViolation as ex:
+                return {"type": "CONSTRAINT", "status": "FAILED", "error": str(ex)}
+            return {"type": "CONSTRAINT", "added": name, "version": v,
+                    "constraints": t.constraints()}
+        if args.drop:
+            v = t.drop_constraint(args.drop)
+            return {"type": "CONSTRAINT", "dropped": args.drop, "version": v,
+                    "constraints": t.constraints()}
+        return {"type": "CONSTRAINT", "constraints": t.constraints()}
 
     if args.cmd == "frontier":
         from airbyte_spark.operators.crawl import (

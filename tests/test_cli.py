@@ -277,3 +277,23 @@ def test_frontier_cmd(spark, changelog_dir, tmp_path):
     picks = spark.read.parquet(out_dir)
     assert picks.count() == out["selected"]
     assert {"domain", "url", "priority", "slot", "quota"} <= set(picks.columns)
+
+
+def test_constraint_cmd(spark, tmp_path):
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    path = str(tmp_path / "ct")
+    t = LakeTable.create(
+        spark, path,
+        spark.createDataFrame([], "id long, v long").schema, PartitionSpec(),
+    )
+    t.append(spark.createDataFrame([(1, 5)], "id long, v long"))
+    out = run(spark, ns(cmd="constraint", target=path, add=["v_pos", "v > 0"], drop=None))
+    assert out["constraints"] == {"v_pos": "v > 0"}
+    # add that existing rows violate -> FAILED, not raised
+    out = run(spark, ns(cmd="constraint", target=path, add=["v_big", "v > 100"], drop=None))
+    assert out["status"] == "FAILED"
+    out = run(spark, ns(cmd="constraint", target=path, add=None, drop=None))
+    assert out["constraints"] == {"v_pos": "v > 0"}
+    out = run(spark, ns(cmd="constraint", target=path, add=None, drop="v_pos"))
+    assert out["constraints"] == {}
