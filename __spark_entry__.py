@@ -2348,6 +2348,34 @@ def q_sync_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "value")
 
 
+def q_sync_delete_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete files (lake/dml.py delete_positions ≡ Iceberg v2
+    positional deletes): rows matching the predicate vanish from reads via
+    a committed (file, row-position) sidecar — NO data file is rewritten
+    (the gated state is read straight through the anti-join path). The
+    scattered-delete case (GDPR erasure across thousands of files) where
+    copy-on-write rewriting is unaffordable at 100 TB."""
+    import tempfile as _tf
+
+    from airbyte_spark.lake.dml import delete_positions
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    t = LakeTable.create(
+        spark,
+        _tf.mkdtemp(prefix="airbyte_spark_dv_") + "/t",
+        ev.schema,
+        PartitionSpec(),
+    )
+    t.append(ev, checkpoint_key="load-1")
+    files_before = {e.path for e in t.files()}
+    delete_positions(t, "event_type = 'error'", checkpoint_key="gdpr-1")
+    assert {e.path for e in t.files()} == files_before  # no rewrite happened
+    return t.read().select("event_id", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -2454,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_passages": q_doc_passages,
         "sync_sql_over_lake": q_sync_sql_over_lake,
         "sync_constraint_gate": q_sync_constraint_gate,
+        "sync_delete_positions": q_sync_delete_positions,
     }
 
 
@@ -3968,6 +3997,9 @@ def oracle_sql() -> dict[str, str]:
         "web_fetch_budget": _fetch_budget_oracle(),
         "sync_constraint_gate": """
             SELECT event_id, value FROM events WHERE event_id % 5 <> 0
+        """,
+        "sync_delete_positions": """
+            SELECT event_id, value FROM events WHERE event_type <> 'error'
         """,
         "sync_sql_over_lake": """
             WITH ch AS ({CH}),

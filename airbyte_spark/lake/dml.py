@@ -59,17 +59,18 @@ def _matching_files(
     The collect is ≤ |candidates| short paths, a planning-sized result."""
     if not candidates:
         return []
+    # read(with_positions=True) supplies the per-row source file directly —
+    # unlike input_file_name() it stays well-defined when the read plan
+    # contains the position-delete anti-join (multi-source expression)
     hits = (
-        table.read(files=candidates)
-        .withColumn("_dml_file", F.input_file_name())
+        table.read(files=candidates, with_positions=True)
         .filter(pred)
-        .select("_dml_file")
+        .select("_dv_file")
         .distinct()
         .collect()
     )
-    # input_file_name is an absolute file: URI; manifest paths are relative
-    hit_suffixes = {os.path.basename(r["_dml_file"]) for r in hits}
-    return [e for e in candidates if os.path.basename(e.path) in hit_suffixes]
+    hit_paths = {r["_dv_file"] for r in hits}
+    return [e for e in candidates if e.path in hit_paths]
 
 
 def delete_where(
@@ -387,3 +388,91 @@ def _matching_files_by_keys(
     )
     hit_suffixes = {os.path.basename(r["_dml_file"]) for r in hits}
     return [e for e in candidates if os.path.basename(e.path) in hit_suffixes]
+
+
+def delete_positions(
+    table: LakeTable,
+    predicate: "str | Column",
+    ranges: "dict[str, tuple] | None" = None,
+    checkpoint_key: "str | None" = None,
+) -> dict:
+    """Merge-on-read DELETE via position-delete files (≡ Iceberg v2
+    positional deletes / deletion vectors): matching rows' (data_file,
+    row_position) pairs are written as a small sidecar and committed as
+    table METADATA — no data file is rewritten. Every read (scans, merge
+    candidate reads, compaction) anti-joins the sidecars, so the rows
+    vanish immediately; the physical bytes go away when a later rewrite
+    (merge/compact) replaces the target files, at which point the sidecar
+    entry is dropped automatically (lake/format.py commit).
+
+    The CoW/MoR trade for deletes: delete_where pays O(matching files
+    rewritten) now and nothing at read; delete_positions pays O(matches)
+    now and one broadcast anti-join per read until compaction. At 100 TB,
+    GDPR-style scattered deletes across thousands of files are exactly the
+    case where rewriting every touched file per request is unaffordable.
+
+    Idempotent per checkpoint_key like any other commit. Already-deleted
+    rows can't be re-deleted (the position scan reads post-delete state),
+    so repeated identical calls converge with empty sidecars skipped.
+
+    Returns {"version", "rows_deleted", "delete_files"}."""
+    import uuid as _uuid
+
+    pred = _as_column(predicate)
+    candidates = table.prune(ranges) if ranges else table.files()
+    to_scan = _matching_files(table, pred, candidates)
+    if not to_scan:
+        return {
+            "version": table.current_version(),
+            "rows_deleted": 0,
+            "delete_files": len(table.delete_files()),
+        }
+    matches = (
+        table.read(files=to_scan, with_positions=True)
+        .filter(F.coalesce(pred, F.lit(False)))  # NULL predicate ⇒ keep row
+        .select(F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos"))
+    )
+    rel_dir = f"data/deletes-{_uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(table.path, rel_dir)
+    matches.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    entry = None
+    for name in os.listdir(out_dir):
+        if not name.endswith(".parquet"):
+            continue
+        abs_p = os.path.join(out_dir, name)
+        md = pq.ParquetFile(abs_p).metadata
+        if md.num_rows == 0:
+            continue
+        targets = sorted(
+            r["file"]
+            for r in table.spark.read.parquet(abs_p).select("file").distinct().collect()
+        )
+        entry = {
+            "path": f"{rel_dir}/{name}",
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(abs_p),
+            "targets": targets,
+        }
+    if entry is None:  # predicate matched file stats but no rows
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir, ignore_errors=True)
+        return {
+            "version": table.current_version(),
+            "rows_deleted": 0,
+            "delete_files": len(table.delete_files()),
+        }
+    version = table.commit(
+        [],
+        operation="delete-positions",
+        checkpoint_key=checkpoint_key,
+        summary={"rows_deleted": entry["rows"], "delete_files_added": 1},
+        delete_files_added=[entry],
+    )
+    return {
+        "version": version,
+        "rows_deleted": entry["rows"],
+        "delete_files": len(table.delete_files()),
+    }

@@ -51,6 +51,9 @@ from airbyte_spark.schema import evolve
 
 _LAKE_DIR = "_lake"
 _DATA_DIR = "data"
+# helper column names for position-delete row tracking
+_DV_FILE = "_dv_file"
+_DV_POS = "_dv_pos"
 
 
 class CommitConflict(Exception):
@@ -567,6 +570,10 @@ class LakeTable:
     def files(self, version: int | None = None) -> list[FileEntry]:
         return [FileEntry.from_json(d) for d in self.manifest(version)["files"]]
 
+    def delete_files(self, version: int | None = None) -> list[dict]:
+        """Live position-delete sidecars: [{path, rows, bytes, targets}]."""
+        return list(self.manifest(version).get("delete_files", []))
+
     def stats_summary(self, version: int | None = None) -> dict:
         """Metadata-only table stats (≡ Iceberg snapshot summary / the
         count(*) fast path a catalog answers without scanning): row count,
@@ -615,18 +622,41 @@ class LakeTable:
         self,
         version: int | None = None,
         files: list[FileEntry] | None = None,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Read the table (or a pruned file subset) aligned to the current
         schema. Files are grouped by schema_id; each generation is read
         with its exact written schema then aligned (NULL-fill added
-        columns, cast widened ones) — evolution without rewrites."""
+        columns, cast widened ones) — evolution without rewrites.
+
+        Position-delete files (≡ Iceberg v2 positional deletes) are applied
+        here: rows whose (file, row-position) appear in a delete sidecar
+        targeting a live data file vanish from every read — table scans,
+        merge candidate reads, compaction rewrites — without the data file
+        ever being rewritten. `with_positions=True` additionally exposes
+        (_dv_file relative path, _dv_pos) helper columns, post-delete, for
+        the position-delete writer itself."""
         m = self.manifest(version)
         target = StructType.fromJson(m["schemas"][str(m["schema_id"])])
         all_ids = m.get("field_ids") or {}
         target_ids = all_ids.get(str(m["schema_id"]))
         entries = files if files is not None else [FileEntry.from_json(d) for d in m["files"]]
         if not entries:
-            return self.spark.createDataFrame([], target)
+            df = self.spark.createDataFrame([], target)
+            if with_positions:
+                df = df.withColumn(_DV_FILE, F.lit(None).cast("string")).withColumn(
+                    _DV_POS, F.lit(None).cast("bigint")
+                )
+            return df
+        entry_paths = {e.path for e in entries}
+        dvs = [
+            d
+            for d in m.get("delete_files", [])
+            if any(t in entry_paths for t in d["targets"])
+        ]
+        need_pos = with_positions or bool(dvs)
+        extra = (_DV_FILE, _DV_POS) if need_pos else ()
+        prefix = "file:" + os.path.abspath(self.path) + "/"
         by_schema: dict[int, list[str]] = {}
         for e in entries:
             by_schema.setdefault(e.schema_id, []).append(os.path.join(self.path, e.path))
@@ -634,17 +664,35 @@ class LakeTable:
         for sid, paths in by_schema.items():
             written = StructType.fromJson(m["schemas"][str(sid)])
             df = self.spark.read.schema(written).parquet(*paths)
+            if need_pos:
+                # relative file path + in-file row position (parquet row
+                # tracking via the _metadata struct — no data rewrite)
+                df = df.select(
+                    "*",
+                    F.replace(
+                        F.col("_metadata.file_path"), F.lit(prefix), F.lit("")
+                    ).alias(_DV_FILE),
+                    F.col("_metadata.row_index").alias(_DV_POS),
+                )
             written_ids = all_ids.get(str(sid))
             if target_ids and written_ids:
                 # field-id projection: a renamed column maps old file name →
                 # current name; a name reused after a drop has a different
                 # id, so old bytes stay NULL under it
-                parts.append(_align_by_id(df, target, written_ids, target_ids))
+                parts.append(_align_by_id(df, target, written_ids, target_ids, extra))
             else:  # legacy generation without ids — name-based alignment
-                parts.append(_align(df, target))
+                parts.append(_align(df, target, extra))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dvs:
+            dmap = self.spark.read.schema("file string, pos long").parquet(
+                *[os.path.join(self.path, d["path"]) for d in dvs]
+            )
+            cond = (F.col(_DV_FILE) == F.col("file")) & (F.col(_DV_POS) == F.col("pos"))
+            out = out.join(F.broadcast(dmap), cond, "left_anti")
+        if need_pos and not with_positions:
+            out = out.drop(_DV_FILE, _DV_POS)
         return out
 
     def prune(
@@ -919,6 +967,7 @@ class LakeTable:
         operation: str = "append",
         checkpoint_key: "str | list[str] | None" = None,
         summary: dict | None = None,
+        delete_files_added: "list[dict] | None" = None,
     ) -> int:
         """Publish a new snapshot: current files − removed + added.
 
@@ -965,6 +1014,10 @@ class LakeTable:
                     for stale in (p, p + ".bloom"):
                         if os.path.exists(stale):
                             os.remove(stale)
+                for d in delete_files_added or []:
+                    p = os.path.join(self.path, d["path"])
+                    if os.path.exists(p):
+                        os.remove(p)
                 return m["version"]
             live = {f["path"] for f in m["files"]}
             if removed_paths - live:
@@ -976,6 +1029,16 @@ class LakeTable:
                 )
             new_version = m["version"] + 1
             m["files"] = [f for f in m["files"] if f["path"] not in removed_paths] + added_json
+            # a delete sidecar lives while >=1 of its target data files is
+            # live; a rewrite (merge/compact) that replaces every target has
+            # materialized the deletions, so the sidecar entry is dropped
+            # (its file becomes a vacuum candidate)
+            live_after = {f["path"] for f in m["files"]}
+            m["delete_files"] = [
+                d
+                for d in m.get("delete_files", [])
+                if any(t in live_after for t in d["targets"])
+            ] + list(delete_files_added or [])
             m["operation"] = operation
             m["commit"] = {"key": keys[0] if keys else None, **full_summary}
             for i, k in enumerate(keys):
@@ -1264,10 +1327,13 @@ class LakeTable:
         """Delete data files not referenced by the current snapshot
         (time travel to older versions is lost for removed files)."""
         live = {f.path for f in self.files()}
+        live |= {d["path"] for d in self.delete_files()}
         # staged-but-unpublished branch work is live too: a vacuum on main
         # must never delete files an open branch head references
         for b in self.branches():
-            live |= {f.path for f in self.branch(b).files()}
+            bt = self.branch(b)
+            live |= {f.path for f in bt.files()}
+            live |= {d["path"] for d in bt.delete_files()}
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_root):
@@ -1335,13 +1401,18 @@ class LakeTable:
             if parent and not os.path.exists(self._manifest_path(parent)):
                 issues.append({"kind": "broken-chain", "version": v, "parent": parent})
         referenced = {e.path for e in self.files()}
+        referenced |= {d["path"] for d in self.delete_files()}
         for v in range(1, (self.current_version() or 0) + 1):
             mp = self._manifest_path(v)
             if os.path.exists(mp):
                 with open(mp) as fh:
-                    referenced |= {f["path"] for f in json.load(fh)["files"]}
+                    mv = json.load(fh)
+                referenced |= {f["path"] for f in mv["files"]}
+                referenced |= {d["path"] for d in mv.get("delete_files", [])}
         for b in self.branches():
-            referenced |= {e.path for e in self.branch(b).files()}
+            bt = self.branch(b)
+            referenced |= {e.path for e in bt.files()}
+            referenced |= {d["path"] for d in bt.delete_files()}
         data_root = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_root):
             for name in names:
@@ -1361,10 +1432,12 @@ def _align_by_id(
     target: StructType,
     written_ids: dict[str, int],
     target_ids: dict[str, int],
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Project df (one file generation) onto target by FIELD ID: for each
     target field, read the written column carrying the same id (whatever it
-    was named then), cast if widened, NULL-fill ids the file predates."""
+    was named then), cast if widened, NULL-fill ids the file predates.
+    `extra` columns (e.g. row-position helpers) pass through untouched."""
     by_id = {v: k for k, v in written_ids.items()}
     have = {f.name: f for f in df.schema.fields}
     cols = []
@@ -1376,11 +1449,12 @@ def _align_by_id(
             cols.append(F.col(src).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.col(src).alias(f.name))
-    return df.select(*cols)
+    return df.select(*cols, *[F.col(c) for c in extra])
 
 
-def _align(df: DataFrame, target: StructType) -> DataFrame:
-    """Project df onto target schema: missing columns → NULL, widened → cast."""
+def _align(df: DataFrame, target: StructType, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Project df onto target schema: missing columns → NULL, widened → cast.
+    `extra` columns pass through untouched."""
     have = {f.name: f for f in df.schema.fields}
     cols = []
     for f in target.fields:
@@ -1390,7 +1464,7 @@ def _align(df: DataFrame, target: StructType) -> DataFrame:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.col(f.name))
-    return df.select(*cols)
+    return df.select(*cols, *[F.col(c) for c in extra])
 
 
 def _zvalue_expr(df: DataFrame, cols: list[str], bits: int) -> "F.Column":
