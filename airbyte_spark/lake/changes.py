@@ -66,13 +66,79 @@ def row_changes(
     removed = [e for p, e in old_entries.items() if p not in new_entries]
     added = [e for p, e in new_entries.items() if p not in old_entries]
 
+    # Position-delete sidecars change rows WITHOUT changing the data-file
+    # set: a sidecar added between the versions deletes rows from files
+    # live at both (and one dropped without a rewrite — rollback —
+    # resurrects them). Those rows ride the file diff for targets in
+    # removed/added; for both-live targets they are materialized below by
+    # a semi-join of the target files' positional read against the
+    # differing sidecars.
+    old_dv = {d["path"]: d for d in table.delete_files(v_from)} if v_from else {}
+    new_dv = {d["path"]: d for d in table.delete_files(v_to)}
+    dv_added = [d for p, d in new_dv.items() if p not in old_dv]
+    dv_dropped = [d for p, d in old_dv.items() if p not in new_dv]
+
+    def _both_live_targets(dvs):
+        return sorted(
+            {
+                t
+                for d in dvs
+                for t in d["targets"]
+                if t in old_entries and t in new_entries
+            }
+        )
+
     schema = table.schema(v_to)
     data_cols = [f.name for f in schema.fields]
     spark = table.spark
 
+    def _dv_rows(dvs, at_version, entry_map, ctype):
+        targets = _both_live_targets(dvs)
+        if not targets:
+            return None
+        import os as _os
+
+        import pyspark.sql.functions as _F
+
+        pre = table.read(
+            at_version, files=[entry_map[t] for t in targets], with_positions=True
+        )
+        dmap = (
+            spark.read.schema("file string, pos long")
+            .parquet(*[_os.path.join(table.path, d["path"]) for d in dvs])
+            .toDF("__dv_anti_file", "__dv_anti_pos")
+        )
+        cond = (_F.col("_dv_file") == _F.col("__dv_anti_file")) & (
+            _F.col("_dv_pos") == _F.col("__dv_anti_pos")
+        )
+        rows = pre.join(_F.broadcast(dmap), cond, "left_semi")
+        return rows.select(
+            *[
+                (
+                    _F.col(c)
+                    if c in rows.columns
+                    else _F.lit(None).cast(schema[c].dataType)
+                ).alias(c)
+                for c in data_cols
+            ],
+            _F.lit(ctype).alias(CHANGE_TYPE_COL),
+        )
+
+    # rows deleted by new sidecars: present at v_from (post v_from's own
+    # sidecars), absent at v_to
+    dv_delete_rows = _dv_rows(dv_added, v_from, old_entries, "delete")
+    # rows resurrected by dropped sidecars (rollback): present at v_to
+    dv_insert_rows = _dv_rows(dv_dropped, v_to, new_entries, "insert")
+
+    def _with_dv(df: DataFrame) -> DataFrame:
+        for extra in (dv_delete_rows, dv_insert_rows):
+            if extra is not None:
+                df = df.unionByName(extra)
+        return df
+
     if not removed and not added:
         empty = spark.createDataFrame([], schema)
-        return empty.withColumn(CHANGE_TYPE_COL, F.lit(""))
+        return _with_dv(empty.withColumn(CHANGE_TYPE_COL, F.lit("")))
 
     old = (
         table.read(v_from, files=removed)
@@ -136,7 +202,9 @@ def row_changes(
         .otherwise(F.slice(F.array(img("o", "")), 1, 0))
     )
     ex = j.select(F.explode(images).alias("_img"))
-    return ex.select(
-        *[F.col(f"_img.{c}").alias(c) for c in data_cols],
-        F.col(f"_img.{CHANGE_TYPE_COL}").alias(CHANGE_TYPE_COL),
+    return _with_dv(
+        ex.select(
+            *[F.col(f"_img.{c}").alias(c) for c in data_cols],
+            F.col(f"_img.{CHANGE_TYPE_COL}").alias(CHANGE_TYPE_COL),
+        )
     )

@@ -73,6 +73,17 @@ def _matching_files(
     return [e for e in candidates if e.path in hit_paths]
 
 
+def _visible_rows(table: LakeTable, entries: list[FileEntry]) -> int:
+    """Visible (post-position-delete) row count of a file set. Manifest
+    row counts are physical; when live sidecars target any of these files
+    the exact visible count needs one count() over the anti-join read —
+    paid only in that case."""
+    paths = {e.path for e in entries}
+    if any(t in paths for d in table.delete_files() for t in d["targets"]):
+        return table.read(files=entries).count()
+    return sum(e.rows for e in entries)
+
+
 def delete_where(
     table: LakeTable,
     predicate: "str | Column",
@@ -105,7 +116,7 @@ def delete_where(
         _stat_cols(table, to_rewrite),
         one_file_per_partition=not spec.fields,
     )
-    rows_before = sum(e.rows for e in to_rewrite)
+    rows_before = _visible_rows(table, to_rewrite)
     rows_after = sum(e.rows for e in entries)
     version = table.commit(
         entries,
@@ -159,7 +170,7 @@ def replace_where(
     new_entries = table._stage_write(
         _align(replacement, table.schema()), stat_cols, one_file
     )
-    rows_before = sum(e.rows for e in to_rewrite)
+    rows_before = _visible_rows(table, to_rewrite)
     rows_kept = sum(e.rows for e in survivors_entries)
     version = table.commit(
         survivors_entries + new_entries,
@@ -378,16 +389,18 @@ def _matching_files_by_keys(
     """Files containing any of the given keys (column-pruned pass)."""
     if not candidates:
         return []
+    # positional read supplies per-row file identity; input_file_name() is
+    # rejected by Spark once the read plan carries the position-delete
+    # anti-join (multi-source expression)
     hits = (
-        table.read(files=candidates)
-        .withColumn("_dml_file", F.input_file_name())
+        table.read(files=candidates, with_positions=True)
         .join(keys, on, "left_semi")
-        .select("_dml_file")
+        .select("_dv_file")
         .distinct()
         .collect()
     )
-    hit_suffixes = {os.path.basename(r["_dml_file"]) for r in hits}
-    return [e for e in candidates if os.path.basename(e.path) in hit_suffixes]
+    hit_paths = {r["_dv_file"] for r in hits}
+    return [e for e in candidates if e.path in hit_paths]
 
 
 def delete_positions(
@@ -418,6 +431,14 @@ def delete_positions(
     Returns {"version", "rows_deleted", "delete_files"}."""
     import uuid as _uuid
 
+    if checkpoint_key is not None and checkpoint_key in table.committed():
+        # redelivered key: pure metadata no-op (≡ append's early guard) —
+        # no matching scan, no sidecar write
+        return {
+            "version": table.current_version(),
+            "rows_deleted": 0,
+            "delete_files": len(table.delete_files()),
+        }
     pred = _as_column(predicate)
     candidates = table.prune(ranges) if ranges else table.files()
     to_scan = _matching_files(table, pred, candidates)

@@ -514,10 +514,20 @@ class LakeTable:
             {}, {f"constraint.{name}"}, f"drop-constraint:{name}"
         )
 
-    def _check_constraints(self, added: "list[FileEntry]") -> None:
+    def _check_constraints(
+        self, added: "list[FileEntry]", manifest: dict | None = None
+    ) -> None:
         """Validate staged files against active constraints; on violation,
         reclaim the staged files and raise (table unchanged)."""
-        cons = self.constraints()
+        if manifest is not None:
+            props = manifest.get("properties") or {}
+            cons = {
+                k[len("constraint."):]: v
+                for k, v in props.items()
+                if k.startswith("constraint.")
+            }
+        else:
+            cons = self.constraints()
         if not added or not cons:
             return
         staged = self.read(files=added)
@@ -586,6 +596,22 @@ class LakeTable:
         approximate). min/max ignore NULLs (parquet footer semantics,
         same as SQL aggregates)."""
         entries = self.files(version)
+        dvs = self.delete_files(version)
+        # position-deleted rows are invisible to reads but still present in
+        # the footers. Row count stays EXACT only when every sidecar's
+        # targets are all live (then each sidecar row subtracts exactly one
+        # visible row); a partially-rewritten sidecar makes the metadata
+        # count unknowable -> rows is reported as None (exact-or-absent,
+        # same contract as the column stats). min/max under deletes are
+        # upper bounds, so affected columns are dropped entirely.
+        live_paths = {e.path for e in entries}
+        dv_rows: int | None = 0
+        for d in dvs:
+            if all(t in live_paths for t in d["targets"]):
+                dv_rows += d["rows"]
+            else:
+                dv_rows = None
+                break
         cols: dict[str, dict] = {}
         universal: set[str] | None = None
         for e in entries:
@@ -601,10 +627,14 @@ class LakeTable:
                     cur["min"] = min(cur["min"], mm["min"])
                     cur["max"] = max(cur["max"], mm["max"])
         return {
-            "rows": sum(e.rows for e in entries),
+            "rows": (
+                sum(e.rows for e in entries) - dv_rows
+                if dv_rows is not None
+                else None
+            ),
             "bytes": sum(e.bytes for e in entries),
             "files": len(entries),
-            "columns": cols,
+            "columns": cols if not dvs else {},
         }
 
     def register_view(self, name: str, version: int | None = None) -> None:
@@ -686,10 +716,16 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         if dvs:
-            dmap = self.spark.read.schema("file string, pos long").parquet(
-                *[os.path.join(self.path, d["path"]) for d in dvs]
+            # alias to collision-proof names: a user column named "file" or
+            # "pos" must not make the join condition ambiguous
+            dmap = (
+                self.spark.read.schema("file string, pos long")
+                .parquet(*[os.path.join(self.path, d["path"]) for d in dvs])
+                .toDF("__dv_anti_file", "__dv_anti_pos")
             )
-            cond = (F.col(_DV_FILE) == F.col("file")) & (F.col(_DV_POS) == F.col("pos"))
+            cond = (F.col(_DV_FILE) == F.col("__dv_anti_file")) & (
+                F.col(_DV_POS) == F.col("__dv_anti_pos")
+            )
             out = out.join(F.broadcast(dmap), cond, "left_anti")
         if need_pos and not with_positions:
             out = out.drop(_DV_FILE, _DV_POS)
@@ -995,9 +1031,6 @@ class LakeTable:
             else list(checkpoint_key or [])
         )
         removed_paths = removed_paths or set()
-        # CHECK constraints gate every data-adding commit; scans staged
-        # files only (and GCs them on violation — atomic reject)
-        self._check_constraints(added)
         added_json = [e.to_json() for e in added]
         full_summary = {
             "rows_written": sum(e.rows for e in added),
@@ -1019,7 +1052,23 @@ class LakeTable:
                     if os.path.exists(p):
                         os.remove(p)
                 return m["version"]
+            # CHECK constraints gate every data-adding commit — checked
+            # INSIDE the CAS loop (a constraint added concurrently is seen
+            # on retry) and AFTER the idempotency guard (a redelivered
+            # committed key stays a silent no-op even if a constraint was
+            # added since). Scans staged files only; GCs them on violation.
+            self._check_constraints(added, m)
             live = {f["path"] for f in m["files"]}
+            for d in delete_files_added or []:
+                if set(d["targets"]) - live:
+                    # a concurrent rewrite replaced files this sidecar was
+                    # built against — its positions point into dead files
+                    # and the deletion would be silently lost. Same class
+                    # as the removed-paths conflict below: re-run the scan.
+                    raise CommitConflict(
+                        "delete sidecar targets rewritten by a concurrent "
+                        f"commit: {sorted(set(d['targets']) - live)[:3]}"
+                    )
             if removed_paths - live:
                 # a concurrent commit already rewrote files we merged
                 # against — this commit's data is stale, not just its
@@ -1099,12 +1148,22 @@ class LakeTable:
                     f"cannot roll back to v{version}: data file {f['path']} "
                     "was vacuumed"
                 )
+        for d in target.get("delete_files", []):
+            if not os.path.exists(os.path.join(self.path, d["path"])):
+                raise FileNotFoundError(
+                    f"cannot roll back to v{version}: delete sidecar "
+                    f"{d['path']} was vacuumed"
+                )
         while True:
             m = self.manifest()
             if m["version"] == version:
                 return version
             new = {
                 **m,
+                # sidecars restore WITH the data: keeping the head's (or
+                # dropping the target's) delete_files would make the
+                # restored state differ from what version actually read
+                "delete_files": target.get("delete_files", []),
                 "files": target["files"],
                 "schema_id": target["schema_id"],
                 "schemas": target["schemas"],

@@ -86,3 +86,31 @@ def test_no_orphans_after_reject(table, spark, tmp_path):
     # staged files of the rejected commit were reclaimed (no orphans)
     orphans = [i for i in table.fsck() if i["kind"] == "orphan-file"]
     assert orphans == []
+
+
+def test_redelivered_committed_key_noop_despite_constraint(table, spark):
+    # segment committed BEFORE the constraint existed; an at-least-once
+    # redelivery of the same key must stay a silent no-op, not a violation
+    batch = spark.createDataFrame([(7, -7, "n")], "id long, v long, s string")
+    table.append(batch, checkpoint_key="seg-1")
+    table.add_constraint("v_pos", "v > -100")  # existing -7 passes
+    v = table.current_version()
+    table.append(
+        spark.createDataFrame([(7, -7000, "n")], "id long, v long, s string"),
+        checkpoint_key="seg-1",
+    )
+    assert table.current_version() == v  # idempotent no-op, no violation
+
+
+def test_concurrently_added_constraint_enforced_on_commit(table, spark):
+    # staged entries validate against the manifest read inside the CAS
+    # loop, so a constraint added between staging and commit is enforced
+    entries = table._stage_write(
+        spark.createDataFrame([(8, -8, "x")], "id long, v long, s string"),
+        [], one_file_per_partition=True,
+    )
+    table.add_constraint("v_pos", "v > 0")
+    from airbyte_spark.lake.format import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        table.commit(entries, operation="append")
