@@ -28,11 +28,11 @@ Mapping onto this lake format:
 
 Crash anywhere after `decide` is repaired by `recover(log_dir)`: it
 re-reads undone decision records and rolls the remaining publishes
-forward. Publishes are idempotent under recovery — a table whose branch is
-gone and whose main head records `publish-branch:txn-<id>` already
-adopted the branch. Crash before `decide` needs no repair: branches and
-locks are scavenged by `recover` (abandoned-branch cleanup), and main was
-never touched.
+forward. Publishes are idempotent under recovery — the manifest at
+base+1 carrying `publish-branch:txn-<id>` proves adoption even if main
+has advanced further since. Crash before `decide` never published
+anything; `recover(log_dir, table_paths)` scavenges the dead owner's
+locks and staged branches so the tables become transactable again.
 
 Single-node note: the lock/log directory plays the role the REST catalog
 service plays in deployment — the one component that can order decisions.
@@ -166,7 +166,16 @@ class CatalogTransaction:
         with open(rec_path + ".tmp", "w") as fh:
             json.dump(record, fh)
         os.rename(rec_path + ".tmp", rec_path)
-        versions = _roll_forward(self.spark, record, rec_path)
+        try:
+            versions = _roll_forward(self.spark, record, rec_path)
+        except Exception:
+            # the decision stands — recover() will complete the publish —
+            # but locks must not outlive this process (a held lock with a
+            # dead owner blocks every future transaction on these tables)
+            for p in held:
+                _release(p, self.txn_id)
+            self._done = True
+            raise
         self._done = True
         return versions
 
@@ -180,15 +189,17 @@ def _roll_forward(spark: SparkSession, record: dict, rec_path: str) -> dict[str,
         if branch in t.branches():
             versions[ent["name"]] = t.publish_branch(branch)
             continue
-        # branch gone: either this entry already published (main head moved
-        # exactly one past the base with our publish marker) — idempotent —
+        # branch gone: either this entry already published (the manifest
+        # at base+1 carries our publish marker — regular commits may have
+        # advanced main PAST it since, which must not defeat idempotency)
         # or something external broke the protocol.
-        head = t.manifest()
-        if (
-            head.get("parent") == ent["base"]
-            and head.get("operation") == f"publish-branch:{branch}"
-        ):
-            versions[ent["name"]] = head["version"]
+        published_v = ent["base"] + 1
+        try:
+            pm = t.manifest(published_v)
+        except FileNotFoundError:
+            pm = None
+        if pm is not None and pm.get("operation") == f"publish-branch:{branch}":
+            versions[ent["name"]] = published_v
         elif t.current_version() == ent["base"]:
             raise CommitConflict(
                 f"decided txn {record['txn_id']}: branch {branch} missing on "
@@ -251,21 +262,53 @@ def read_consistent(
     return LakeTable.load(spark, path).read(version=v)
 
 
-def recover(spark: SparkSession, log_dir: str) -> dict[str, dict[str, int]]:
+def recover(
+    spark: SparkSession, log_dir: str, table_paths: "list[str] | None" = None
+) -> dict[str, dict[str, int]]:
     """Repair after a crash: roll every decided-but-undone transaction
-    forward. Returns {txn_id: {table name: version}} for repaired ones.
-    (Undecided crashes need no repair — their branches were never
-    publishable and their locks are owned by the dead txn id, released
-    here.)"""
+    forward, and — for the given table paths — scavenge the debris of
+    transactions that died BEFORE their decision record existed (those
+    never happened: their lock is released and their staged branch
+    dropped, so the tables become transactable again).
+
+    Only run while no transaction is in flight (the crash-recovery
+    context): the scavenger cannot distinguish a dead undecided owner
+    from a live one mid-validation — the same single-operator assumption
+    a real catalog's lease-expiry encodes as a timeout.
+
+    Returns {txn_id: {table name: version}} for rolled-forward ones."""
     out: dict[str, dict[str, int]] = {}
-    if not os.path.isdir(log_dir):
-        return out
-    for fn in sorted(os.listdir(log_dir)):
-        if not (fn.startswith("txn-") and fn.endswith(".json")):
+    if os.path.isdir(log_dir):
+        for fn in sorted(os.listdir(log_dir)):
+            if not (fn.startswith("txn-") and fn.endswith(".json")):
+                continue
+            rec_path = os.path.join(log_dir, fn)
+            with open(rec_path) as fh:
+                record = json.load(fh)
+            if record.get("status") == "committed":
+                out[record["txn_id"]] = _roll_forward(spark, record, rec_path)
+    for path in table_paths or []:
+        d = _lock_dir(path)
+        if not os.path.isdir(d):
             continue
-        rec_path = os.path.join(log_dir, fn)
-        with open(rec_path) as fh:
-            record = json.load(fh)
-        if record.get("status") == "committed":
-            out[record["txn_id"]] = _roll_forward(spark, record, rec_path)
+        try:
+            with open(os.path.join(d, "owner")) as fh:
+                owner = fh.read().strip()
+        except FileNotFoundError:
+            # crashed between mkdir and owner write: nobody can ever
+            # release this lock through the API — remove it directly
+            shutil.rmtree(d, ignore_errors=True)
+            continue
+        rec = os.path.join(log_dir, f"txn-{owner}.json")
+        if os.path.exists(rec):
+            with open(rec) as fh:
+                status = json.load(fh).get("status")
+            if status == "done":
+                _release(path, owner)  # crashed after publish, pre-release
+            # "committed" was rolled forward above (which releases)
+            continue
+        # owner never reached its decision: the transaction never
+        # happened — drop its staged branch and free the table
+        LakeTable.load(spark, path).drop_branch(f"txn-{owner}")
+        _release(path, owner)
     return out

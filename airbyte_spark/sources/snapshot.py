@@ -183,6 +183,10 @@ def bootstrap_pipeline(
         changelog, pipe.cfg, snapshot_lsn, chunk_step, n_chunks,
         keep_tombstones=True,
     )
+    # the chunk plan is a window over the WHOLE changelog; without a
+    # persist each chunk's filter (and each merge's double evaluation)
+    # would re-scan and re-sort the full log ~2x per chunk
+    snap = snap.persist()
     first_seg = snapshot_lsn // batch_span
     for c in range(n_chunks):
         lw = snapshot_lsn + c * chunk_step
@@ -196,4 +200,5 @@ def bootstrap_pipeline(
         results.append(pipe.apply_batch(chunk_batch, f"snap-{c}"))
     # snapshot finished — drain the remaining log
     results += pipe.replay(changelog.filter(F.col("checkpoint_id") >= first_seg))
+    snap.unpersist()
     return results

@@ -136,29 +136,6 @@ def _warc_record_bytes(
     return hdr + http + _CRLF + _CRLF
 
 
-def iter_gzip_members(blob: bytes) -> Iterator[tuple[int, bytes]]:
-    """Yield (byte offset, decompressed member) per gzip member.
-
-    Member-wise decompression (zlib wbits=31 + unused_data resync) is what
-    makes corrupt-shard tolerance possible: a broken member poisons only
-    itself, and the next member starts at a known byte boundary."""
-    import zlib
-
-    pos, n = 0, len(blob)
-    while pos < n:
-        d = zlib.decompressobj(wbits=31)
-        try:
-            member = d.decompress(blob[pos:])
-            member += d.flush()
-        except zlib.error as exc:
-            raise ValueError(f"corrupt gzip member at byte {pos}: {exc}") from exc
-        consumed = (n - pos) - len(d.unused_data)
-        if consumed <= 0:
-            raise ValueError(f"gzip member at byte {pos} consumed no input")
-        yield pos, member
-        pos += consumed
-
-
 def _parse_one_record(data: bytes, pos: int, filename: str) -> tuple[dict | None, int]:
     """Parse the record starting at `pos`; return (record-or-None, next pos).
     None = a valid non-response record (warcinfo/request/metadata)."""
@@ -175,7 +152,12 @@ def _parse_one_record(data: bytes, pos: int, filename: str) -> tuple[dict | None
     for line in header_lines[1:]:
         k, _, v = line.partition(b":")
         fields[k.strip().decode().lower()] = v.strip().decode()
-    clen = int(fields["content-length"])
+    try:
+        clen = int(fields["content-length"])
+    except KeyError:
+        # corrupted/absent Content-Length header: a parse error like any
+        # other — must cost one record under on_error="skip", not the job
+        raise ValueError(f"missing Content-Length in member at {pos}")
     body = data[hdr_end + 4 : hdr_end + 4 + clen]
     if len(body) < clen:
         raise ValueError(f"{filename}: truncated body at byte {pos}")
@@ -417,10 +399,14 @@ def parse_warc_files_df(files: DataFrame, on_error: str = "fail") -> DataFrame:
                 if not rows:
                     continue
                 out = pd.DataFrame.from_records(rows)
-                out["warc_ts"] = pd.to_datetime(
-                    out.pop("warc_date"), format="%Y-%m-%dT%H:%M:%SZ",
-                    errors="coerce",
+                # ISO8601 accepts both second-precision and WARC 1.1
+                # fractional-second dates; a silently-NaT'd timestamp
+                # would degrade the LWW cursor to a url-only hash tie
+                ts = pd.to_datetime(
+                    out.pop("warc_date"), format="ISO8601",
+                    errors="coerce", utc=True,
                 )
+                out["warc_ts"] = ts.dt.tz_localize(None)
                 yield out[[f.name for f in WARC_PAGE_SCHEMA.fields]]
 
     return files.select("path", "content").mapInPandas(
@@ -559,10 +545,14 @@ def read_warc_indexed(
                 if not rows:
                     continue
                 out = pd.DataFrame.from_records(rows)
-                out["warc_ts"] = pd.to_datetime(
-                    out.pop("warc_date"), format="%Y-%m-%dT%H:%M:%SZ",
-                    errors="coerce",
+                # ISO8601 accepts both second-precision and WARC 1.1
+                # fractional-second dates; a silently-NaT'd timestamp
+                # would degrade the LWW cursor to a url-only hash tie
+                ts = pd.to_datetime(
+                    out.pop("warc_date"), format="ISO8601",
+                    errors="coerce", utc=True,
                 )
+                out["warc_ts"] = ts.dt.tz_localize(None)
                 yield out[[f.name for f in WARC_PAGE_SCHEMA.fields]]
         finally:
             for fh in handles.values():
@@ -631,6 +621,25 @@ def stream_warc_ingest(
             F.element_at(F.split(F.col("path"), "/"), -1).isin(pending)
         )
         pages = parse_warc_files_df(keep)
+        # Revisit records (cross-crawl storage dedup) carry NO body; merged
+        # raw, their newer warc_ts would WIN the LWW merge and null out the
+        # stored page html. Resolve bodies from (a) response records in the
+        # same batch sharing the digest, then (b) the table's stored pages
+        # for the revisited urls; revisits still unresolved are dropped —
+        # content is unchanged upstream, so skipping preserves the stored
+        # body and the byte-identical-text invariant. (At fleet scale,
+        # point (b) becomes a CDX/digest store lookup — read_warc_indexed.)
+        rev = F.col("is_revisit") & F.col("html").isNull()
+        rev_urls = pages.filter(rev).select("url").distinct()
+        stored = (
+            table.read()
+            .join(F.broadcast(rev_urls), "url", "left_semi")
+            .select(payload_digest_expr(F.col("html")).alias("payload_digest"), "html")
+        )
+        bodies = pages.select("payload_digest", "html").unionByName(stored)
+        pages = resolve_revisits(pages, bodies).filter(
+            ~(F.col("is_revisit") & F.col("html").isNull())
+        )
         h = F.xxhash64("url", F.col("warc_ts").cast("string"))
         batch = (
             pages.withColumn("_ab_cdc_lsn", F.abs(h).cast("long"))
@@ -671,6 +680,14 @@ def warc_source(path_glob: str, n_checkpoints: int = 16):
         from airbyte_spark.sources.registry import _apply_state, _complete_envelope
 
         pages = read_warc(spark, path_glob)
+        # resolve revisit bodies within the crawl segment (same-digest
+        # response records); revisits that stay body-less are dropped —
+        # merging them would null the stored page html via LWW. For
+        # cross-crawl resolution pass a digest→body store explicitly
+        # (resolve_revisits; see src_warc_revisit_dedup).
+        pages = resolve_revisits(
+            pages, pages.select("payload_digest", "html")
+        ).filter(~(F.col("is_revisit") & F.col("html").isNull()))
         h = F.xxhash64("url", F.col("warc_ts").cast("string"))
         df = pages.withColumn(
             "_ab_cdc_lsn", F.abs(h).cast("long")

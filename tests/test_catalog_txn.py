@@ -157,3 +157,69 @@ def test_crash_after_decision_rolls_forward(spark, tmp_path):
     assert LakeTable.load(spark, pb).read().count() == 20
     # second recover is a no-op (record now terminal)
     assert recover(spark, log) == {}
+
+
+def test_recover_completes_despite_later_commits(spark, tmp_path):
+    """A commit landing AFTER a partial publish must not defeat the
+    roll-forward idempotency check (it inspects manifest(base+1), not
+    the moved head)."""
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    log = str(tmp_path / "log")
+    txn = CatalogTransaction.begin(spark, log, {"a": pa, "b": pb})
+    txn.table("a").append(df.withColumn("v", F.lit(1)), checkpoint_key="y-a")
+    txn.table("b").append(df.withColumn("v", F.lit(1)), checkpoint_key="y-b")
+    entries = [
+        {"name": n, "path": p, "base": LakeTable.load(spark, p).current_version()}
+        for n, p in sorted(txn.tables.items(), key=lambda kv: kv[1])
+    ]
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"txn-{txn.txn_id}.json"), "w") as fh:
+        json.dump(
+            {"txn_id": txn.txn_id, "branch": txn._branch_name,
+             "tables": entries, "status": "committed"},
+            fh,
+        )
+    # crash after publishing a; then a REGULAR writer advances a further
+    LakeTable.load(spark, pa).publish_branch(txn._branch_name)
+    LakeTable.load(spark, pa).append(df.limit(1), checkpoint_key="later")
+    repaired = recover(spark, log)
+    assert txn.txn_id in repaired
+    assert LakeTable.load(spark, pb).read().count() == 20  # b completed
+
+
+def test_recover_scavenges_undecided_crash(spark, tmp_path):
+    """Crash BEFORE the decision record: the dead owner's locks and staged
+    branches are scavenged so the tables become transactable again."""
+    from airbyte_spark.lake.transaction import _acquire
+
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    log = str(tmp_path / "log")
+    dead = CatalogTransaction.begin(spark, log, {"a": pa, "b": pb})
+    dead.table("a").append(df.withColumn("v", F.lit(9)))
+    _acquire(pa, dead.txn_id)  # crash while holding a's lock, pre-decision
+
+    # without recovery, a new transaction cannot lock table a
+    t2 = CatalogTransaction.begin(spark, log, {"a": pa})
+    with pytest.raises(TransactionAborted, match="locked"):
+        t2.commit()
+
+    recover(spark, log, table_paths=[pa, pb])
+    assert dead._branch_name not in LakeTable.load(spark, pa).branches()
+    # a fresh transaction now succeeds end-to-end
+    t3 = CatalogTransaction.begin(spark, log, {"a": pa, "b": pb})
+    t3.table("a").append(df.withColumn("v", F.lit(2)), checkpoint_key="z-a")
+    t3.table("b").append(df.withColumn("v", F.lit(2)), checkpoint_key="z-b")
+    versions = t3.commit()
+    assert set(versions) == {"a", "b"}
+
+
+def test_recover_scavenges_ownerless_lock(spark, tmp_path):
+    """Crash between lock mkdir and owner write: the ownerless dir can
+    never be released via the API — recover removes it directly."""
+    pa, pb, df = _mk_tables(spark, tmp_path)
+    log = str(tmp_path / "log")
+    os.makedirs(os.path.join(pa, "_lake", "txn.lock"))  # no owner file
+    recover(spark, log, table_paths=[pa])
+    t = CatalogTransaction.begin(spark, log, {"a": pa})
+    t.table("a").append(df.withColumn("v", F.lit(3)), checkpoint_key="w-a")
+    assert set(t.commit()) == {"a"}

@@ -361,3 +361,68 @@ def test_warc_registry_source_envelope(spark):
     # deterministic across reads (replay stability)
     again = {r["url"]: r["_ab_cdc_lsn"] for r in src(spark, {}).collect()}
     assert again == {r["url"]: r["_ab_cdc_lsn"] for r in rows}
+
+
+def test_stream_ingest_revisits_preserve_stored_bodies(spark, tmp_path):
+    """Crawl 2 re-fetches unchanged pages as REVISIT records (no body).
+    Ingesting them must not null out the stored html via LWW: bodies
+    resolve from the table's stored pages, and the revisit's newer
+    warc_ts wins with the body intact."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    import pyspark.sql.functions as F2
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.sources.warc import stream_warc_ingest
+
+    target = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("warc_ts", TimestampNTZType(), True),
+            StructField("html", BinaryType(), True),
+            StructField("_ab_cdc_lsn", LongType(), True),
+            StructField("_ab_cdc_deleted_at", TimestampNTZType(), True),
+        ]
+    )
+    cfg = StreamConfig(name="crawl", schema=target, primary_key=["url"])
+    t = LakeTable.create(
+        spark, str(tmp_path / "rv"), target, PartitionSpec.bucket("url", 4)
+    )
+    wdir, ckpt = str(tmp_path / "inbox"), str(tmp_path / "sck")
+    os.makedirs(wdir)
+
+    crawl1 = _pages(spark, 12)
+    write_warc(crawl1, wdir, n_shards=1)
+    stream_warc_ingest(t, cfg, wdir, ckpt)
+    before = {r["url"]: (bytes(r["html"]), r["warc_ts"]) for r in t.read().collect()}
+    assert len(before) == 12
+
+    # crawl 2 a day later: same bodies -> ALL records become revisits
+    crawl2 = crawl1.withColumn(
+        "warc_ts", F2.col("warc_ts") + F2.expr("INTERVAL 1 DAY")
+    )
+    digests = spark.createDataFrame(
+        [(F"sha1:{__import__('hashlib').sha1(b).hexdigest()}",) for b, _ in before.values()],
+        "payload_digest string",
+    )
+    write_warc(crawl2, wdir + "2", n_shards=1, revisit_digests=digests)
+    import shutil as _sh
+
+    for f in os.listdir(wdir + "2"):
+        if f.endswith(".warc.gz"):
+            _sh.copy(os.path.join(wdir + "2", f), os.path.join(wdir, "c2-" + f))
+    stream_warc_ingest(t, cfg, wdir, ckpt)
+
+    after = {r["url"]: (bytes(r["html"]), r["warc_ts"]) for r in t.read().collect()}
+    assert set(after) == set(before)
+    for u in after:
+        assert after[u][0] == before[u][0], "stored body must survive revisit"
+        assert after[u][1] > before[u][1], "revisit's newer fetch time wins"
