@@ -954,6 +954,60 @@ def q_sync_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_sync_segmented_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented manifests (≡ Iceberg's manifest-list → manifest-file tree,
+    JSON flavor; format.py _dehydrate/_hydrate): the file list and the
+    committed-checkpoint set live in immutable segment files, so a commit
+    writes one small head + only its DELTA — O(batch) metadata per commit
+    instead of O(live files), the property that keeps per-commit driver
+    work flat at a 100 TB / ~200k-file table. The query drives appends
+    (old segments must carry forward BY REFERENCE), a row-level DELETE
+    (only the touched segment rewrites), and committed-tail sealing, then
+    returns the table — results must be byte-identical to the inline form,
+    which is what the oracle states in plain SQL."""
+    import json as _json
+
+    from airbyte_spark.lake.dml import delete_where
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_segm_")
+    t = LakeTable.create(
+        spark,
+        base + "/events_segm",
+        src.schema,
+        PartitionSpec(),
+        properties={"manifest.segmented": "true", "manifest.committed_tail": "2"},
+    )
+    for i in range(4):
+        t.append(
+            src.filter(F.col("event_id") % 4 == i),
+            checkpoint_key=f"seg-{i}",
+            stat_cols=["event_id"],
+        )
+
+    def _raw(v):
+        with open(f"{t.path}/_lake/v{v:09d}.json") as fh:
+            return _json.load(fh)
+
+    head = _raw(t.current_version())
+    assert head["files"] == [] and head["file_segments"], "head must hold refs only"
+    assert head.get("committed_segments"), "committed tail must have sealed"
+    # O(delta) evidence: every segment ref of the pre-append head survives
+    # the last append untouched (carried by reference, not rewritten)
+    prev_refs = {r["path"] for r in _raw(t.current_version() - 1)["file_segments"]}
+    assert prev_refs <= {r["path"] for r in head["file_segments"]}
+    delete_where(t, "event_type = 'error'")
+    # exactly-once guard must see sealed keys: redelivery is a no-op
+    v = t.current_version()
+    t.append(src.limit(7), checkpoint_key="seg-1")
+    assert t.current_version() == v
+    assert set(t.committed()) >= {f"seg-{i}" for i in range(4)}
+    return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def q_sync_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write row-level UPDATE (lake/dml.py update_where — completes
     the DML triad): matching rows get SET value = value * 2, props =
@@ -2417,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_incremental_changes": q_sync_incremental_changes,
         "sync_respec_roundtrip": q_sync_respec_roundtrip,
         "sync_delete_where": q_sync_delete_where,
+        "sync_segmented_manifest": q_sync_segmented_manifest,
         "sync_update_where": q_sync_update_where,
         "sync_merge_into": q_sync_merge_into,
         "sync_replace_where": q_sync_replace_where,
@@ -3190,6 +3245,10 @@ def oracle_sql() -> dict[str, str]:
         "sync_delete_where": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
             WHERE COALESCE(event_type = 'error' OR user_id % 100 = 7, FALSE) = FALSE
+        """,
+        "sync_segmented_manifest": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE COALESCE(event_type = 'error', FALSE) = FALSE
         """,
         "sync_replace_where": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

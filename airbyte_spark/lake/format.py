@@ -27,8 +27,13 @@ Scale notes (the design point is a 1000-executor cluster / 100 TB table):
   - data layout is hash-bucketed on the merge key (PartitionSpec bucket
     transform): a micro-batch only rewrites the buckets its keys hash to;
   - manifest size grows with file count, not rows; at 100 TB with ~512 MB
-    files that is ~200k entries — the point where this JSON log would be
-    swapped for Iceberg's avro manifest tree, behind the same API.
+    files that is ~200k entries. Past a threshold (or forced by the
+    manifest.segmented property) the table auto-upgrades to SEGMENTED
+    manifests — the Iceberg manifest-list shape in JSON: file list and
+    committed-key set live in immutable segment files, the head carries
+    {path, n} refs, and a commit writes O(delta) metadata instead of
+    re-serializing O(live files) (measured 28× at 50k files,
+    scripts/manifest_bench.py; see _dehydrate/_hydrate).
 
 Everything here is driver-side metadata handling (small JSON); all data
 movement is Spark DataFrame reads/writes.
@@ -51,6 +56,23 @@ from airbyte_spark.schema import evolve
 
 _LAKE_DIR = "_lake"
 _DATA_DIR = "data"
+_SEG_DIR = "segs"  # immutable manifest segments, shared by main + branches
+
+# Segmented-manifest defaults (per-table overrides via properties
+# manifest.segment_threshold / manifest.committed_tail / manifest.max_segments;
+# manifest.segmented = "true"/"false" forces the format):
+# a table auto-upgrades to segmented manifests once its inline file list or
+# committed-key set crosses these sizes — the point where rewriting the full
+# list per commit stops being O(small).
+_AUTO_SEGMENT_FILES = 1000
+_COMMITTED_TAIL = 1000
+_MAX_SEGMENTS = 64
+
+# process-wide cache of immutable segment payloads: abs path -> payload.
+# Segments are write-once (uuid names), so cached content never goes stale;
+# vacuumed paths simply stop being referenced.
+_SEG_CACHE: dict[str, dict] = {}
+_SEG_CACHE_MAX = 512
 # helper column names for position-delete row tracking
 _DV_FILE = "_dv_file"
 _DV_POS = "_dv_pos"
@@ -277,8 +299,185 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no manifests in {self.path}")
-        with open(self._manifest_path(v)) as fh:
-            return json.load(fh)
+        return self._read_manifest_file(self._manifest_path(v))
+
+    # ---- segmented manifests (≡ Iceberg manifest list → manifest files) ----
+    #
+    # The inline form rewrites the FULL file list + committed-key set on
+    # every commit — O(live files) driver JSON work per commit, the
+    # documented swap point in the module docstring. The segmented form
+    # stores both lists in immutable side files under _lake/segs/ and the
+    # manifest head carries only {path, n} refs: a commit writes one small
+    # head + new segments for its DELTA (added files / fresh checkpoint
+    # keys) and rewrites only segments a removal touched. Hydration happens
+    # here, inside manifest(), so every reader and the whole CAS-loop
+    # writer surface see the exact inline dict shape they always did.
+
+    def _load_segment(self, rel: str, lenient: bool = False) -> dict | None:
+        ap = os.path.join(self.path, rel)
+        payload = _SEG_CACHE.get(ap)
+        if payload is None:
+            try:
+                with open(ap) as fh:
+                    payload = json.load(fh)
+            except FileNotFoundError:
+                if lenient:
+                    return None
+                raise FileNotFoundError(
+                    f"manifest references missing segment {rel} "
+                    "(corrupted table or over-eager external cleanup)"
+                )
+            if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+                _SEG_CACHE.clear()
+            _SEG_CACHE[ap] = payload
+        return payload
+
+    def _write_segment(self, payload: dict) -> str:
+        rel = f"{_LAKE_DIR}/{_SEG_DIR}/seg-{uuid.uuid4().hex[:16]}.json"
+        ap = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(ap), exist_ok=True)
+        with open(ap, "w") as fh:
+            json.dump(payload, fh)
+        if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+            _SEG_CACHE.clear()
+        _SEG_CACHE[ap] = payload
+        return rel
+
+    def _hydrate(self, m: dict, lenient: bool = False) -> dict:
+        """Resolve segment refs into the inline manifest shape. Cached
+        segment lists are concatenated/merged by reference — no JSON parse
+        after first touch, so a hydrate is cheaper than parsing the
+        equivalent inline manifest. `lenient` skips missing segments
+        (fsck's damage-survey mode) instead of raising."""
+        if "file_segments" in m:
+            files: list[dict] = []
+            for r in m["file_segments"]:
+                seg = self._load_segment(r["path"], lenient)
+                if seg is not None:
+                    files.extend(seg["entries"])
+            files.extend(m.get("files") or [])
+            m["files"] = files
+        if "committed_segments" in m:
+            merged: dict[str, dict] = {}
+            for r in m["committed_segments"]:
+                seg = self._load_segment(r["path"], lenient)
+                if seg is not None:
+                    merged.update(seg["committed"])
+            merged.update(m.get("committed") or {})
+            m["committed"] = merged
+        return m
+
+    def _read_manifest_file(self, path: str, lenient: bool = False) -> dict:
+        with open(path) as fh:
+            m = json.load(fh)
+        return self._hydrate(m, lenient)
+
+    def _dehydrate(self, manifest: dict) -> tuple[dict, list[str]]:
+        """Convert a hydrated manifest back to its storage form, writing
+        segment files for the parts that changed. Returns (storage dict,
+        newly written segment rel-paths) — the caller GCs the new segments
+        if the O_EXCL publish loses its race.
+
+        Delta detection is structural: a prior file segment is kept BY
+        REFERENCE iff every path it holds is still live (entries are
+        immutable per path); a removal rewrites only the segments holding
+        removed paths. Sealed committed keys are recognized by object
+        identity with the hydrated cache — commit() only ever assigns
+        fresh dicts for NEW keys, so identity cleanly separates the tail.
+        Segment count is bounded LSM-style: past max_segments the smallest
+        segments merge into one (amortized O(log) rewrites per entry)."""
+        m = dict(manifest)
+        props = m.get("properties") or {}
+        forced = props.get("manifest.segmented")
+        if forced == "false":
+            m.pop("file_segments", None)
+            m.pop("committed_segments", None)
+            return m, []
+        thresh = int(props.get("manifest.segment_threshold", _AUTO_SEGMENT_FILES))
+        tail_cap = int(props.get("manifest.committed_tail", _COMMITTED_TAIL))
+        max_segs = max(2, int(props.get("manifest.max_segments", _MAX_SEGMENTS)))
+        new_segs: list[str] = []
+
+        if forced == "true" or "file_segments" in m or len(m.get("files") or []) > thresh:
+            files = list(m.get("files") or [])
+            by_path = {f["path"]: f for f in files}
+            covered: set[str] = set()
+            refs: list[dict] = []
+            for r in m.get("file_segments") or []:
+                entries = (self._load_segment(r["path"]) or {}).get("entries", [])
+                paths = [e["path"] for e in entries]
+                if paths and all(p in by_path and p not in covered for p in paths):
+                    refs.append(r)  # untouched — carried forward by reference
+                    covered.update(paths)
+                else:
+                    survivors = [
+                        by_path[p] for p in paths if p in by_path and p not in covered
+                    ]
+                    if survivors:
+                        rel = self._write_segment({"entries": survivors})
+                        new_segs.append(rel)
+                        refs.append({"path": rel, "n": len(survivors)})
+                        covered.update(e["path"] for e in survivors)
+            fresh = [f for f in files if f["path"] not in covered]
+            if fresh:
+                rel = self._write_segment({"entries": fresh})
+                new_segs.append(rel)
+                refs.append({"path": rel, "n": len(fresh)})
+            if len(refs) > max_segs:
+                refs.sort(key=lambda r: r["n"])
+                k = len(refs) - max(1, max_segs // 2) + 1
+                merged_entries: list[dict] = []
+                for r in refs[:k]:
+                    merged_entries.extend(
+                        (self._load_segment(r["path"]) or {}).get("entries", [])
+                    )
+                rel = self._write_segment({"entries": merged_entries})
+                new_segs.append(rel)
+                refs = refs[k:] + [{"path": rel, "n": len(merged_entries)}]
+            m["file_segments"] = refs
+            m["files"] = []
+
+        if (
+            forced == "true"
+            or "committed_segments" in m
+            or len(m.get("committed") or {}) > tail_cap
+        ):
+            committed = dict(m.get("committed") or {})
+            crefs = list(m.get("committed_segments") or [])
+            sealed: dict[str, dict] = {}
+            for r in crefs:
+                sealed.update((self._load_segment(r["path"]) or {}).get("committed", {}))
+            if all(k in committed for k in sealed):
+                # identity split: values merged from segment cache are the
+                # very objects hydrate installed; anything fresh/overwritten
+                # is a new dict and lands in the tail (tail overrides sealed
+                # on hydrate, so an overwrite keeps the new value visible)
+                tail = {k: v for k, v in committed.items() if sealed.get(k) is not v}
+            else:
+                # the committed set SHRANK (rollback / truncate restore):
+                # sealed history is stale — rebuild from the full live set
+                crefs = []
+                tail = committed
+            if len(tail) > tail_cap:
+                rel = self._write_segment({"committed": tail})
+                new_segs.append(rel)
+                crefs.append({"path": rel, "n": len(tail)})
+                tail = {}
+            if len(crefs) > max_segs:
+                crefs.sort(key=lambda r: r["n"])
+                k = len(crefs) - max(1, max_segs // 2) + 1
+                cmerged: dict[str, dict] = {}
+                for r in crefs[:k]:
+                    cmerged.update(
+                        (self._load_segment(r["path"]) or {}).get("committed", {})
+                    )
+                rel = self._write_segment({"committed": cmerged})
+                new_segs.append(rel)
+                crefs = crefs[k:] + [{"path": rel, "n": len(cmerged)}]
+            m["committed_segments"] = crefs
+            m["committed"] = tail
+
+        return m, new_segs
 
     def _write_manifest(self, manifest: dict) -> int:
         """O_EXCL create → atomic manifest publish. Returns the version on
@@ -286,13 +485,23 @@ class LakeTable:
         this version (the caller must re-read the winning manifest and
         re-apply its delta — blindly bumping the version here would commit
         stale content and silently drop the winner's files/committed
-        entries, a lost update)."""
-        v = manifest["version"]
+        entries, a lost update). Segment files written for this attempt are
+        reclaimed when the publish loses the race — the winner's segments
+        are untouched (they were written under different uuid names)."""
+        storage, new_segs = self._dehydrate(manifest)
+        v = storage["version"]
         try:
             with open(self._manifest_path(v), "x") as fh:
-                json.dump(manifest, fh)
+                json.dump(storage, fh)
             return v
         except FileExistsError:
+            for rel in new_segs:
+                ap = os.path.join(self.path, rel)
+                _SEG_CACHE.pop(ap, None)
+                try:
+                    os.remove(ap)
+                except OSError:
+                    pass
             raise CommitConflict(f"version {v} already committed by another writer")
 
     # ---- schema ----
@@ -822,8 +1031,7 @@ class LakeTable:
         for v in range(1, (self.current_version() or 0) + 1):
             p = self._manifest_path(v)
             if os.path.exists(p):
-                with open(p) as fh:
-                    m = json.load(fh)
+                m = self._read_manifest_file(p)
                 out.append(
                     {
                         "version": m["version"],
@@ -897,8 +1105,7 @@ class LakeTable:
             p = self._manifest_path(v)
             if not os.path.exists(p):
                 continue
-            with open(p) as fh:
-                m = json.load(fh)
+            m = self._read_manifest_file(p)
             cur = {f["path"]: f for f in m["files"]}
             added = [f for pth, f in cur.items() if pth not in prev_paths]
             n_removed = len(prev_paths - set(cur))
@@ -1160,6 +1367,15 @@ class LakeTable:
                 return version
             new = {
                 **m,
+                # segment refs follow the restored state: hydrated values in
+                # target["files"]/["committed"] alias the target's segments,
+                # so carrying ITS refs makes the restore a metadata-only
+                # no-rewrite commit (head refs would force a full re-split)
+                **{
+                    k: target[k]
+                    for k in ("file_segments", "committed_segments")
+                    if k in target
+                },
                 # sidecars restore WITH the data: keeping the head's (or
                 # dropping the target's) delete_files would make the
                 # restored state differ from what version actually read
@@ -1403,7 +1619,47 @@ class LakeTable:
                     removed += 1
                 elif name.endswith(".bloom") and rel[: -len(".bloom")] not in live:
                     os.remove(os.path.join(self.path, rel))  # sidecar follows its data file
+        # manifest segments: unlike data files, segments referenced by ANY
+        # retained manifest (main or branch) stay — they are metadata, tiny,
+        # and history()/lineage_df() keep reading past versions after a
+        # vacuum exactly as the inline form does. Only true orphans (commit
+        # losers whose GC was interrupted) are reclaimed.
+        live_segs = self._referenced_segments()
+        segs_root = os.path.join(self.path, _LAKE_DIR, _SEG_DIR)
+        if os.path.isdir(segs_root):
+            for name in os.listdir(segs_root):
+                rel = f"{_LAKE_DIR}/{_SEG_DIR}/{name}"
+                if rel not in live_segs:
+                    ap = os.path.join(self.path, rel)
+                    _SEG_CACHE.pop(ap, None)
+                    os.remove(ap)
+                    removed += 1
         return removed
+
+    def _all_manifest_paths(self) -> list[str]:
+        """Every retained manifest file — main chain + all branch chains."""
+        dirs = [os.path.join(self.path, _LAKE_DIR)]
+        for b in self.branches():
+            dirs.append(os.path.join(self.path, _LAKE_DIR, "branches", b))
+        out = []
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            out.extend(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.startswith("v") and f.endswith(".json")
+            )
+        return out
+
+    def _referenced_segments(self) -> set[str]:
+        refs: set[str] = set()
+        for mp in self._all_manifest_paths():
+            with open(mp) as fh:
+                raw = json.load(fh)
+            for sec in ("file_segments", "committed_segments"):
+                refs |= {r["path"] for r in raw.get(sec) or []}
+        return refs
 
     def fsck(self) -> list[dict]:
         """Metadata/data consistency audit (≡ the checks Iceberg's
@@ -1421,11 +1677,25 @@ class LakeTable:
           broken-chain     a parent link points at a missing manifest version
           orphan-file      data file on disk no snapshot references (vacuum
                            candidate — informational, never corruption)
+          missing-segment  live manifest references a segment file that is
+                           gone (metadata corruption: part of the file list
+                           or committed set is unrecoverable)
+          orphan-segment   segment file no retained manifest references
+                           (vacuum candidate — informational)
         """
         issues: list[dict] = []
-        m = self.manifest()
+        with open(self._manifest_path(self.current_version())) as fh:
+            raw = json.load(fh)
+        for sec in ("file_segments", "committed_segments"):
+            for r in raw.get(sec) or []:
+                if not os.path.exists(os.path.join(self.path, r["path"])):
+                    issues.append(
+                        {"kind": "missing-segment", "path": r["path"], "section": sec}
+                    )
+        m = self._hydrate(raw, lenient=True)
+        entries = [FileEntry.from_json(d) for d in m["files"]]
         schemas = set(m["schemas"].keys())
-        for e in self.files():
+        for e in entries:
             p = os.path.join(self.path, e.path)
             if not os.path.exists(p):
                 issues.append({"kind": "missing-file", "path": e.path})
@@ -1459,13 +1729,12 @@ class LakeTable:
             parent = mv.get("parent")
             if parent and not os.path.exists(self._manifest_path(parent)):
                 issues.append({"kind": "broken-chain", "version": v, "parent": parent})
-        referenced = {e.path for e in self.files()}
+        referenced = {e.path for e in entries}
         referenced |= {d["path"] for d in self.delete_files()}
         for v in range(1, (self.current_version() or 0) + 1):
             mp = self._manifest_path(v)
             if os.path.exists(mp):
-                with open(mp) as fh:
-                    mv = json.load(fh)
+                mv = self._read_manifest_file(mp, lenient=True)
                 referenced |= {f["path"] for f in mv["files"]}
                 referenced |= {d["path"] for d in mv.get("delete_files", [])}
         for b in self.branches():
@@ -1480,6 +1749,13 @@ class LakeTable:
                 rel = os.path.relpath(os.path.join(root, name), self.path)
                 if rel not in referenced:
                     issues.append({"kind": "orphan-file", "path": rel})
+        live_segs = self._referenced_segments()
+        segs_root = os.path.join(self.path, _LAKE_DIR, _SEG_DIR)
+        if os.path.isdir(segs_root):
+            for name in sorted(os.listdir(segs_root)):
+                rel = f"{_LAKE_DIR}/{_SEG_DIR}/{name}"
+                if rel not in live_segs:
+                    issues.append({"kind": "orphan-segment", "path": rel})
         return issues
 
     def drop(self) -> None:
