@@ -38,7 +38,11 @@ Commands:
   compact  --target T [--target-file-mb N]
                                  bin-pack small data files (one metadata commit)
   vacuum   --target T            delete data files unreferenced by the
-                                 current snapshot
+                                 current snapshot (+ orphan manifest segments)
+  expire-snapshots --target T [--retain-last N]
+                                 bound the manifest chain: keep the newest N
+                                 snapshot heads (time travel below the floor
+                                 is given up; current state untouched)
   respec   --target T --bucket-col C --n-buckets N
                                  partition-spec evolution: atomic bucket-resize
                                  rewrite of the whole table
@@ -118,6 +122,9 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("compact", "--target")
     sp.add_argument("--target-file-mb", type=int, default=128)
     add("vacuum", "--target")
+    sp = add("expire-snapshots", "--target")
+    sp.add_argument("--retain-last", type=int, default=10,
+                    help="newest N manifest versions to keep (current always kept)")
     sp = add("respec", "--target")
     sp.add_argument("--bucket-col", required=True)
     sp.add_argument("--n-buckets", type=int, required=True)
@@ -355,6 +362,15 @@ def run(spark, args) -> dict:
             "type": "MAINTENANCE_RESULT",
             "mode": "vacuum",
             "files_removed": t.vacuum(),
+        }
+
+    if args.cmd == "expire-snapshots":
+        t = LakeTable.load(spark, args.target)
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": "expire-snapshots",
+            "manifests_removed": t.expire_snapshots(retain_last=args.retain_last),
+            "version": t.current_version(),
         }
 
     if args.cmd == "respec":

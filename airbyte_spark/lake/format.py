@@ -1636,6 +1636,31 @@ class LakeTable:
                     removed += 1
         return removed
 
+    def expire_snapshots(self, retain_last: int = 10) -> int:
+        """Delete manifest heads older than the newest `retain_last`
+        versions (≡ Iceberg expire_snapshots / Delta log retention): under
+        per-checkpoint commit cadence a CDC sink mints 10^5+ snapshots,
+        and nothing bounds the metadata directory without an expiry hook.
+
+        What changes: time travel / rollback below the floor is gone, and
+        lineage_df() attributes the oldest retained snapshot's files to
+        that version (its true history predates the floor). What does NOT
+        change: current reads, the committed-set exactly-once guard (it
+        rides the head), branches (each chain expires via its own handle),
+        and data files (vacuum owns those; segment files only expired
+        manifests referenced become vacuum candidates). The current
+        version is always retained. Returns manifests removed."""
+        d = self._meta_dir()
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        victims = versions[: -max(1, retain_last)]
+        for v in victims:
+            os.remove(self._manifest_path(v))
+        return len(victims)
+
     def _all_manifest_paths(self) -> list[str]:
         """Every retained manifest file — main chain + all branch chains."""
         dirs = [os.path.join(self.path, _LAKE_DIR)]
@@ -1719,15 +1744,25 @@ class LakeTable:
                         )
                 except TypeError:
                     pass
-            # chain walk: every retained manifest's parent must exist (or be 0)
-        for v in range(1, (self.current_version() or 0) + 1):
-            mp = self._manifest_path(v)
-            if not os.path.exists(mp):
-                continue  # expired manifests are legal gaps
-            with open(mp) as fh:
+        # chain walk: every retained manifest's parent must exist — except
+        # below the expiry floor: expire_snapshots() removes a PREFIX, so a
+        # parent older than the oldest retained version is a legal gap,
+        # while a missing parent INSIDE the retained range is corruption.
+        retained = [
+            v
+            for v in range(1, (self.current_version() or 0) + 1)
+            if os.path.exists(self._manifest_path(v))
+        ]
+        floor = retained[0] if retained else 0
+        for v in retained:
+            with open(self._manifest_path(v)) as fh:
                 mv = json.load(fh)
             parent = mv.get("parent")
-            if parent and not os.path.exists(self._manifest_path(parent)):
+            if (
+                parent
+                and parent >= floor
+                and not os.path.exists(self._manifest_path(parent))
+            ):
                 issues.append({"kind": "broken-chain", "version": v, "parent": parent})
         referenced = {e.path for e in entries}
         referenced |= {d["path"] for d in self.delete_files()}
