@@ -1008,6 +1008,48 @@ def q_sync_segmented_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_sync_delete_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete files (≡ Iceberg v2 equality deletes; lake/dml.py
+    delete_equality): 'purge these keys' lands as an O(|keys|) METADATA
+    commit — no data file read or rewritten, the only delete shape that
+    stays affordable when 10k urls must vanish from a 100 TB table NOW.
+    Reads anti-join the key sidecar against data files whose data
+    sequence number predates the delete, so rows re-inserted AFTER the
+    delete survive (Iceberg's strictly-lower-seq rule) — which the query
+    proves by re-appending half the deleted users' rows and asserting
+    both directions in the oracle."""
+    from airbyte_spark.lake.dml import delete_equality
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_eqdel_")
+    t = LakeTable.create(spark, base + "/events_eq", src.schema, PartitionSpec())
+    for i in range(3):
+        t.append(
+            src.filter(F.col("event_id") % 3 == i),
+            checkpoint_key=f"seg-{i}",
+            stat_cols=["event_id"],
+        )
+    files_before = {e.path for e in t.files()}
+    delete_equality(
+        t, src.filter("user_id % 10 = 3").select("user_id"), checkpoint_key="purge-3"
+    )
+    assert {e.path for e in t.files()} == files_before, "must be metadata-only"
+    assert len(t.eq_delete_files()) == 1
+    # strictly-lower-seq rule: re-inserts after the delete are visible
+    t.append(
+        src.filter("user_id % 10 = 3 AND event_id % 2 = 0"),
+        checkpoint_key="reinsert",
+    )
+    # idempotent redelivery of the delete is a no-op
+    v = t.current_version()
+    delete_equality(t, src.limit(3).select("user_id"), checkpoint_key="purge-3")
+    assert t.current_version() == v
+    return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def q_sync_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write row-level UPDATE (lake/dml.py update_where — completes
     the DML triad): matching rows get SET value = value * 2, props =
@@ -2472,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_respec_roundtrip": q_sync_respec_roundtrip,
         "sync_delete_where": q_sync_delete_where,
         "sync_segmented_manifest": q_sync_segmented_manifest,
+        "sync_delete_equality": q_sync_delete_equality,
         "sync_update_where": q_sync_update_where,
         "sync_merge_into": q_sync_merge_into,
         "sync_replace_where": q_sync_replace_where,
@@ -3249,6 +3292,13 @@ def oracle_sql() -> dict[str, str]:
         "sync_segmented_manifest": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
             WHERE COALESCE(event_type = 'error', FALSE) = FALSE
+        """,
+        "sync_delete_equality": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE user_id % 10 <> 3
+            UNION ALL
+            SELECT event_id, ts, user_id, event_type, value, props FROM events
+            WHERE user_id % 10 = 3 AND event_id % 2 = 0
         """,
         "sync_replace_where": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

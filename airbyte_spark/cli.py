@@ -43,6 +43,10 @@ Commands:
                                  bound the manifest chain: keep the newest N
                                  snapshot heads (time travel below the floor
                                  is given up; current state untouched)
+  delete-keys --target T --col C (--values a,b | --keys-parquet P)
+                                 equality delete: purge rows by key as an
+                                 O(|keys|) metadata commit (no file rewrite;
+                                 later re-inserts of the key survive)
   respec   --target T --bucket-col C --n-buckets N
                                  partition-spec evolution: atomic bucket-resize
                                  rewrite of the whole table
@@ -125,6 +129,13 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("expire-snapshots", "--target")
     sp.add_argument("--retain-last", type=int, default=10,
                     help="newest N manifest versions to keep (current always kept)")
+    sp = add("delete-keys", "--target")
+    sp.add_argument("--col", required=True, help="key column name")
+    sp.add_argument("--values", default=None,
+                    help="comma-separated key values to delete")
+    sp.add_argument("--keys-parquet", default=None,
+                    help="parquet file/dir holding the key column")
+    sp.add_argument("--checkpoint-key", default=None)
     sp = add("respec", "--target")
     sp.add_argument("--bucket-col", required=True)
     sp.add_argument("--n-buckets", type=int, required=True)
@@ -372,6 +383,21 @@ def run(spark, args) -> dict:
             "manifests_removed": t.expire_snapshots(retain_last=args.retain_last),
             "version": t.current_version(),
         }
+
+    if args.cmd == "delete-keys":
+        from airbyte_spark.lake.dml import delete_equality
+
+        t = LakeTable.load(spark, args.target)
+        if args.keys_parquet:
+            keys = spark.read.parquet(args.keys_parquet).select(args.col)
+        elif args.values:
+            keys = args.values.split(",")
+        else:
+            raise SystemExit("delete-keys needs --values or --keys-parquet")
+        res = delete_equality(
+            t, keys, cols=[args.col], checkpoint_key=args.checkpoint_key
+        )
+        return {"type": "MAINTENANCE_RESULT", "mode": "delete-keys", **res}
 
     if args.cmd == "respec":
         from airbyte_spark.lake.format import PartitionSpec

@@ -31,6 +31,7 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import StructType
 
 from airbyte_spark.lake.format import FileEntry, LakeTable
 
@@ -496,4 +497,104 @@ def delete_positions(
         "version": version,
         "rows_deleted": entry["rows"],
         "delete_files": len(table.delete_files()),
+    }
+
+
+def delete_equality(
+    table: LakeTable,
+    keys: "DataFrame | list",
+    cols: "list[str] | None" = None,
+    checkpoint_key: "str | None" = None,
+) -> dict:
+    """Merge-on-read DELETE via equality-delete files (≡ Iceberg v2
+    equality deletes): the key tuples to delete are written as a small
+    sidecar and committed as table METADATA — no data file is read OR
+    rewritten, not even to locate matches. Every read anti-joins the
+    sidecar against data files whose data sequence number predates the
+    delete, so rows with those keys vanish immediately while rows
+    (re)inserted by this or any later commit survive — exactly Iceberg's
+    strictly-lower-sequence rule, which is what makes this safe under a
+    live CDC stream (a delete never swallows the upsert that follows it).
+
+    The delete-cost ladder this completes:
+      delete_where      O(matching files rewritten) now, free at read
+      delete_positions  O(matching rows scanned) now, one anti-join at read
+      delete_equality   O(|keys|) now — independent of table size — one
+                        anti-join per predating file era at read
+    At 100 TB, "purge these 10k urls" is a kilobyte-scale commit here vs a
+    full find-matches scan for the other two. Reads stay cheap because the
+    sidecar broadcast is tiny; a later rewrite (merge/compact/cluster) of
+    every predating file materializes the deletions and auto-drops the
+    entry (lake/format.py commit liveness rule).
+
+    `keys`: a DataFrame holding the key columns, or a plain list of values
+    for a single-column delete with `cols=["col"]`. Duplicate keys are
+    deduplicated. Idempotent per checkpoint_key.
+
+    Returns {"version", "keys", "eq_delete_files"}."""
+    import uuid as _uuid
+
+    if checkpoint_key is not None and checkpoint_key in table.committed():
+        return {
+            "version": table.current_version(),
+            "keys": 0,
+            "eq_delete_files": len(table.eq_delete_files()),
+        }
+    schema = table.schema()
+    if not isinstance(keys, DataFrame):
+        if not cols or len(cols) != 1:
+            raise ValueError("list-valued keys need exactly one cols=[name]")
+    check = cols or keys.columns
+    missing = [c for c in check if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"equality-delete columns not in table schema: {missing}")
+    if not isinstance(keys, DataFrame):
+        # list values arrive as whatever Python type the caller had (CLI
+        # passes strings); go through string → cast to the column's type so
+        # `--values 3,7` works against a bigint key column
+        kdf = table.spark.createDataFrame(
+            [(None if k is None else str(k),) for k in keys], f"`{cols[0]}` string"
+        ).select(F.col(cols[0]).cast(schema[cols[0]].dataType))
+    else:
+        kdf = keys
+    cols = check
+    kdf = kdf.select(*cols).distinct()
+    rel_dir = f"data/eqdeletes-{_uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(table.path, rel_dir)
+    kdf.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    entry = None
+    for name in os.listdir(out_dir):
+        if not name.endswith(".parquet"):
+            continue
+        abs_p = os.path.join(out_dir, name)
+        n = pq.ParquetFile(abs_p).metadata.num_rows
+        if n:
+            entry = {
+                "path": f"{rel_dir}/{name}",
+                "cols": list(cols),
+                "rows": n,
+                "bytes": os.path.getsize(abs_p),
+            }
+    if entry is None:  # empty key set → metadata no-op
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir, ignore_errors=True)
+        return {
+            "version": table.current_version(),
+            "keys": 0,
+            "eq_delete_files": len(table.eq_delete_files()),
+        }
+    version = table.commit(
+        [],
+        operation="delete-equality",
+        checkpoint_key=checkpoint_key,
+        summary={"keys": entry["rows"], "eq_deletes_added": 1},
+        eq_deletes_added=[entry],
+    )
+    return {
+        "version": version,
+        "keys": entry["rows"],
+        "eq_delete_files": len(table.eq_delete_files()),
     }

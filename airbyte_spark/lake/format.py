@@ -156,6 +156,11 @@ class FileEntry:
     schema_id: int
     partition: dict[str, Any] = field(default_factory=dict)
     stats: dict[str, Any] = field(default_factory=dict)  # {col: {min,max}}
+    # data sequence number (≡ Iceberg): the commit version that added this
+    # file; equality deletes apply only to files with STRICTLY LOWER seq.
+    # None on pre-seq manifests — treated as oldest (0), so historical data
+    # is always in scope for a later equality delete.
+    seq: int | None = None
 
     def to_json(self) -> dict:
         return vars(self)
@@ -793,6 +798,10 @@ class LakeTable:
         """Live position-delete sidecars: [{path, rows, bytes, targets}]."""
         return list(self.manifest(version).get("delete_files", []))
 
+    def eq_delete_files(self, version: int | None = None) -> list[dict]:
+        """Live equality-delete sidecars: [{path, cols, rows, bytes, seq}]."""
+        return list(self.manifest(version).get("eq_delete_files", []))
+
     def stats_summary(self, version: int | None = None) -> dict:
         """Metadata-only table stats (≡ Iceberg snapshot summary / the
         count(*) fast path a catalog answers without scanning): row count,
@@ -806,6 +815,17 @@ class LakeTable:
         same as SQL aggregates)."""
         entries = self.files(version)
         dvs = self.delete_files(version)
+        eqs = self.eq_delete_files(version)
+        if eqs:
+            # match counts are unknowable without a scan — every aggregate
+            # degrades to absent (exact-or-absent contract, like partial
+            # position-delete coverage below)
+            return {
+                "rows": None,
+                "bytes": sum(e.bytes for e in entries),
+                "files": len(entries),
+                "columns": {},
+            }
         # position-deleted rows are invisible to reads but still present in
         # the footers. Row count stays EXACT only when every sidecar's
         # targets are all live (then each sidecar row subtracts exactly one
@@ -893,14 +913,27 @@ class LakeTable:
             for d in m.get("delete_files", [])
             if any(t in entry_paths for t in d["targets"])
         ]
+        # equality deletes (≡ Iceberg v2): delete-by-key sidecars applied to
+        # data files with strictly lower data sequence number. Files are
+        # grouped into ERAS by how many deletes postdate them — one
+        # broadcast anti-join per (delete, era) pair, and a file written
+        # after the last delete joins against nothing.
+        from bisect import bisect_right
+
+        eqs = sorted(m.get("eq_delete_files", []), key=lambda d: d["seq"])
+        eq_seqs = [d["seq"] for d in eqs]
         need_pos = with_positions or bool(dvs)
         extra = (_DV_FILE, _DV_POS) if need_pos else ()
         prefix = "file:" + os.path.abspath(self.path) + "/"
-        by_schema: dict[int, list[str]] = {}
+        by_schema: dict[tuple[int, int], list[str]] = {}
         for e in entries:
-            by_schema.setdefault(e.schema_id, []).append(os.path.join(self.path, e.path))
+            era = bisect_right(eq_seqs, e.seq or 0)
+            by_schema.setdefault((e.schema_id, era), []).append(
+                os.path.join(self.path, e.path)
+            )
+        eq_dfs: dict[str, DataFrame] = {}
         parts = []
-        for sid, paths in by_schema.items():
+        for (sid, era), paths in by_schema.items():
             written = StructType.fromJson(m["schemas"][str(sid)])
             df = self.spark.read.schema(written).parquet(*paths)
             if need_pos:
@@ -918,9 +951,22 @@ class LakeTable:
                 # field-id projection: a renamed column maps old file name →
                 # current name; a name reused after a drop has a different
                 # id, so old bytes stay NULL under it
-                parts.append(_align_by_id(df, target, written_ids, target_ids, extra))
+                part = _align_by_id(df, target, written_ids, target_ids, extra)
             else:  # legacy generation without ids — name-based alignment
-                parts.append(_align(df, target, extra))
+                part = _align(df, target, extra)
+            for d in eqs[era:]:  # only deletes that postdate these files
+                ap = os.path.join(self.path, d["path"])
+                if d["path"] not in eq_dfs:
+                    eq_dfs[d["path"]] = self.spark.read.parquet(ap).select(
+                        *[F.col(c).alias(f"__eq_{c}") for c in d["cols"]]
+                    )
+                ddf = eq_dfs[d["path"]]
+                cond = None
+                for c in d["cols"]:
+                    e_ = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                    cond = e_ if cond is None else cond & e_
+                part = part.join(F.broadcast(ddf), cond, "left_anti")
+            parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1211,6 +1257,7 @@ class LakeTable:
         checkpoint_key: "str | list[str] | None" = None,
         summary: dict | None = None,
         delete_files_added: "list[dict] | None" = None,
+        eq_deletes_added: "list[dict] | None" = None,
     ) -> int:
         """Publish a new snapshot: current files − removed + added.
 
@@ -1254,7 +1301,7 @@ class LakeTable:
                     for stale in (p, p + ".bloom"):
                         if os.path.exists(stale):
                             os.remove(stale)
-                for d in delete_files_added or []:
+                for d in (delete_files_added or []) + (eq_deletes_added or []):
                     p = os.path.join(self.path, d["path"])
                     if os.path.exists(p):
                         os.remove(p)
@@ -1284,6 +1331,11 @@ class LakeTable:
                     f"files removed by a concurrent commit: {sorted(removed_paths - live)[:3]}"
                 )
             new_version = m["version"] + 1
+            # data sequence number = the version this commit publishes;
+            # equality deletes apply only to files with strictly lower seq,
+            # so rows (re)inserted in or after a delete's commit survive it
+            for d in added_json:
+                d["seq"] = new_version
             m["files"] = [f for f in m["files"] if f["path"] not in removed_paths] + added_json
             # a delete sidecar lives while >=1 of its target data files is
             # live; a rewrite (merge/compact) that replaces every target has
@@ -1295,6 +1347,14 @@ class LakeTable:
                 for d in m.get("delete_files", [])
                 if any(t in live_after for t in d["targets"])
             ] + list(delete_files_added or [])
+            # an equality delete lives while >=1 live data file predates it
+            # (lower seq); once every older file is rewritten the deletions
+            # are materialized and the entry drops (file → vacuum candidate)
+            m["eq_delete_files"] = [
+                d
+                for d in m.get("eq_delete_files", [])
+                if any((f.get("seq") or 0) < d["seq"] for f in m["files"])
+            ] + [{**d, "seq": new_version} for d in eq_deletes_added or []]
             m["operation"] = operation
             m["commit"] = {"key": keys[0] if keys else None, **full_summary}
             for i, k in enumerate(keys):
@@ -1355,7 +1415,7 @@ class LakeTable:
                     f"cannot roll back to v{version}: data file {f['path']} "
                     "was vacuumed"
                 )
-        for d in target.get("delete_files", []):
+        for d in target.get("delete_files", []) + target.get("eq_delete_files", []):
             if not os.path.exists(os.path.join(self.path, d["path"])):
                 raise FileNotFoundError(
                     f"cannot roll back to v{version}: delete sidecar "
@@ -1380,6 +1440,7 @@ class LakeTable:
                 # dropping the target's) delete_files would make the
                 # restored state differ from what version actually read
                 "delete_files": target.get("delete_files", []),
+                "eq_delete_files": target.get("eq_delete_files", []),
                 "files": target["files"],
                 "schema_id": target["schema_id"],
                 "schemas": target["schemas"],
@@ -1523,7 +1584,14 @@ class LakeTable:
                     "live file set changed during cluster rewrite — re-run "
                     "to include the concurrently committed files"
                 )
+            for d in added_json:
+                d["seq"] = m["version"] + 1
             m["files"] = added_json
+            # a full rewrite materializes every outstanding delete: position
+            # sidecars lose all targets, equality deletes no longer predate
+            # any live file — both drop (files become vacuum candidates)
+            m["delete_files"] = []
+            m["eq_delete_files"] = []
             m["operation"] = "cluster"
             m.setdefault("properties", {})["sort.order"] = (
                 f"zorder({','.join(sort_cols)})"
@@ -1581,7 +1649,12 @@ class LakeTable:
                     "live file set changed during spec rewrite — re-run to "
                     "re-cluster the concurrently committed files"
                 )
+            for d in added_json:
+                d["seq"] = m["version"] + 1
             m["files"] = added_json
+            # full rewrite → all outstanding deletes are materialized
+            m["delete_files"] = []
+            m["eq_delete_files"] = []
             m["partition_spec"] = new_spec.to_json()
             m["operation"] = "rewrite-spec"
             m["commit"] = {
@@ -1603,12 +1676,14 @@ class LakeTable:
         (time travel to older versions is lost for removed files)."""
         live = {f.path for f in self.files()}
         live |= {d["path"] for d in self.delete_files()}
+        live |= {d["path"] for d in self.eq_delete_files()}
         # staged-but-unpublished branch work is live too: a vacuum on main
         # must never delete files an open branch head references
         for b in self.branches():
             bt = self.branch(b)
             live |= {f.path for f in bt.files()}
             live |= {d["path"] for d in bt.delete_files()}
+            live |= {d["path"] for d in bt.eq_delete_files()}
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_root):
@@ -1764,18 +1839,26 @@ class LakeTable:
                 and not os.path.exists(self._manifest_path(parent))
             ):
                 issues.append({"kind": "broken-chain", "version": v, "parent": parent})
+        # live delete sidecars (positional + equality) must exist on disk —
+        # a missing one silently resurrects deleted rows
+        for d in m.get("delete_files", []) + m.get("eq_delete_files", []):
+            if not os.path.exists(os.path.join(self.path, d["path"])):
+                issues.append({"kind": "missing-file", "path": d["path"]})
         referenced = {e.path for e in entries}
         referenced |= {d["path"] for d in self.delete_files()}
+        referenced |= {d["path"] for d in self.eq_delete_files()}
         for v in range(1, (self.current_version() or 0) + 1):
             mp = self._manifest_path(v)
             if os.path.exists(mp):
                 mv = self._read_manifest_file(mp, lenient=True)
                 referenced |= {f["path"] for f in mv["files"]}
                 referenced |= {d["path"] for d in mv.get("delete_files", [])}
+                referenced |= {d["path"] for d in mv.get("eq_delete_files", [])}
         for b in self.branches():
             bt = self.branch(b)
             referenced |= {e.path for e in bt.files()}
             referenced |= {d["path"] for d in bt.delete_files()}
+            referenced |= {d["path"] for d in bt.eq_delete_files()}
         data_root = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_root):
             for name in names:

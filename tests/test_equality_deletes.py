@@ -1,0 +1,171 @@
+"""Equality-delete files (≡ Iceberg v2 equality deletes).
+
+delete_equality commits a key-tuple sidecar as pure metadata — O(|keys|)
+regardless of table size, no data file read or rewritten. Reads apply it
+only to data files whose data sequence number predates the delete, so a
+later (re)insert of the same key survives — the strictly-lower-sequence
+rule that makes metadata deletes safe under a live CDC stream.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airbyte_spark.lake.dml import delete_equality
+from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+
+def _src(spark, sf_dir, n=400):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(n)
+    )
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    src = _src(spark, sf_dir)
+    t = LakeTable.create(spark, str(tmp_path / "t"), src.schema, PartitionSpec())
+    for i in range(3):
+        t.append(
+            src.filter(F.col("event_id") % 3 == i),
+            checkpoint_key=f"ck-{i}",
+            stat_cols=["event_id"],
+        )
+    return t, src
+
+
+def test_metadata_only_delete_no_rewrite(spark, sf_dir, table):
+    t, src = table
+    files_before = {e.path for e in t.files()}
+    victims = [r["event_id"] for r in src.filter("event_type = 'error'").collect()]
+    res = delete_equality(t, victims, cols=["event_id"])
+    assert res["keys"] == len(set(victims)) and res["eq_delete_files"] == 1
+    # not a single data file touched
+    assert {e.path for e in t.files()} == files_before
+    got = {r["event_id"] for r in t.read().collect()}
+    want = {r["event_id"] for r in src.filter("event_type <> 'error'").collect()}
+    assert got == want
+
+
+def test_sequence_rule_reinsert_survives(spark, sf_dir, table):
+    t, src = table
+    doomed = src.filter("user_id % 10 = 3")
+    delete_equality(t, doomed.select("event_id"), cols=["event_id"])
+    assert t.read().filter("user_id % 10 = 3").count() == 0
+    # rows re-inserted AFTER the delete carry a higher sequence → visible
+    reinsert = doomed.filter("event_id % 2 = 0")
+    t.append(reinsert, checkpoint_key="reinsert")
+    assert (
+        t.read().filter("user_id % 10 = 3").count() == reinsert.count()
+    ), "post-delete insert must not be swallowed by the equality delete"
+    # and the pre-delete copies stay deleted (no duplicate revival)
+    n_total = t.read().count()
+    assert n_total == src.filter("user_id % 10 <> 3").count() + reinsert.count()
+
+
+def test_composite_key_delete(spark, sf_dir, table):
+    t, src = table
+    keys = src.filter("event_type = 'view'").select("event_id", "user_id")
+    delete_equality(t, keys)
+    assert t.read().filter("event_type = 'view'").count() == 0
+    assert t.read().count() == src.filter("event_type <> 'view'").count()
+
+
+def test_compaction_materializes_and_drops_entry(spark, sf_dir, table):
+    t, src = table
+    delete_equality(t, src.select("event_id").limit(50), cols=["event_id"])
+    before = t.read().count()
+    assert len(t.eq_delete_files()) == 1
+    t.compact(target_file_bytes=1 << 30)
+    # every predating file was rewritten → entry dropped, contents unchanged
+    assert t.eq_delete_files() == []
+    assert t.read().count() == before
+    # sidecar file is now unreferenced by the head → vacuum after expiry
+    t.expire_snapshots(retain_last=1)
+    assert t.vacuum() >= 1
+    assert t.read().count() == before
+
+
+def test_time_travel_and_rollback(spark, sf_dir, table):
+    t, src = table
+    v_before = t.current_version()
+    n_before = t.read().count()
+    delete_equality(t, src.select("event_id").limit(100), cols=["event_id"])
+    n_after = t.read().count()
+    assert n_after < n_before
+    assert t.read(v_before).count() == n_before  # pre-delete snapshot intact
+    t.rollback(v_before)
+    assert t.read().count() == n_before
+    # rolling FORWARD again (to the delete snapshot) also works
+    t.rollback(v_before + 1)
+    assert t.read().count() == n_after
+
+
+def test_idempotent_redelivery(spark, sf_dir, table):
+    t, src = table
+    delete_equality(
+        t, src.select("event_id").limit(10), cols=["event_id"], checkpoint_key="d-1"
+    )
+    v = t.current_version()
+    res = delete_equality(
+        t, src.select("event_id").limit(10), cols=["event_id"], checkpoint_key="d-1"
+    )
+    assert res["version"] == v and res["keys"] == 0
+    assert t.current_version() == v
+
+
+def test_merge_into_eq_deleted_table(spark, sf_dir, tmp_path):
+    """The CDC merge path reads candidates through the eq-delete filter:
+    a deleted key absent from the batch stays deleted; a batch upsert of a
+    deleted key re-inserts it (new seq) — LWW semantics preserved."""
+    from airbyte_spark.lake.merge import merge_upsert
+    from airbyte_spark.protocol import StreamConfig
+    from airbyte_spark.sources.changelog import derive_changelog
+    from airbyte_spark.streaming.pipeline import default_target_schema
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changelog = derive_changelog(events, batch_span=10**9).cache()
+    cfg = StreamConfig(name="pages", schema=default_target_schema())
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "pages"),
+        default_target_schema(),
+        PartitionSpec.bucket("url", 4),
+    )
+    merge_upsert(t, changelog, cfg, checkpoint_key="b-0")
+    urls = [r["url"] for r in t.read().select("url").limit(3).collect()]
+    delete_equality(t, urls[:2], cols=["url"])
+    assert t.read().filter(F.col("url").isin(urls[:2])).count() == 0
+    # redeliver the same changelog under a new key: the upserts re-insert
+    merge_upsert(t, changelog, cfg, checkpoint_key="b-1")
+    assert t.read().filter(F.col("url").isin(urls[:2])).count() == 2
+
+
+def test_stats_summary_degrades_exact_or_absent(spark, sf_dir, table):
+    t, src = table
+    assert t.stats_summary()["rows"] == src.count()
+    delete_equality(t, src.select("event_id").limit(5), cols=["event_id"])
+    s = t.stats_summary()
+    assert s["rows"] is None and s["columns"] == {}
+    t.compact(target_file_bytes=1 << 30)
+    assert t.stats_summary()["rows"] == t.read().count()
+
+
+def test_fsck_missing_sidecar_detected(spark, sf_dir, table):
+    import os
+
+    t, src = table
+    delete_equality(t, src.select("event_id").limit(5), cols=["event_id"])
+    path = t.eq_delete_files()[0]["path"]
+    assert not [i for i in t.fsck() if i["path"] == path]
+    os.rename(t.path + "/" + path, t.path + "/" + path + ".bak")
+    assert [i for i in t.fsck() if i["kind"] == "missing-file" and i["path"] == path]
+
+
+def test_unknown_column_rejected(spark, sf_dir, table):
+    t, _ = table
+    with pytest.raises(ValueError, match="not in table schema"):
+        delete_equality(t, [1, 2], cols=["nope"])
