@@ -1050,6 +1050,33 @@ def q_sync_delete_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def q_sync_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN with an initial DEFAULT (≡ Iceberg v3 initial-default /
+    SQL ADD COLUMN ... DEFAULT; format.py add_column): a metadata-only
+    commit backfills a constant onto every pre-existing row — zero
+    rewrites, keyed on the new field id, so at 100 TB the backfill costs
+    one manifest write. Rows appended after the add carry their own
+    values; the oracle states both generations in plain SQL."""
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_defcol_")
+    t = LakeTable.create(spark, base + "/events_def", src.schema, PartitionSpec())
+    t.append(src, checkpoint_key="bulk")
+    files_before = {e.path for e in t.files()}
+    t.add_column("source", "string", default="backfill")
+    assert {e.path for e in t.files()} == files_before, "must be metadata-only"
+    t.append(
+        src.filter("event_id % 5 = 0").withColumn("source", F.lit("live")),
+        checkpoint_key="live-batch",
+    )
+    return t.read().select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "source"
+    )
+
+
 def q_sync_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write row-level UPDATE (lake/dml.py update_where — completes
     the DML triad): matching rows get SET value = value * 2, props =
@@ -2515,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_delete_where": q_sync_delete_where,
         "sync_segmented_manifest": q_sync_segmented_manifest,
         "sync_delete_equality": q_sync_delete_equality,
+        "sync_add_column_default": q_sync_add_column_default,
         "sync_update_where": q_sync_update_where,
         "sync_merge_into": q_sync_merge_into,
         "sync_replace_where": q_sync_replace_where,
@@ -3299,6 +3327,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, ts, user_id, event_type, value, props FROM events
             WHERE user_id % 10 = 3 AND event_id % 2 = 0
+        """,
+        "sync_add_column_default": """
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   'backfill' AS source
+            FROM events
+            UNION ALL
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   'live' AS source
+            FROM events WHERE event_id % 5 = 0
         """,
         "sync_replace_where": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

@@ -586,6 +586,57 @@ class LakeTable:
             except CommitConflict:
                 continue
 
+    def add_column(
+        self, name: str, dtype, default=None
+    ) -> StructType:
+        """Metadata-only ADD COLUMN with an optional INITIAL DEFAULT
+        (≡ Iceberg v3 initial-default / SQL ADD COLUMN ... DEFAULT): rows
+        in files written BEFORE the column existed read `default` instead
+        of NULL — zero rewrites, the only affordable way to backfill a
+        constant onto a 100 TB table. Rows written after the add carry
+        their own values (an explicit NULL stays NULL) — exactly the
+        initial-default rule, implemented by keying the default on the
+        new FIELD ID: a file generation whose schema lacks the id fills
+        the default at read; generations that have it read stored bytes.
+        Renames keep the default (id survives); re-adding a dropped name
+        never resurrects the old default (fresh id).
+
+        `dtype` is a Spark DataType or DDL string ("string", "bigint",
+        "timestamp_ntz"). The default must be a JSON-storable literal; it
+        is cast to `dtype` at read, so pass timestamps as ISO strings."""
+        from pyspark.sql.types import DataType, _parse_datatype_string
+
+        if not isinstance(dtype, DataType):
+            dtype = _parse_datatype_string(str(dtype))
+        if default is not None and not isinstance(default, (str, int, float, bool)):
+            raise ValueError("default must be a JSON-storable scalar")
+        while True:
+            m = self.manifest()
+            current = StructType.fromJson(m["schemas"][str(m["schema_id"])])
+            if name in current.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            cur_ids = dict(
+                (m.get("field_ids") or {}).get(str(m["schema_id"]))
+                or {f.name: i + 1 for i, f in enumerate(current.fields)}
+            )
+            fid = int(m.get("last_field_id") or max(cur_ids.values(), default=0)) + 1
+            new_schema = StructType([*current.fields, StructField(name, dtype, True)])
+            new_sid = int(m["schema_id"]) + 1
+            m["schemas"][str(new_sid)] = json.loads(new_schema.json())
+            m.setdefault("field_ids", {})[str(new_sid)] = {**cur_ids, name: fid}
+            m["last_field_id"] = fid
+            if default is not None:
+                m.setdefault("field_defaults", {})[str(fid)] = default
+            m["schema_id"] = new_sid
+            m["version"] += 1
+            m["parent"] = m["version"] - 1
+            m["operation"] = f"add-column:{name}"
+            try:
+                self._write_manifest(m)
+                return new_schema
+            except CommitConflict:
+                continue
+
     def rename_column(self, old: str, new: str) -> StructType:
         """Metadata-only column rename (≡ Iceberg ALTER TABLE ... RENAME
         COLUMN): no file is touched — the field keeps its id, old files are
@@ -899,6 +950,15 @@ class LakeTable:
         target = StructType.fromJson(m["schemas"][str(m["schema_id"])])
         all_ids = m.get("field_ids") or {}
         target_ids = all_ids.get(str(m["schema_id"]))
+        # initial defaults (add_column): field-id-keyed → name-keyed for the
+        # current schema; files whose generation predates the id fill these
+        # at read instead of NULL
+        _fd = m.get("field_defaults") or {}
+        defaults = {
+            fname: _fd[str(fid)]
+            for fname, fid in (target_ids or {}).items()
+            if str(fid) in _fd
+        }
         entries = files if files is not None else [FileEntry.from_json(d) for d in m["files"]]
         if not entries:
             df = self.spark.createDataFrame([], target)
@@ -951,9 +1011,9 @@ class LakeTable:
                 # field-id projection: a renamed column maps old file name →
                 # current name; a name reused after a drop has a different
                 # id, so old bytes stay NULL under it
-                part = _align_by_id(df, target, written_ids, target_ids, extra)
+                part = _align_by_id(df, target, written_ids, target_ids, extra, defaults)
             else:  # legacy generation without ids — name-based alignment
-                part = _align(df, target, extra)
+                part = _align(df, target, extra, defaults)
             for d in eqs[era:]:  # only deletes that postdate these files
                 ap = os.path.join(self.path, d["path"])
                 if d["path"] not in eq_dfs:
@@ -1445,6 +1505,7 @@ class LakeTable:
                 "schema_id": target["schema_id"],
                 "schemas": target["schemas"],
                 "field_ids": target.get("field_ids", m.get("field_ids", {})),
+                "field_defaults": target.get("field_defaults", {}),
                 "partition_spec": target["partition_spec"],
                 "committed": target["committed"],
                 "properties": target.get("properties", {}),
@@ -1886,18 +1947,21 @@ def _align_by_id(
     written_ids: dict[str, int],
     target_ids: dict[str, int],
     extra: tuple[str, ...] = (),
+    defaults: "dict | None" = None,
 ) -> DataFrame:
     """Project df (one file generation) onto target by FIELD ID: for each
     target field, read the written column carrying the same id (whatever it
-    was named then), cast if widened, NULL-fill ids the file predates.
-    `extra` columns (e.g. row-position helpers) pass through untouched."""
+    was named then), cast if widened, and fill ids the file predates with
+    the field's initial default (add_column) or NULL. `extra` columns
+    (e.g. row-position helpers) pass through untouched."""
     by_id = {v: k for k, v in written_ids.items()}
     have = {f.name: f for f in df.schema.fields}
     cols = []
     for f in target.fields:
         src = by_id.get(target_ids.get(f.name))
         if src is None or src not in have:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            fill = (defaults or {}).get(f.name)
+            cols.append(F.lit(fill).cast(f.dataType).alias(f.name))
         elif have[src].dataType != f.dataType:
             cols.append(F.col(src).cast(f.dataType).alias(f.name))
         else:
@@ -1905,14 +1969,20 @@ def _align_by_id(
     return df.select(*cols, *[F.col(c) for c in extra])
 
 
-def _align(df: DataFrame, target: StructType, extra: tuple[str, ...] = ()) -> DataFrame:
-    """Project df onto target schema: missing columns → NULL, widened → cast.
-    `extra` columns pass through untouched."""
+def _align(
+    df: DataFrame,
+    target: StructType,
+    extra: tuple[str, ...] = (),
+    defaults: "dict | None" = None,
+) -> DataFrame:
+    """Project df onto target schema: missing columns → initial default or
+    NULL, widened → cast. `extra` columns pass through untouched."""
     have = {f.name: f for f in df.schema.fields}
     cols = []
     for f in target.fields:
         if f.name not in have:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            fill = (defaults or {}).get(f.name)
+            cols.append(F.lit(fill).cast(f.dataType).alias(f.name))
         elif have[f.name].dataType != f.dataType:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
