@@ -37,8 +37,12 @@ Commands:
                                  print the configured catalog (≡ discover)
   compact  --target T [--target-file-mb N]
                                  bin-pack small data files (one metadata commit)
-  vacuum   --target T            delete data files unreferenced by the
-                                 current snapshot (+ orphan manifest segments)
+  vacuum   --target T [--retain-last N]
+                                 delete data files unreferenced by the newest
+                                 N snapshots (+ orphan manifest segments)
+  properties --target T [--set k=v ...] [--unset k ...]
+                                 read/update table properties (bloom.key,
+                                 manifest.segmented, constraint.*, ...)
   expire-snapshots --target T [--retain-last N]
                                  bound the manifest chain: keep the newest N
                                  snapshot heads (time travel below the floor
@@ -125,7 +129,12 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--catalog", required=True)
     sp = add("compact", "--target")
     sp.add_argument("--target-file-mb", type=int, default=128)
-    add("vacuum", "--target")
+    sp = add("vacuum", "--target")
+    sp.add_argument("--retain-last", type=int, default=1,
+                    help="keep files referenced by the newest N snapshots")
+    sp = add("properties", "--target")
+    sp.add_argument("--set", action="append", default=[], metavar="K=V")
+    sp.add_argument("--unset", action="append", default=[], metavar="K")
     sp = add("expire-snapshots", "--target")
     sp.add_argument("--retain-last", type=int, default=10,
                     help="newest N manifest versions to keep (current always kept)")
@@ -372,7 +381,19 @@ def run(spark, args) -> dict:
         return {
             "type": "MAINTENANCE_RESULT",
             "mode": "vacuum",
-            "files_removed": t.vacuum(),
+            "files_removed": t.vacuum(retain_last=args.retain_last),
+        }
+
+    if args.cmd == "properties":
+        t = LakeTable.load(spark, args.target)
+        sets = dict(kv.split("=", 1) for kv in args.set)
+        if sets or args.unset:
+            t._update_properties(sets, set(args.unset), "set-properties")
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": "properties",
+            "properties": t.properties(),
+            "version": t.current_version(),
         }
 
     if args.cmd == "expire-snapshots":

@@ -1732,12 +1732,27 @@ class LakeTable:
             except CommitConflict:
                 continue  # metadata race only; re-check the live set
 
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the current snapshot
-        (time travel to older versions is lost for removed files)."""
-        live = {f.path for f in self.files()}
-        live |= {d["path"] for d in self.delete_files()}
-        live |= {d["path"] for d in self.eq_delete_files()}
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Delete data files not referenced by the newest `retain_last`
+        snapshots (time travel below that horizon is lost for removed
+        files). The default keeps only the current snapshot — the
+        aggressive end; `retain_last=N` keeps the last N time-travelable
+        (≡ Iceberg remove_orphan_files + expire_snapshots' file cleanup
+        with a retention window), which is what an operator runs on a
+        schedule so a bad commit discovered within the window can still
+        roll back."""
+        d = self._meta_dir()
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        live: set[str] = set()
+        for v in versions[-max(1, retain_last):]:
+            m = self.manifest(v)
+            live |= {f["path"] for f in m["files"]}
+            live |= {x["path"] for x in m.get("delete_files", [])}
+            live |= {x["path"] for x in m.get("eq_delete_files", [])}
         # staged-but-unpublished branch work is live too: a vacuum on main
         # must never delete files an open branch head references
         for b in self.branches():

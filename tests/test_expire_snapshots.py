@@ -119,3 +119,39 @@ def test_expiry_plus_vacuum_reclaims_stale_segments(spark, sf_dir, tmp_path):
     }
     assert needed <= set(left)
     assert t.read().count() == src.count()
+
+
+def test_vacuum_retention_window(spark, sf_dir, tmp_path):
+    """vacuum(retain_last=N) keeps files the newest N snapshots reference,
+    so a rollback inside the window still works after cleanup."""
+    src = _src(spark, sf_dir)
+    t = LakeTable.create(spark, str(tmp_path / "t5"), src.schema, PartitionSpec())
+    t.append(src.filter("event_id % 2 = 0"))
+    v1 = t.current_version()
+    t.overwrite(src.filter("event_id % 2 = 1"))  # v1's files now unreferenced
+    n1 = src.filter("event_id % 2 = 0").count()
+    assert t.vacuum(retain_last=2) == 0  # window covers v1 → nothing removed
+    assert t.read(v1).count() == n1
+    t.rollback(v1)  # still possible inside the window
+    t.rollback(t.current_version() - 1)  # forward again (files retained)
+    assert t.vacuum(retain_last=1) > 0  # aggressive: v1-only files go
+    assert t.read().count() == src.filter("event_id % 2 = 1").count()
+
+
+def test_properties_cli_roundtrip(spark, sf_dir, tmp_path):
+    from airbyte_spark import cli
+
+    src = _src(spark, sf_dir)
+    t = LakeTable.create(spark, str(tmp_path / "t6"), src.schema, PartitionSpec())
+    args = cli._parser().parse_args(
+        ["properties", "--target", t.path, "--set", "manifest.segmented=true"]
+    )
+    out = cli.run(spark, args)
+    assert out["properties"]["manifest.segmented"] == "true"
+    t.append(src.limit(20))
+    with open(os.path.join(t.path, "_lake", f"v{t.current_version():09d}.json")) as fh:
+        assert json.load(fh).get("file_segments")  # property took effect
+    args = cli._parser().parse_args(
+        ["properties", "--target", t.path, "--unset", "manifest.segmented"]
+    )
+    assert "manifest.segmented" not in cli.run(spark, args)["properties"]
