@@ -47,6 +47,10 @@ Commands:
                                  bound the manifest chain: keep the newest N
                                  snapshot heads (time travel below the floor
                                  is given up; current state untouched)
+  tag      --target T [--name N [--version V] [--drop]]
+                                 pin/list/drop named snapshots (≡ Iceberg
+                                 tags; exempt from expiry and vacuum — the
+                                 "corpus a training run saw" pin)
   delete-keys --target T --col C (--values a,b | --keys-parquet P)
                                  equality delete: purge rows by key as an
                                  O(|keys|) metadata commit (no file rewrite;
@@ -138,6 +142,10 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("expire-snapshots", "--target")
     sp.add_argument("--retain-last", type=int, default=10,
                     help="newest N manifest versions to keep (current always kept)")
+    sp = add("tag", "--target")
+    sp.add_argument("--name", default=None, help="tag to create/drop (omit to list)")
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--drop", action="store_true")
     sp = add("delete-keys", "--target")
     sp.add_argument("--col", required=True, help="key column name")
     sp.add_argument("--values", default=None,
@@ -404,6 +412,14 @@ def run(spark, args) -> dict:
             "manifests_removed": t.expire_snapshots(retain_last=args.retain_last),
             "version": t.current_version(),
         }
+
+    if args.cmd == "tag":
+        t = LakeTable.load(spark, args.target)
+        if args.name and args.drop:
+            t.drop_tag(args.name)
+        elif args.name:
+            t.tag(args.name, args.version)
+        return {"type": "MAINTENANCE_RESULT", "mode": "tag", "tags": t.tags()}
 
     if args.cmd == "delete-keys":
         from airbyte_spark.lake.dml import delete_equality

@@ -300,7 +300,9 @@ class LakeTable:
         ]
         return max(versions) if versions else None
 
-    def manifest(self, version: int | None = None) -> dict:
+    def manifest(self, version: "int | str | None" = None) -> dict:
+        # a string version is a tag name (≡ Iceberg VERSION AS OF 'tag')
+        version = self._resolve_version(version)
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no manifests in {self.path}")
@@ -1740,15 +1742,17 @@ class LakeTable:
         (≡ Iceberg remove_orphan_files + expire_snapshots' file cleanup
         with a retention window), which is what an operator runs on a
         schedule so a bad commit discovered within the window can still
-        roll back."""
+        roll back. Tagged snapshots' files are always kept."""
         d = self._meta_dir()
         versions = sorted(
             int(f[1:-5])
             for f in os.listdir(d)
             if f.startswith("v") and f.endswith(".json")
         )
+        keep = set(versions[-max(1, retain_last):])
+        keep |= {v for v in self._refs()["tags"].values() if v in versions}
         live: set[str] = set()
-        for v in versions[-max(1, retain_last):]:
+        for v in sorted(keep):
             m = self.manifest(v)
             live |= {f["path"] for f in m["files"]}
             live |= {x["path"] for x in m.get("delete_files", [])}
@@ -1787,6 +1791,75 @@ class LakeTable:
                     removed += 1
         return removed
 
+    # ---- snapshot tags (≡ Iceberg tags: named, retention-exempt refs) ----
+    #
+    # A tag pins a snapshot under a stable name — "the exact corpus
+    # train-run-7 saw" — and exempts it from expire_snapshots/vacuum, so
+    # reproducibility survives routine retention. Refs live OUTSIDE the
+    # snapshot chain (_lake/refs.json, atomic tmp+rename): rollback must
+    # not silently drop tags created after the restore point, and the
+    # expired-version ledger kept here is what lets fsck tell a legal
+    # retention gap from genuine chain corruption.
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, _LAKE_DIR, "refs.json")
+
+    def _refs(self) -> dict:
+        try:
+            with open(self._refs_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"tags": {}, "expired": []}
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.replace(tmp, self._refs_path())
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin `version` (default: current) under a stable name. Tagged
+        snapshots are exempt from expire_snapshots and from vacuum's file
+        cleanup until the tag is dropped."""
+        v = version if version is not None else self.current_version()
+        if not os.path.exists(self._manifest_path(v)):
+            raise FileNotFoundError(f"no snapshot v{v} to tag")
+        refs = self._refs()
+        refs["tags"][name] = v
+        self._write_refs(refs)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        refs = self._refs()
+        refs["tags"].pop(name, None)
+        self._write_refs(refs)
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._refs()["tags"])
+
+    def _resolve_version(self, version: "int | str | None") -> int | None:
+        if isinstance(version, str):
+            tags = self._refs()["tags"]
+            if version not in tags:
+                raise KeyError(f"no tag {version!r}")
+            return tags[version]
+        return version
+
+    @staticmethod
+    def _in_intervals(v: int, intervals: list) -> bool:
+        return any(lo <= v <= hi for lo, hi in intervals)
+
+    @staticmethod
+    def _add_interval(intervals: list, v: int) -> list:
+        merged = sorted([list(x) for x in intervals] + [[v, v]])
+        out: list = []
+        for lo, hi in merged:
+            if out and lo <= out[-1][1] + 1:
+                out[-1][1] = max(out[-1][1], hi)
+            else:
+                out.append([lo, hi])
+        return out
+
     def expire_snapshots(self, retain_last: int = 10) -> int:
         """Delete manifest heads older than the newest `retain_last`
         versions (≡ Iceberg expire_snapshots / Delta log retention): under
@@ -1798,18 +1871,28 @@ class LakeTable:
         that version (its true history predates the floor). What does NOT
         change: current reads, the committed-set exactly-once guard (it
         rides the head), branches (each chain expires via its own handle),
-        and data files (vacuum owns those; segment files only expired
-        manifests referenced become vacuum candidates). The current
-        version is always retained. Returns manifests removed."""
+        TAGGED snapshots (retention-exempt until drop_tag), and data files
+        (vacuum owns those; segment files only expired manifests
+        referenced become vacuum candidates). The current version is
+        always retained. Expired versions are ledgered in _lake/refs.json
+        as intervals so fsck can tell this legal gap from corruption.
+        Returns manifests removed."""
         d = self._meta_dir()
         versions = sorted(
             int(f[1:-5])
             for f in os.listdir(d)
             if f.startswith("v") and f.endswith(".json")
         )
-        victims = versions[: -max(1, retain_last)]
+        refs = self._refs()
+        tagged = set(refs["tags"].values())
+        victims = [v for v in versions[: -max(1, retain_last)] if v not in tagged]
+        expired = refs.get("expired", [])
         for v in victims:
             os.remove(self._manifest_path(v))
+            expired = self._add_interval(expired, v)
+        if victims:
+            refs["expired"] = expired
+            self._write_refs(refs)
         return len(victims)
 
     def _all_manifest_paths(self) -> list[str]:
@@ -1896,15 +1979,17 @@ class LakeTable:
                 except TypeError:
                     pass
         # chain walk: every retained manifest's parent must exist — except
-        # below the expiry floor: expire_snapshots() removes a PREFIX, so a
-        # parent older than the oldest retained version is a legal gap,
-        # while a missing parent INSIDE the retained range is corruption.
+        # where expire_snapshots() legally removed it: below the oldest
+        # retained version (prefix expiry) or inside the refs.json expired
+        # ledger (tagged snapshots leave retained islands mid-chain). A
+        # missing parent NOT covered by either is corruption.
         retained = [
             v
             for v in range(1, (self.current_version() or 0) + 1)
             if os.path.exists(self._manifest_path(v))
         ]
         floor = retained[0] if retained else 0
+        expired = self._refs().get("expired", [])
         for v in retained:
             with open(self._manifest_path(v)) as fh:
                 mv = json.load(fh)
@@ -1912,6 +1997,7 @@ class LakeTable:
             if (
                 parent
                 and parent >= floor
+                and not self._in_intervals(parent, expired)
                 and not os.path.exists(self._manifest_path(parent))
             ):
                 issues.append({"kind": "broken-chain", "version": v, "parent": parent})
