@@ -133,6 +133,14 @@ class CdcPipeline:
     # without a separate maintenance scheduler. None = never (default).
     auto_compact_files: int | None = None
     auto_compact_target_bytes: int = 128 * 1024 * 1024
+    # opt-in metadata retention: once more than 2x this many snapshot heads
+    # are retained, expire down to this many and vacuum with the same
+    # window (tagged snapshots are exempt — format.py). A per-checkpoint
+    # stream mints one snapshot per commit, so an unbounded chain is the
+    # default failure mode of a long-running ingest; this keeps the
+    # manifest dir O(keep) without a separate maintenance scheduler.
+    # None = never (default).
+    auto_expire_keep: int | None = None
     results: list[BatchResult] = field(default_factory=list)
 
     # ---- construction helpers ----
@@ -218,6 +226,7 @@ class CdcPipeline:
         )
         self.results.append(res)
         self._maybe_compact()
+        self._maybe_expire()
         return res
 
     def _maybe_compact(self) -> None:
@@ -229,6 +238,20 @@ class CdcPipeline:
         )
         if small >= self.auto_compact_files:
             self.table.compact(target_file_bytes=self.auto_compact_target_bytes)
+
+    def _maybe_expire(self) -> None:
+        if not self.auto_expire_keep:
+            return
+        import os
+
+        d = os.path.join(self.table.path, "_lake")
+        n = sum(
+            1 for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        )
+        # 2x hysteresis: expire in batches instead of one manifest per commit
+        if n > 2 * self.auto_expire_keep:
+            self.table.expire_snapshots(retain_last=self.auto_expire_keep)
+            self.table.vacuum(retain_last=self.auto_expire_keep)
 
     # ---- bounded batch replay (binlog segments = checkpoint ids) ----
 

@@ -155,3 +155,32 @@ def test_properties_cli_roundtrip(spark, sf_dir, tmp_path):
         ["properties", "--target", t.path, "--unset", "manifest.segmented"]
     )
     assert "manifest.segmented" not in cli.run(spark, args)["properties"]
+
+
+def test_pipeline_auto_expire_bounds_metadata(spark, sf_dir, tmp_path):
+    """A long-running ingest with auto_expire_keep bounds its own manifest
+    chain while preserving final state, exactly-once resume, and the
+    committed-key guard."""
+    from airbyte_spark.sources.changelog import derive_changelog
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = events.count()
+    changelog = derive_changelog(events, batch_span=max(1, (n + 9) // 10)).cache()
+
+    ref = CdcPipeline.create_target(spark, str(tmp_path / "ref"), n_buckets=4)
+    ref.replay(changelog)
+
+    pipe = CdcPipeline.create_target(spark, str(tmp_path / "auto"), n_buckets=4)
+    pipe.auto_expire_keep = 3
+    # one commit per checkpoint so the chain would grow ~10 deep without expiry
+    pipe.replay(changelog, group_size=1)
+    assert len(_versions_on_disk(pipe.table)) <= 2 * 3 + 1
+    a = pipe.final_state().orderBy("url").collect()
+    b = ref.final_state().orderBy("url").collect()
+    assert a == b
+    # exactly-once survives expiry: the committed set rides the head
+    v = pipe.table.current_version()
+    pipe2 = CdcPipeline.create_target(spark, str(tmp_path / "auto"), n_buckets=4)
+    pipe2.replay(changelog, group_size=1)
+    assert pipe2.table.current_version() == v
