@@ -65,21 +65,42 @@ class SyncCatalog:
         }
 
 
-def _pipeline_for(spark: SparkSession, s: ConfiguredStream) -> CdcPipeline:
-    if LakeTable.exists(s.target_path):
-        table = LakeTable.load(spark, s.target_path)
-    else:
-        table = LakeTable.create(
-            spark,
-            s.target_path,
-            s.cfg.schema,
-            PartitionSpec.bucket(s.cfg.primary_key[0], s.n_buckets),
-        )
+def _pipeline_for(
+    spark: SparkSession, s: ConfiguredStream, table: LakeTable | None = None
+) -> CdcPipeline:
+    if table is None:
+        if LakeTable.exists(s.target_path):
+            table = LakeTable.load(spark, s.target_path)
+        else:
+            table = LakeTable.create(
+                spark,
+                s.target_path,
+                s.cfg.schema,
+                PartitionSpec.bucket(s.cfg.primary_key[0], s.n_buckets),
+            )
     return CdcPipeline(table=table, cfg=s.cfg, extract=s.extract)
 
 
-def sync_stream(spark: SparkSession, s: ConfiguredStream, state: dict | None = None) -> dict:
-    """Run one stream per its configured modes; returns a sync summary."""
+def _ensure_table(spark: SparkSession, s: ConfiguredStream) -> LakeTable:
+    if LakeTable.exists(s.target_path):
+        return LakeTable.load(spark, s.target_path)
+    return LakeTable.create(
+        spark,
+        s.target_path,
+        s.cfg.schema,
+        PartitionSpec.bucket(s.cfg.primary_key[0], s.n_buckets),
+    )
+
+
+def sync_stream(
+    spark: SparkSession,
+    s: ConfiguredStream,
+    state: dict | None = None,
+    table: LakeTable | None = None,
+) -> dict:
+    """Run one stream per its configured modes; returns a sync summary.
+    `table` overrides the target handle — atomic catalog sync passes a WAP
+    branch handle here so every commit stages invisibly until publish."""
     state = state or {}
     df = s.source(spark, state)
     mode, dmode = s.cfg.sync_mode, s.cfg.destination_sync_mode
@@ -87,7 +108,7 @@ def sync_stream(spark: SparkSession, s: ConfiguredStream, state: dict | None = N
     if dmode == DestinationSyncMode.OVERWRITE or mode == SyncMode.FULL_REFRESH:
         # full snapshot: window-dedup to active rows, atomic overwrite
         # (≡ transactional TRUNCATE+INSERT swap, JdbcBufferedConsumerFactory)
-        pipe = _pipeline_for(spark, s)
+        pipe = _pipeline_for(spark, s, table)
         snap = dedup_batch(df, s.cfg)
         if s.cfg.deleted_at_field in snap.columns:
             snap = snap.filter(F.col(s.cfg.deleted_at_field).isNull())
@@ -101,7 +122,7 @@ def sync_stream(spark: SparkSession, s: ConfiguredStream, state: dict | None = N
         return {"stream": s.cfg.name, "mode": "overwrite", "rows": pipe.table.read().count()}
 
     if dmode == DestinationSyncMode.APPEND:
-        pipe = _pipeline_for(spark, s)
+        pipe = _pipeline_for(spark, s, table)
         v = pipe.table.append(
             _align_append(df, pipe.table),
             checkpoint_key=f"append-{state.get('from_checkpoint', 0)}",
@@ -109,7 +130,7 @@ def sync_stream(spark: SparkSession, s: ConfiguredStream, state: dict | None = N
         return {"stream": s.cfg.name, "mode": "append", "version": v}
 
     # incremental + append_dedup: checkpointed CDC replay
-    pipe = _pipeline_for(spark, s)
+    pipe = _pipeline_for(spark, s, table)
     results = pipe.replay(df, from_checkpoint=state.get("from_checkpoint"))
     return {
         "stream": s.cfg.name,
@@ -127,13 +148,57 @@ def _align_append(df, table):
     return _align(df, table.schema())
 
 
-def sync(spark: SparkSession, catalog: SyncCatalog, state: dict | None = None) -> list[dict]:
+def sync(
+    spark: SparkSession,
+    catalog: SyncCatalog,
+    state: dict | None = None,
+    atomic: bool = False,
+    txn_log_dir: str | None = None,
+) -> list[dict]:
     """Sync every stream in the catalog (per-stream state under its name).
 
-    Streams are independent Spark jobs; on a cluster they can be submitted
-    concurrently (separate target tables → no commit contention)."""
+    Default: streams commit independently — separate target tables, no
+    commit contention; on a cluster they can run concurrently. This is the
+    reference's behavior, and its known gap: between stream flushes a
+    reader sees stream A's new data next to stream B's old data
+    (BufferedStreamConsumer flushes per-stream buffers independently).
+
+    `atomic=True` closes the gap with a catalog-level multi-table
+    transaction (lake/transaction.py): every stream's whole sync — any
+    mode, any number of checkpointed commits — stages on a `txn-*` WAP
+    branch of its table, then ONE logged decision publishes all streams
+    or none. A mid-sync failure aborts with every main table untouched;
+    a crash after the decision is rolled forward by recover(). Readers
+    pinning `consistent_versions(txn_log_dir)` always see a catalog state
+    some transaction produced, never a mix."""
+    import os as _os
+
     state = state or {}
-    return [sync_stream(spark, s, state.get(s.cfg.name)) for s in catalog.streams]
+    if not atomic:
+        return [sync_stream(spark, s, state.get(s.cfg.name)) for s in catalog.streams]
+
+    from airbyte_spark.lake.transaction import CatalogTransaction
+
+    for s in catalog.streams:
+        _ensure_table(spark, s)  # table creation is not transactional; empty is harmless
+    log_dir = txn_log_dir or _os.path.join(
+        _os.path.dirname(_os.path.abspath(catalog.streams[0].target_path)), "_txn_log"
+    )
+    txn = CatalogTransaction.begin(
+        spark, log_dir, {s.cfg.name: s.target_path for s in catalog.streams}
+    )
+    try:
+        results = [
+            sync_stream(spark, s, state.get(s.cfg.name), table=txn.table(s.cfg.name))
+            for s in catalog.streams
+        ]
+    except BaseException:
+        txn.abort()
+        raise
+    versions = txn.commit()
+    for r in results:
+        r["published_version"] = versions.get(r["stream"])
+    return results
 
 
 def apply_namespace_mapping(

@@ -31,8 +31,11 @@ Commands:
                                  replay-consistency audit: diff table state
                                  vs the log's expected winners (typed
                                  missing/extra/stale/zombie verdicts)
-  sync     --catalog FILE        multi-stream catalog sync (per-stream
-                                 modes/PKs/state — ≡ ConfiguredAirbyteCatalog)
+  sync     --catalog FILE [--atomic [--txn-log D]]
+                                 multi-stream catalog sync (per-stream
+                                 modes/PKs/state — ≡ ConfiguredAirbyteCatalog);
+                                 --atomic publishes every stream in ONE
+                                 catalog transaction (no half-synced reads)
   discover-catalog --catalog FILE
                                  print the configured catalog (≡ discover)
   compact  --target T [--target-file-mb N]
@@ -129,6 +132,9 @@ def _parser() -> argparse.ArgumentParser:
     add("metrics", "--target")
     sp = sub.add_parser("sync")
     sp.add_argument("--catalog", required=True, help="catalog JSON file (multi-stream)")
+    sp.add_argument("--atomic", action="store_true",
+                    help="stage all streams on txn branches, publish all-or-nothing")
+    sp.add_argument("--txn-log", default=None, help="transaction log dir (atomic)")
     sp = sub.add_parser("discover-catalog")
     sp.add_argument("--catalog", required=True)
     sp = add("compact", "--target")
@@ -317,7 +323,12 @@ def run(spark, args) -> dict:
             cat = catalog_from_json(json.load(fh))
         if args.cmd == "discover-catalog":
             return {"type": "CATALOG", **cat.discover()}
-        return {"type": "SYNC_RESULT", "streams": sync(spark, cat)}
+        return {
+            "type": "SYNC_RESULT",
+            "streams": sync(
+                spark, cat, atomic=args.atomic, txn_log_dir=args.txn_log
+            ),
+        }
 
     if args.cmd == "spec":
         # ≡ the reference entrypoint's `spec` (airbyte-cdk entrypoint.py:27-58;

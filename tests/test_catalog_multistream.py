@@ -212,3 +212,74 @@ def test_jsonl_source_infers_and_maps(spark, sf_dir, tmp_path):
     bare = jsonl_source(d)
     with pytest.raises(ValueError, match="_ab_cdc_lsn"):
         bare(spark, {})
+
+
+def _two_stream_catalog(sf_dir, tmp_path):
+    pages = ConfiguredStream(
+        cfg=StreamConfig(name="pages", schema=default_target_schema()),
+        source=synthetic_changelog_source(sf_dir, batch_span=500),
+        target_path=str(tmp_path / "pages"),
+        n_buckets=4,
+    )
+    by_lang = ConfiguredStream(
+        cfg=StreamConfig(
+            name="pages_by_lang",
+            schema=default_target_schema(),
+            sync_mode=SyncMode.FULL_REFRESH,
+            destination_sync_mode=DestinationSyncMode.OVERWRITE,
+            primary_key=["url", "lang"],
+        ),
+        source=synthetic_changelog_source(sf_dir, batch_span=500),
+        target_path=str(tmp_path / "by_lang"),
+        n_buckets=4,
+        extract=False,
+    )
+    return SyncCatalog([pages, by_lang])
+
+
+def test_atomic_catalog_sync_publishes_all_streams_at_once(spark, sf_dir, tmp_path):
+    """atomic=True stages every stream's whole sync on txn branches and
+    publishes them in one catalog decision: despite the CDC stream's many
+    checkpointed commits, each MAIN table advances exactly one version."""
+    from airbyte_spark.lake.format import LakeTable
+
+    cat = _two_stream_catalog(sf_dir, tmp_path)
+    res = sync(spark, cat, atomic=True, txn_log_dir=str(tmp_path / "_txn"))
+    assert all("published_version" in r for r in res)
+    for s in cat.streams:
+        t = LakeTable.load(spark, s.target_path)
+        # create (v1) + one atomic publish (v2) — N branch commits collapse
+        assert t.current_version() == 2
+        assert t.branches() == []  # txn branch cleaned up
+    # results match the non-atomic path exactly
+    pipe = CdcPipeline.create_target(spark, cat.streams[0].target_path)
+    solo = CdcPipeline.create_target(spark, str(tmp_path / "solo"), n_buckets=4)
+    solo.replay(read_changelog(spark, sf_dir, batch_span=500))
+    cols = ["url", "warc_ts", "_ab_cdc_lsn"]
+    a = sorted(map(tuple, pipe.final_state().select(cols).collect()))
+    b = sorted(map(tuple, solo.final_state().select(cols).collect()))
+    assert a == b and len(a) > 0
+    # per-stream committed state published WITH the data → resync skips
+    res2 = sync(spark, cat, atomic=True, txn_log_dir=str(tmp_path / "_txn"))
+    assert res2[0]["applied"] == 0 and res2[0]["skipped"] > 0
+
+
+def test_atomic_catalog_sync_failure_publishes_nothing(spark, sf_dir, tmp_path):
+    """A stream failing mid-sync aborts the whole catalog: every main
+    table is untouched — no half-written multi-stream state, the exact
+    gap the reference's per-stream flushes leave open."""
+    from airbyte_spark.lake.format import LakeTable
+
+    cat = _two_stream_catalog(sf_dir, tmp_path)
+
+    def exploding_source(spark_, state):
+        raise RuntimeError("source went away mid-sync")
+
+    cat.streams[1].source = exploding_source
+    with pytest.raises(RuntimeError, match="went away"):
+        sync(spark, cat, atomic=True, txn_log_dir=str(tmp_path / "_txn"))
+    for s in cat.streams:
+        t = LakeTable.load(spark, s.target_path)
+        assert t.current_version() == 1  # only the empty create commit
+        assert t.read().count() == 0
+        assert t.branches() == []  # aborted branches dropped
