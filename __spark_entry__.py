@@ -651,7 +651,7 @@ def q_sync_catalog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sync-mode queries (full refresh / append / reset through the lake) ---------
 
 
-def q_sync_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sync_multistream(spark: SparkSession, sf_dir: str, atomic: bool = False) -> DataFrame:
     """Multi-stream catalog sync — the reference's actual unit of work
     (ConfiguredAirbyteCatalog, airbyte_protocol.yaml:160-198; per-stream
     routing BufferedStreamConsumer.java:166-174): one SyncCatalog carrying
@@ -659,7 +659,15 @@ def q_sync_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
     call. Stream 1 = pages append_dedup (checkpointed CDC replay); stream
     2 = the SAME source keyed by composite (url, lang) as full-refresh
     OVERWRITE. Returns the union of both synced tables' key/cursor rows —
-    one gated result proving per-stream targets, modes and state."""
+    one gated result proving per-stream targets, modes and state.
+
+    `atomic=True` (query sync_multistream_atomic) runs the SAME catalog
+    through the all-or-nothing path: every stream staged on a txn WAP
+    branch, one catalog-transaction decision publishing both — each main
+    table advances exactly ONE version despite the replay's many
+    checkpointed commits (asserted in-query), and the result must be
+    byte-identical to the per-stream path, which is what sharing the
+    oracle states."""
     from airbyte_spark.catalog import ConfiguredStream, SyncCatalog, sync
     from airbyte_spark.protocol import DestinationSyncMode, StreamConfig, SyncMode
     from airbyte_spark.sources.registry import synthetic_changelog_source
@@ -685,7 +693,19 @@ def q_sync_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
         extract=False,
     )
-    sync(spark, SyncCatalog([pages, by_lang]))
+    from airbyte_spark.lake.format import LakeTable
+
+    sync(
+        spark,
+        SyncCatalog([pages, by_lang]),
+        atomic=atomic,
+        txn_log_dir=f"{tmp}/_txn" if atomic else None,
+    )
+    if atomic:
+        for path in (pages.target_path, by_lang.target_path):
+            t = LakeTable.load(spark, path)
+            assert t.current_version() == 2, "atomic publish must be ONE commit"
+            assert t.branches() == [], "txn branch must be cleaned up"
     a = (
         CdcPipeline.create_target(spark, pages.target_path)
         .final_state()
@@ -693,12 +713,14 @@ def q_sync_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("pages").alias("stream"), "url", "lang", "warc_ts", "_ab_cdc_lsn"
         )
     )
-    from airbyte_spark.lake.format import LakeTable
-
     b = LakeTable.load(spark, by_lang.target_path).read().select(
         F.lit("pages_by_lang").alias("stream"), "url", "lang", "warc_ts", "_ab_cdc_lsn"
     )
     return a.unionByName(b)
+
+
+def q_sync_multistream_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_sync_multistream(spark, sf_dir, atomic=True)
 
 
 def q_sync_full_refresh_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2528,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_identifier_normalize": q_sync_identifier_normalize,
         "sync_catalog_diff": q_sync_catalog_diff,
         "sync_multistream": q_sync_multistream,
+        "sync_multistream_atomic": q_sync_multistream_atomic,
         "sync_full_refresh_overwrite": q_sync_full_refresh_overwrite,
         "sync_append_raw": q_sync_append_raw,
         "sync_reset_empty": q_sync_reset_empty,
@@ -3228,6 +3251,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY field
         """,
         "sync_multistream": f"""
+            WITH ch AS ({_CH}),
+            p AS (SELECT *, row_number() OVER (
+                    PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch),
+            l AS (SELECT *, row_number() OVER (
+                    PARTITION BY url, lang ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn
+                  FROM ch)
+            SELECT 'pages' AS stream, url, lang, warc_ts, _ab_cdc_lsn
+            FROM p WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+            UNION ALL
+            SELECT 'pages_by_lang' AS stream, url, lang, warc_ts, _ab_cdc_lsn
+            FROM l WHERE rn = 1 AND _ab_cdc_deleted_at IS NULL
+        """,
+        "sync_multistream_atomic": f"""
             WITH ch AS ({_CH}),
             p AS (SELECT *, row_number() OVER (
                     PARTITION BY url ORDER BY warc_ts DESC, _ab_cdc_lsn DESC) AS rn

@@ -50,6 +50,10 @@ Commands:
                                  bound the manifest chain: keep the newest N
                                  snapshot heads (time travel below the floor
                                  is given up; current state untouched)
+  txn-recover --txn-log D [--tables p1,p2]
+                                 crash repair: roll decided catalog
+                                 transactions forward, scavenge undecided
+                                 debris (locks + staged branches)
   tag      --target T [--name N [--version V] [--drop]]
                                  pin/list/drop named snapshots (≡ Iceberg
                                  tags; exempt from expiry and vacuum — the
@@ -148,6 +152,10 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("expire-snapshots", "--target")
     sp.add_argument("--retain-last", type=int, default=10,
                     help="newest N manifest versions to keep (current always kept)")
+    sp = sub.add_parser("txn-recover")
+    sp.add_argument("--txn-log", required=True, help="transaction log dir")
+    sp.add_argument("--tables", default=None,
+                    help="comma-separated table paths to scavenge undecided debris")
     sp = add("tag", "--target")
     sp.add_argument("--name", default=None, help="tag to create/drop (omit to list)")
     sp.add_argument("--version", type=int, default=None)
@@ -400,7 +408,7 @@ def run(spark, args) -> dict:
         return {
             "type": "MAINTENANCE_RESULT",
             "mode": "vacuum",
-            "files_removed": t.vacuum(retain_last=args.retain_last),
+            "files_removed": t.vacuum(retain_last=getattr(args, "retain_last", 1)),
         }
 
     if args.cmd == "properties":
@@ -423,6 +431,16 @@ def run(spark, args) -> dict:
             "manifests_removed": t.expire_snapshots(retain_last=args.retain_last),
             "version": t.current_version(),
         }
+
+    if args.cmd == "txn-recover":
+        from airbyte_spark.lake.transaction import recover
+
+        rolled = recover(
+            spark,
+            args.txn_log,
+            args.tables.split(",") if args.tables else None,
+        )
+        return {"type": "MAINTENANCE_RESULT", "mode": "txn-recover", "rolled_forward": rolled}
 
     if args.cmd == "tag":
         t = LakeTable.load(spark, args.target)
