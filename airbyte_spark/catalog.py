@@ -69,15 +69,7 @@ def _pipeline_for(
     spark: SparkSession, s: ConfiguredStream, table: LakeTable | None = None
 ) -> CdcPipeline:
     if table is None:
-        if LakeTable.exists(s.target_path):
-            table = LakeTable.load(spark, s.target_path)
-        else:
-            table = LakeTable.create(
-                spark,
-                s.target_path,
-                s.cfg.schema,
-                PartitionSpec.bucket(s.cfg.primary_key[0], s.n_buckets),
-            )
+        table = _ensure_table(spark, s)
     return CdcPipeline(table=table, cfg=s.cfg, extract=s.extract)
 
 
@@ -174,7 +166,7 @@ def sync(
     import os as _os
 
     state = state or {}
-    if not atomic:
+    if not atomic or not catalog.streams:
         return [sync_stream(spark, s, state.get(s.cfg.name)) for s in catalog.streams]
 
     from airbyte_spark.lake.transaction import CatalogTransaction

@@ -334,7 +334,10 @@ def run(spark, args) -> dict:
         return {
             "type": "SYNC_RESULT",
             "streams": sync(
-                spark, cat, atomic=args.atomic, txn_log_dir=args.txn_log
+                spark,
+                cat,
+                atomic=getattr(args, "atomic", False),
+                txn_log_dir=getattr(args, "txn_log", None),
             ),
         }
 

@@ -100,6 +100,7 @@ def delete_where(
     Returns {"version", "files_rewritten", "rows_deleted"}; a no-match
     delete is a metadata no-op (no commit)."""
     pred = _as_column(predicate)
+    read_v = table.current_version()
     candidates = table.prune(ranges) if ranges else table.files()
     to_rewrite = _matching_files(table, pred, candidates)
     if not to_rewrite:
@@ -127,6 +128,7 @@ def delete_where(
             "rows_deleted": rows_before - rows_after,
             "files_rewritten": len(to_rewrite),
         },
+        read_version=read_v,
     )
     return {
         "version": version,
@@ -154,6 +156,7 @@ def replace_where(
     if stray:
         raise ValueError("replacement rows must satisfy the replace_where predicate")
 
+    read_v = table.current_version()
     candidates = table.prune(ranges) if ranges else table.files()
     to_rewrite = _matching_files(table, pred, candidates)
     survivors_entries: list[FileEntry] = []
@@ -182,6 +185,7 @@ def replace_where(
             "rows_replaced": sum(e.rows for e in new_entries),
             "files_rewritten": len(to_rewrite),
         },
+        read_version=read_v,
     )
     return {
         "version": version,
@@ -218,6 +222,7 @@ def update_where(
     unknown = set(exprs) - set(table.schema().fieldNames())
     if unknown:
         raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+    read_v = table.current_version()
     candidates = table.prune(ranges) if ranges else table.files()
     to_rewrite = _matching_files(table, pred, candidates)
     if not to_rewrite:
@@ -251,6 +256,7 @@ def update_where(
         removed_paths={e.path for e in to_rewrite},
         operation="update",
         summary={"rows_updated": n_hit, "files_rewritten": len(to_rewrite)},
+        read_version=read_v,
     )
     return {
         "version": version,
@@ -441,6 +447,7 @@ def delete_positions(
             "delete_files": len(table.delete_files()),
         }
     pred = _as_column(predicate)
+    read_v = table.current_version()
     candidates = table.prune(ranges) if ranges else table.files()
     to_scan = _matching_files(table, pred, candidates)
     if not to_scan:
@@ -551,14 +558,36 @@ def delete_equality(
     if not isinstance(keys, DataFrame):
         # list values arrive as whatever Python type the caller had (CLI
         # passes strings); go through string → cast to the column's type so
-        # `--values 3,7` works against a bigint key column
-        kdf = table.spark.createDataFrame(
-            [(None if k is None else str(k),) for k in keys], f"`{cols[0]}` string"
-        ).select(F.col(cols[0]).cast(schema[cols[0]].dataType))
+        # `--values 3,7` works against a bigint key column. An unparseable
+        # value would cast to NULL — and the read-side join is null-safe,
+        # so a NULL key would silently delete every NULL-keyed row instead
+        # of the intended one. Reject it loudly.
+        raw = table.spark.createDataFrame(
+            [(None if k is None else str(k),) for k in keys], "`__raw` string"
+        )
+        kdf = raw.select(
+            F.col("__raw").try_cast(schema[cols[0]].dataType).alias(cols[0]), "__raw"
+        )
+        bad = kdf.filter(F.col(cols[0]).isNull() & F.col("__raw").isNotNull()).limit(5)
+        bad_vals = [r["__raw"] for r in bad.collect()]
+        if bad_vals:
+            raise ValueError(
+                f"key values do not cast to {schema[cols[0]].dataType.simpleString()}: "
+                f"{bad_vals}"
+            )
+        kdf = kdf.drop("__raw")
     else:
         kdf = keys
     cols = check
     kdf = kdf.select(*cols).distinct()
+    # key the delete on FIELD IDS, not names: a later rename_column keeps
+    # the delete applying to the same field, and a dropped-then-re-added
+    # name (fresh id) is never mis-matched against the old delete's keys
+    mf = table.manifest()
+    ids = (mf.get("field_ids") or {}).get(str(mf["schema_id"])) or {
+        f.name: i + 1 for i, f in enumerate(schema.fields)
+    }
+    col_ids = [ids[c] for c in cols]
     rel_dir = f"data/eqdeletes-{_uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(table.path, rel_dir)
     kdf.coalesce(1).write.mode("overwrite").parquet(out_dir)
@@ -574,6 +603,7 @@ def delete_equality(
             entry = {
                 "path": f"{rel_dir}/{name}",
                 "cols": list(cols),
+                "col_ids": col_ids,
                 "rows": n,
                 "bytes": os.path.getsize(abs_p),
             }

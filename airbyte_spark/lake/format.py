@@ -334,8 +334,8 @@ class LakeTable:
                     f"manifest references missing segment {rel} "
                     "(corrupted table or over-eager external cleanup)"
                 )
-            if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
-                _SEG_CACHE.clear()
+            while len(_SEG_CACHE) >= _SEG_CACHE_MAX:  # LRU-ish: oldest insert
+                del _SEG_CACHE[next(iter(_SEG_CACHE))]
             _SEG_CACHE[ap] = payload
         return payload
 
@@ -345,8 +345,8 @@ class LakeTable:
         os.makedirs(os.path.dirname(ap), exist_ok=True)
         with open(ap, "w") as fh:
             json.dump(payload, fh)
-        if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
-            _SEG_CACHE.clear()
+        while len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+            del _SEG_CACHE[next(iter(_SEG_CACHE))]
         _SEG_CACHE[ap] = payload
         return rel
 
@@ -388,9 +388,10 @@ class LakeTable:
         Delta detection is structural: a prior file segment is kept BY
         REFERENCE iff every path it holds is still live (entries are
         immutable per path); a removal rewrites only the segments holding
-        removed paths. Sealed committed keys are recognized by object
-        identity with the hydrated cache — commit() only ever assigns
-        fresh dicts for NEW keys, so identity cleanly separates the tail.
+        removed paths. Sealed committed keys are recognized by VALUE
+        equality with the segment contents — commit() only ever assigns
+        fresh summaries for NEW keys, so equality cleanly separates the
+        tail regardless of cache eviction.
         Segment count is bounded LSM-style: past max_segments the smallest
         segments merge into one (amortized O(log) rewrites per entry)."""
         m = dict(manifest)
@@ -455,11 +456,14 @@ class LakeTable:
             for r in crefs:
                 sealed.update((self._load_segment(r["path"]) or {}).get("committed", {}))
             if all(k in committed for k in sealed):
-                # identity split: values merged from segment cache are the
-                # very objects hydrate installed; anything fresh/overwritten
-                # is a new dict and lands in the tail (tail overrides sealed
-                # on hydrate, so an overwrite keeps the new value visible)
-                tail = {k: v for k, v in committed.items() if sealed.get(k) is not v}
+                # value split: a key whose summary equals its sealed copy
+                # stays sealed; anything fresh or overwritten lands in the
+                # tail (tail overrides sealed on hydrate, so an overwrite
+                # keeps the new value visible). Equality — not object
+                # identity — so a cache eviction between hydrate and this
+                # dehydrate can't make every key look fresh and trigger an
+                # O(all-keys) re-seal.
+                tail = {k: v for k, v in committed.items() if sealed.get(k) != v}
             else:
                 # the committed set SHRANK (rollback / truncate restore):
                 # sealed history is stale — rebuild from the full live set
@@ -993,7 +997,7 @@ class LakeTable:
             by_schema.setdefault((e.schema_id, era), []).append(
                 os.path.join(self.path, e.path)
             )
-        eq_dfs: dict[str, DataFrame] = {}
+        eq_dfs: dict = {}  # (path, resolved-name tuple) -> keys DataFrame
         parts = []
         for (sid, era), paths in by_schema.items():
             written = StructType.fromJson(m["schemas"][str(sid)])
@@ -1017,14 +1021,31 @@ class LakeTable:
             else:  # legacy generation without ids — name-based alignment
                 part = _align(df, target, extra, defaults)
             for d in eqs[era:]:  # only deletes that postdate these files
-                ap = os.path.join(self.path, d["path"])
-                if d["path"] not in eq_dfs:
-                    eq_dfs[d["path"]] = self.spark.read.parquet(ap).select(
-                        *[F.col(c).alias(f"__eq_{c}") for c in d["cols"]]
+                # resolve the delete's key columns to CURRENT names via
+                # field ids (renames keep applying; a dropped key column
+                # means the delete can no longer identify rows — skip it,
+                # conservatively keeping rows, rather than matching a
+                # re-added name's unrelated values). Legacy entries
+                # without col_ids fall back to stored names.
+                if d.get("col_ids") and target_ids:
+                    by_fid = {v: k for k, v in target_ids.items()}
+                    names = [by_fid.get(i) for i in d["col_ids"]]
+                    if any(n is None for n in names):
+                        continue
+                else:
+                    names = list(d["cols"])
+                ckey = (d["path"], tuple(names))
+                if ckey not in eq_dfs:
+                    ap = os.path.join(self.path, d["path"])
+                    eq_dfs[ckey] = self.spark.read.parquet(ap).select(
+                        *[
+                            F.col(stored).alias(f"__eq_{cur}")
+                            for stored, cur in zip(d["cols"], names)
+                        ]
                     )
-                ddf = eq_dfs[d["path"]]
+                ddf = eq_dfs[ckey]
                 cond = None
-                for c in d["cols"]:
+                for c in names:
                     e_ = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
                     cond = e_ if cond is None else cond & e_
                 part = part.join(F.broadcast(ddf), cond, "left_anti")
@@ -1320,6 +1341,7 @@ class LakeTable:
         summary: dict | None = None,
         delete_files_added: "list[dict] | None" = None,
         eq_deletes_added: "list[dict] | None" = None,
+        read_version: int | None = None,
     ) -> int:
         """Publish a new snapshot: current files − removed + added.
 
@@ -1392,6 +1414,25 @@ class LakeTable:
                 raise CommitConflict(
                     f"files removed by a concurrent commit: {sorted(removed_paths - live)[:3]}"
                 )
+            if read_version is not None and removed_paths:
+                # Iceberg-style validateNoNewDeleteFiles: a rewrite re-emits
+                # rows it read at `read_version` into files stamped with a
+                # NEWER seq. A delete (equality or positional) committed
+                # since that read was never applied to those rows, yet the
+                # new seq / dead targets would make it a silent no-op — a
+                # lost "purge these keys NOW". Conflict instead; the caller
+                # re-runs its read-rewrite against the delete-applied state.
+                fresh = [
+                    d
+                    for d in m.get("eq_delete_files", []) + m.get("delete_files", [])
+                    if (d.get("seq") or 0) > read_version
+                ]
+                if fresh:
+                    raise CommitConflict(
+                        "row-level deletes committed since this rewrite's read "
+                        f"snapshot v{read_version}: {[d['path'] for d in fresh][:3]} "
+                        "— re-run the rewrite against current state"
+                    )
             new_version = m["version"] + 1
             # data sequence number = the version this commit publishes;
             # equality deletes apply only to files with strictly lower seq,
@@ -1408,7 +1449,7 @@ class LakeTable:
                 d
                 for d in m.get("delete_files", [])
                 if any(t in live_after for t in d["targets"])
-            ] + list(delete_files_added or [])
+            ] + [{**d, "seq": new_version} for d in delete_files_added or []]
             # an equality delete lives while >=1 live data file predates it
             # (lower seq); once every older file is rewritten the deletions
             # are materialized and the entry drops (file → vacuum candidate)
@@ -1540,6 +1581,7 @@ class LakeTable:
         """
         import math
 
+        read_v = self.current_version()
         by_part: dict[tuple, list[FileEntry]] = {}
         for e in self.files():
             key = tuple(sorted((k, str(v)) for k, v in e.partition.items()))
@@ -1567,6 +1609,7 @@ class LakeTable:
             removed_paths={e.path for e in candidates},
             operation="compact",
             summary={"files_compacted": len(candidates)},
+            read_version=read_v,
         )
 
     def cluster(
@@ -1607,9 +1650,11 @@ class LakeTable:
         per column (default 32 buckets). NULLs bucket to 0 (files holding
         NULLs are never range-matched anyway — prune() semantics).
         """
-        old_entries = self.files()
+        m0 = self.manifest()
+        old_entries = [FileEntry.from_json(d) for d in m0["files"]]
         if not old_entries:
-            return self.manifest()["version"]
+            return m0["version"]
+        dv0, eq0 = m0.get("delete_files", []), m0.get("eq_delete_files", [])
         old_paths = {e.path for e in old_entries}
         stat_cols = sorted({c for e in old_entries for c in e.stats} | set(sort_cols))
         spec = self.partition_spec()
@@ -1646,6 +1691,13 @@ class LakeTable:
                 raise CommitConflict(
                     "live file set changed during cluster rewrite — re-run "
                     "to include the concurrently committed files"
+                )
+            if m.get("delete_files", []) != dv0 or m.get("eq_delete_files", []) != eq0:
+                # a delete committed since this rewrite's read would be
+                # silently materialized-away by the seq stamp below
+                raise CommitConflict(
+                    "row-level deletes committed during cluster rewrite — "
+                    "re-run against current state"
                 )
             for d in added_json:
                 d["seq"] = m["version"] + 1
@@ -1693,7 +1745,9 @@ class LakeTable:
         live set no longer matches what this rewrite read — re-run to
         include the newcomer.
         """
-        old_entries = self.files()
+        m0 = self.manifest()
+        old_entries = [FileEntry.from_json(d) for d in m0["files"]]
+        dv0, eq0 = m0.get("delete_files", []), m0.get("eq_delete_files", [])
         old_paths = {e.path for e in old_entries}
         stat_cols = (
             stat_cols
@@ -1711,6 +1765,11 @@ class LakeTable:
                 raise CommitConflict(
                     "live file set changed during spec rewrite — re-run to "
                     "re-cluster the concurrently committed files"
+                )
+            if m.get("delete_files", []) != dv0 or m.get("eq_delete_files", []) != eq0:
+                raise CommitConflict(
+                    "row-level deletes committed during spec rewrite — "
+                    "re-run against current state"
                 )
             for d in added_json:
                 d["seq"] = m["version"] + 1
@@ -1734,7 +1793,7 @@ class LakeTable:
             except CommitConflict:
                 continue  # metadata race only; re-check the live set
 
-    def vacuum(self, retain_last: int = 1) -> int:
+    def vacuum(self, retain_last: int = 1, grace_s: float = 0.0) -> int:
         """Delete data files not referenced by the newest `retain_last`
         snapshots (time travel below that horizon is lost for removed
         files). The default keeps only the current snapshot — the
@@ -1742,7 +1801,30 @@ class LakeTable:
         (≡ Iceberg remove_orphan_files + expire_snapshots' file cleanup
         with a retention window), which is what an operator runs on a
         schedule so a bad commit discovered within the window can still
-        roll back. Tagged snapshots' files are always kept."""
+        roll back. Tagged snapshots' files are always kept.
+
+        `grace_s`: skip unreferenced files younger than this many seconds
+        (≡ Iceberg remove_orphan_files' older_than). A writer stages data
+        files and manifest segments BEFORE its O_EXCL head publish, so a
+        vacuum racing an in-flight commit would see them as orphans and
+        corrupt the winning snapshot; any scheduled vacuum that can
+        overlap a writer must set grace_s above the longest commit
+        duration. The 0 default is for quiesced/maintenance contexts."""
+        if self._branch:
+            # a branch view's live set excludes main's files — vacuuming
+            # from it would delete data the main table references
+            raise ValueError("vacuum must run on the main table handle")
+        import time as _time
+
+        now = _time.time()
+
+        def _young(ap: str) -> bool:
+            if not grace_s:
+                return False
+            try:
+                return now - os.path.getmtime(ap) < grace_s
+            except OSError:
+                return True  # vanished mid-scan → leave it alone
         d = self._meta_dir()
         versions = sorted(
             int(f[1:-5])
@@ -1769,11 +1851,13 @@ class LakeTable:
         for root, _dirs, names in os.walk(data_root):
             for name in names:
                 rel = os.path.relpath(os.path.join(root, name), self.path)
-                if name.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(self.path, rel))
+                ap = os.path.join(self.path, rel)
+                if name.endswith(".parquet") and rel not in live and not _young(ap):
+                    os.remove(ap)
                     removed += 1
                 elif name.endswith(".bloom") and rel[: -len(".bloom")] not in live:
-                    os.remove(os.path.join(self.path, rel))  # sidecar follows its data file
+                    if not _young(ap):
+                        os.remove(ap)  # sidecar follows its data file
         # manifest segments: unlike data files, segments referenced by ANY
         # retained manifest (main or branch) stay — they are metadata, tiny,
         # and history()/lineage_df() keep reading past versions after a
@@ -1784,8 +1868,8 @@ class LakeTable:
         if os.path.isdir(segs_root):
             for name in os.listdir(segs_root):
                 rel = f"{_LAKE_DIR}/{_SEG_DIR}/{name}"
-                if rel not in live_segs:
-                    ap = os.path.join(self.path, rel)
+                ap = os.path.join(self.path, rel)
+                if rel not in live_segs and not _young(ap):
                     _SEG_CACHE.pop(ap, None)
                     os.remove(ap)
                     removed += 1

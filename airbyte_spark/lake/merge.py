@@ -265,6 +265,7 @@ def merge_upsert(
         F.coalesce(F.col(cfg.cursor_field), floor_ts).alias("c"),
         *[F.col(c).alias(f"t{i}") for i, c in enumerate(cfg.order_tiebreakers)],
     )
+    read_v = table.current_version()  # rewrite-vs-delete validation anchor
     files_live = table.files()
     # Bloom-prune prep happens INSIDE the existing winner/bounds job (or the
     # replay planning pass): the per-bucket aggregate also collects the
@@ -398,6 +399,7 @@ def merge_upsert(
         operation="merge",
         checkpoint_key=keys or None,
         summary={"rows_removed": rows_removed, "candidate_files": len(candidates), "rows_in": rows_in},
+        read_version=read_v,
     )
     return MergeStats(
         version=version,
@@ -534,6 +536,7 @@ def compact_versions(table: LakeTable, cfg: StreamConfig) -> int:
     Concurrent append-winners commits are safe: they are not in this
     commit's removed set, stay live in the manifest, and the next read
     resolves them against the compacted base exactly as before."""
+    read_v = table.current_version()
     old = table.files()
     if not old:
         return table.current_version()
@@ -548,6 +551,7 @@ def compact_versions(table: LakeTable, cfg: StreamConfig) -> int:
         removed_paths={e.path for e in old},
         operation="compact-versions",
         summary={"files_compacted": len(old)},
+        read_version=read_v,
     )
 
 
@@ -646,6 +650,7 @@ def expire_tombstones(
     # Only files that may hold an expirable tombstone are rewritten; at
     # steady state tombstones cluster in recent files, so this touches a
     # small suffix of the table.
+    read_v = table.current_version()
     victims = [e for e in table.files() if may_hold_expirable(e)]
     if not victims:
         return table.current_version()
@@ -659,6 +664,7 @@ def expire_tombstones(
         removed_paths={e.path for e in victims},
         operation="expire-tombstones",
         checkpoint_key=checkpoint_key,
+        read_version=read_v,
     )
 
 

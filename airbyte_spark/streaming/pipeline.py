@@ -242,9 +242,14 @@ class CdcPipeline:
     def _maybe_expire(self) -> None:
         if not self.auto_expire_keep:
             return
+        if getattr(self.table, "_branch", None):
+            # a branch-handle pipeline (atomic catalog sync) never expires:
+            # the chain is transient (dropped at publish), and vacuum from
+            # a branch view would see main's files as orphans
+            return
         import os
 
-        d = os.path.join(self.table.path, "_lake")
+        d = self.table._meta_dir()
         n = sum(
             1 for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
         )

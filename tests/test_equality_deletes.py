@@ -169,3 +169,72 @@ def test_unknown_column_rejected(spark, sf_dir, table):
     t, _ = table
     with pytest.raises(ValueError, match="not in table schema"):
         delete_equality(t, [1, 2], cols=["nope"])
+
+
+def test_rewrite_conflicts_with_concurrent_delete(spark, sf_dir, table, monkeypatch):
+    """A rewrite (compact here) whose read predates a concurrently
+    committed equality delete must CommitConflict instead of silently
+    re-materializing the purged rows with a fresher sequence number."""
+    from airbyte_spark.lake.format import CommitConflict, LakeTable
+
+    t, src = table
+    orig = LakeTable._stage_write
+    fired = {"done": False}
+
+    def staged_then_delete(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        if not fired["done"]:
+            fired["done"] = True  # delete lands between read+stage and commit
+            delete_equality(t, src.select("event_id").limit(20), cols=["event_id"])
+        return out
+
+    monkeypatch.setattr(LakeTable, "_stage_write", staged_then_delete)
+    with pytest.raises(CommitConflict, match="deletes committed"):
+        t.compact(target_file_bytes=1 << 30)
+    # the delete survived; a re-run against current state succeeds
+    monkeypatch.setattr(LakeTable, "_stage_write", orig)
+    n = t.read().count()
+    t.compact(target_file_bytes=1 << 30)
+    assert t.read().count() == n == src.count() - 20
+
+
+def test_cluster_conflicts_with_concurrent_delete(spark, sf_dir, table, monkeypatch):
+    from airbyte_spark.lake.format import CommitConflict, LakeTable
+
+    t, src = table
+    orig = LakeTable._stage_write
+    fired = {"done": False}
+
+    def staged_then_delete(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            delete_equality(t, src.select("event_id").limit(10), cols=["event_id"])
+        return out
+
+    monkeypatch.setattr(LakeTable, "_stage_write", staged_then_delete)
+    with pytest.raises(CommitConflict, match="deletes committed"):
+        t.cluster(["event_id"], target_file_bytes=1 << 30)
+    assert t.read().count() == src.count() - 10  # delete intact
+
+
+def test_rename_keeps_delete_applying_redadd_does_not(spark, sf_dir, table):
+    """Equality deletes are keyed on field ids: a rename keeps them
+    applying; dropping the key column disables (never mis-applies) them."""
+    t, src = table
+    delete_equality(t, src.filter("user_id % 10 = 3").select("user_id"))
+    n_after = t.read().count()
+    t.rename_column("user_id", "uid")
+    assert t.read().count() == n_after  # still applies through the rename
+    assert t.read().filter("uid % 10 = 3").count() == 0
+    t.drop_column("uid")
+    # key column gone → the delete can no longer identify rows; reads work
+    # and conservatively keep everything still stored
+    assert t.read().count() == src.count()
+
+
+def test_list_value_cast_failure_rejected(spark, sf_dir, table):
+    t, _ = table
+    with pytest.raises(ValueError, match="do not cast"):
+        delete_equality(t, ["12", "34abc"], cols=["event_id"])
+    assert t.eq_delete_files() == []  # nothing committed

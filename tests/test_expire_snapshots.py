@@ -184,3 +184,38 @@ def test_pipeline_auto_expire_bounds_metadata(spark, sf_dir, tmp_path):
     pipe2 = CdcPipeline.create_target(spark, str(tmp_path / "auto"), n_buckets=4)
     pipe2.replay(changelog, group_size=1)
     assert pipe2.table.current_version() == v
+
+
+def test_vacuum_grace_period_protects_young_files(spark, sf_dir, tmp_path):
+    """grace_s shields just-written (possibly mid-commit) files from the
+    orphan sweep — the window between a writer staging files/segments and
+    its O_EXCL head publish."""
+    src = _src(spark, sf_dir)
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t7"),
+        src.schema,
+        PartitionSpec(),
+        properties={"manifest.segmented": "true"},
+    )
+    t.append(src)
+    # plant fresh debris shaped like an in-flight commit: an unreferenced
+    # data file and an unreferenced segment
+    import shutil
+
+    seg = os.path.join(t.path, "_lake", "segs", "seg-inflight.json")
+    with open(seg, "w") as fh:
+        json.dump({"entries": []}, fh)
+    data = next(
+        os.path.join(r, n)
+        for r, _, ns in os.walk(os.path.join(t.path, "data"))
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    orphan = os.path.join(os.path.dirname(data), "inflight.parquet")
+    shutil.copyfile(data, orphan)
+    assert t.vacuum(grace_s=3600) == 0  # young debris survives
+    assert os.path.exists(seg) and os.path.exists(orphan)
+    assert t.vacuum(grace_s=0) >= 2  # quiesced sweep reclaims it
+    assert not os.path.exists(seg) and not os.path.exists(orphan)
+    assert t.read().count() == src.count()
