@@ -130,8 +130,72 @@ def row_changes(
     # rows resurrected by dropped sidecars (rollback): present at v_to
     dv_insert_rows = _dv_rows(dv_dropped, v_to, new_entries, "insert")
 
+    # Equality deletes likewise change rows without changing the data-file
+    # set: a key sidecar added between the versions deletes matching rows
+    # from every both-live file that PREDATES it (strictly-lower data
+    # sequence); one dropped without its predating files being rewritten
+    # (rollback) resurrects them. Materialized by a key semi-join of the
+    # predating files' read at the relevant version.
+    old_eq = {d["path"]: d for d in table.eq_delete_files(v_from)} if v_from else {}
+    new_eq = {d["path"]: d for d in table.eq_delete_files(v_to)}
+    eq_added = [d for p, d in new_eq.items() if p not in old_eq]
+    eq_dropped = [d for p, d in old_eq.items() if p not in new_eq]
+
+    def _eq_rows(dlist, at_version, entry_map, other_entries, ctype):
+        if not dlist:
+            return None
+        import os as _os
+
+        import pyspark.sql.functions as _F
+
+        m_at = table.manifest(at_version)
+        tids = (m_at.get("field_ids") or {}).get(str(m_at["schema_id"]))
+        outs = None
+        for d in dlist:
+            files = [
+                e
+                for p, e in entry_map.items()
+                if p in other_entries and (e.seq or 0) < d["seq"]
+            ]
+            if not files:
+                continue
+            if d.get("col_ids") and tids:
+                by_fid = {v: k for k, v in tids.items()}
+                names = [by_fid.get(i) for i in d["col_ids"]]
+                if any(n is None for n in names):
+                    continue  # key column dropped → the delete never applied
+            else:
+                names = list(d["cols"])
+            pre = table.read(at_version, files=files)
+            kdf = spark.read.parquet(_os.path.join(table.path, d["path"])).select(
+                *[
+                    _F.col(stored).alias(f"__eq_{cur}")
+                    for stored, cur in zip(d["cols"], names)
+                ]
+            )
+            cond = None
+            for cur in names:
+                e_ = _F.col(cur).eqNullSafe(_F.col(f"__eq_{cur}"))
+                cond = e_ if cond is None else cond & e_
+            rows = pre.join(_F.broadcast(kdf), cond, "left_semi").select(
+                *[
+                    (
+                        _F.col(c)
+                        if c in pre.columns
+                        else _F.lit(None).cast(schema[c].dataType)
+                    ).alias(c)
+                    for c in data_cols
+                ],
+                _F.lit(ctype).alias(CHANGE_TYPE_COL),
+            )
+            outs = rows if outs is None else outs.unionByName(rows)
+        return outs
+
+    eq_delete_rows = _eq_rows(eq_added, v_from, old_entries, new_entries, "delete")
+    eq_insert_rows = _eq_rows(eq_dropped, v_to, new_entries, old_entries, "insert")
+
     def _with_dv(df: DataFrame) -> DataFrame:
-        for extra in (dv_delete_rows, dv_insert_rows):
+        for extra in (dv_delete_rows, dv_insert_rows, eq_delete_rows, eq_insert_rows):
             if extra is not None:
                 df = df.unionByName(extra)
         return df

@@ -238,3 +238,49 @@ def test_list_value_cast_failure_rejected(spark, sf_dir, table):
     with pytest.raises(ValueError, match="do not cast"):
         delete_equality(t, ["12", "34abc"], cols=["event_id"])
     assert t.eq_delete_files() == []  # nothing committed
+
+
+def test_change_feed_emits_equality_deletes(spark, sf_dir, table):
+    """An equality-delete commit changes no data files, but the row-level
+    change feed must still emit delete images for the vanished rows — and
+    a rollback across it must emit them back as inserts."""
+    from airbyte_spark.lake.changes import row_changes
+
+    t, src = table
+    t._update_properties({"bloom.key": "event_id"}, set(), "key-prop")
+    v0 = t.current_version()
+    doomed = src.filter("user_id % 10 = 3")
+    delete_equality(t, doomed.select("event_id"), cols=["event_id"])
+    v1 = t.current_version()
+
+    ch = row_changes(t, v0, v1).collect()
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    assert {r["event_id"] for r in ch} == {
+        r["event_id"] for r in doomed.collect()
+    }
+    # rollback across the delete → the same rows come back as inserts
+    t.rollback(v0)
+    v2 = t.current_version()
+    back = row_changes(t, v1, v2).collect()
+    assert {r["_change_type"] for r in back} == {"insert"}
+    assert {r["event_id"] for r in back} == {r["event_id"] for r in doomed.collect()}
+    # and across the whole span nothing changed at all
+    assert row_changes(t, v0, v2).count() == 0
+
+
+def test_change_feed_eq_delete_skips_postdating_files(spark, sf_dir, table):
+    """Rows (re)inserted after the delete carry a higher sequence: the
+    change feed must not emit phantom deletes for them."""
+    from airbyte_spark.lake.changes import row_changes
+
+    t, src = table
+    t._update_properties({"bloom.key": "event_id"}, set(), "key-prop")
+    doomed = src.filter("user_id % 10 = 3")
+    delete_equality(t, doomed.select("event_id"), cols=["event_id"])
+    v1 = t.current_version()
+    t.append(doomed.filter("event_id % 2 = 0"), checkpoint_key="reinsert")
+    v2 = t.current_version()
+    ch = row_changes(t, v1, v2).collect()
+    # only the re-insert batch appears, as inserts riding the file diff
+    assert {r["_change_type"] for r in ch} == {"insert"}
+    assert len(ch) == doomed.filter("event_id % 2 = 0").count()
