@@ -1200,6 +1200,75 @@ class LakeTable:
             self.spark.sparkContext.parallelize(rows)
         )
 
+    def partitions_df(self, version: int | None = None) -> DataFrame:
+        """Per-partition-tuple layout stats (≡ Iceberg's `table.partitions`
+        metadata table): files/rows/bytes per partition plus a skew ratio
+        against the median partition's bytes. Pure manifest arithmetic —
+        no data I/O. This is the input to layout-health decisions: a
+        bucket rows/bytes ratio far above 1.0 means the url-hash layout
+        is absorbing a hot domain unevenly (→ respec to more buckets), a
+        file count far above siblings means compaction lag."""
+        parts: dict[str, dict] = {}
+        for e in self.files(version):
+            key = json.dumps(e.partition or {}, sort_keys=True)
+            p = parts.setdefault(key, {"files": 0, "rows": 0, "bytes": 0})
+            p["files"] += 1
+            p["rows"] += e.rows
+            p["bytes"] += e.bytes
+        med = sorted(p["bytes"] for p in parts.values())
+        median = med[len(med) // 2] if med else 0
+        rows = [
+            json.dumps(
+                {
+                    "partition": k,
+                    **p,
+                    "bytes_vs_median": (p["bytes"] / median) if median else None,
+                }
+            )
+            for k, p in sorted(parts.items())
+        ]
+        schema = (
+            "partition string, files long, rows long, bytes long, "
+            "bytes_vs_median double"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).json(
+            self.spark.sparkContext.parallelize(rows)
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        """Retained snapshot history as a DataFrame (≡ Iceberg's
+        `table.snapshots`/`table.history` metadata tables): one row per
+        retained manifest with operation, commit summary counts, and the
+        tag names pointing at it."""
+        by_version_tags: dict[int, list[str]] = {}
+        for name, v in self.tags().items():
+            by_version_tags.setdefault(v, []).append(name)
+        rows = []
+        for h in self.history():
+            rows.append(
+                json.dumps(
+                    {
+                        "version": h["version"],
+                        "operation": h["operation"],
+                        "n_files": h["n_files"],
+                        "checkpoint_key": (h.get("commit") or {}).get("key"),
+                        "rows_written": (h.get("commit") or {}).get("rows_written"),
+                        "tags": sorted(by_version_tags.get(h["version"], [])),
+                    }
+                )
+            )
+        schema = (
+            "version long, operation string, n_files long, "
+            "checkpoint_key string, rows_written long, tags array<string>"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).json(
+            self.spark.sparkContext.parallelize(rows)
+        )
+
     def metrics_df(self) -> DataFrame:
         """Per-commit lineage/metrics as a DataFrame (rows/bytes/files per
         (checkpoint_id, partition) — the north_star's metrics table)."""

@@ -71,3 +71,47 @@ def test_empty_table_summary(spark, sf_dir, tmp_path):
     src = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
     t = LakeTable.create(spark, str(tmp_path / "t"), src.schema, PartitionSpec())
     assert t.stats_summary() == {"rows": 0, "bytes": 0, "files": 0, "columns": {}}
+
+
+def test_partitions_df_layout_stats(spark, sf_dir, tmp_path):
+    """Per-partition metadata table: manifest-only, exact counts, skew
+    ratio flags the hot bucket."""
+    import pyspark.sql.functions as F
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type")
+        .limit(300)
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "pt"), src.schema, PartitionSpec.bucket("event_id", 4)
+    )
+    t.append(src, stat_cols=["event_id"])
+    # skew it: append a second copy of ONE bucket's rows
+    hot = t.read().filter(F.pmod(F.xxhash64("event_id"), F.lit(4)) == 0)
+    t.append(hot.withColumn("event_id", F.col("event_id") + 10_000_000))
+    pdf = {r["partition"]: r.asDict() for r in t.partitions_df().collect()}
+    assert sum(p["rows"] for p in pdf.values()) == t.read().count()
+    assert all(p["files"] >= 1 for p in pdf.values())
+    ratios = {k: p["bytes_vs_median"] for k, p in pdf.items()}
+    assert max(ratios.values()) > 1.0  # the doubled bucket stands out
+
+
+def test_snapshots_df_history_with_tags(spark, sf_dir, tmp_path):
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id")
+        .limit(50)
+    )
+    t = LakeTable.create(spark, str(tmp_path / "sn"), src.schema, PartitionSpec())
+    t.append(src, checkpoint_key="a")
+    t.tag("pin-1")
+    t.append(src.limit(10), checkpoint_key="b")
+    rows = {r["version"]: r.asDict() for r in t.snapshots_df().collect()}
+    assert rows[1]["operation"] == "create"
+    assert rows[2]["checkpoint_key"] == "a" and rows[2]["tags"] == ["pin-1"]
+    assert rows[3]["checkpoint_key"] == "b" and rows[3]["tags"] == []
