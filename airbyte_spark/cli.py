@@ -50,6 +50,9 @@ Commands:
                                  bound the manifest chain: keep the newest N
                                  snapshot heads (time travel below the floor
                                  is given up; current state untouched)
+  inspect  --target T [--what partitions|snapshots|files] [--limit N]
+                                 metadata tables: per-partition layout/skew,
+                                 snapshot history with tags, live files
   txn-recover --txn-log D [--tables p1,p2]
                                  crash repair: roll decided catalog
                                  transactions forward, scavenge undecided
@@ -152,6 +155,10 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("expire-snapshots", "--target")
     sp.add_argument("--retain-last", type=int, default=10,
                     help="newest N manifest versions to keep (current always kept)")
+    sp = add("inspect", "--target")
+    sp.add_argument("--what", choices=("partitions", "snapshots", "files"),
+                    default="snapshots")
+    sp.add_argument("--limit", type=int, default=50)
     sp = sub.add_parser("txn-recover")
     sp.add_argument("--txn-log", required=True, help="transaction log dir")
     sp.add_argument("--tables", default=None,
@@ -433,6 +440,19 @@ def run(spark, args) -> dict:
             "mode": "expire-snapshots",
             "manifests_removed": t.expire_snapshots(retain_last=args.retain_last),
             "version": t.current_version(),
+        }
+
+    if args.cmd == "inspect":
+        t = LakeTable.load(spark, args.target)
+        df = {
+            "partitions": t.partitions_df,
+            "snapshots": t.snapshots_df,
+            "files": t.files_df,
+        }[args.what]()
+        return {
+            "type": "MAINTENANCE_RESULT",
+            "mode": f"inspect:{args.what}",
+            "rows": [r.asDict() for r in df.limit(args.limit).collect()],
         }
 
     if args.cmd == "txn-recover":

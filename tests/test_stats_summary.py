@@ -115,3 +115,28 @@ def test_snapshots_df_history_with_tags(spark, sf_dir, tmp_path):
     assert rows[1]["operation"] == "create"
     assert rows[2]["checkpoint_key"] == "a" and rows[2]["tags"] == ["pin-1"]
     assert rows[3]["checkpoint_key"] == "b" and rows[3]["tags"] == []
+
+
+def test_inspect_cli(spark, sf_dir, tmp_path):
+    from airbyte_spark import cli
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id")
+        .limit(60)
+    )
+    t = LakeTable.create(spark, str(tmp_path / "ins"), src.schema, PartitionSpec())
+    t.append(src, checkpoint_key="a")
+    t.tag("pin")
+    for what, key in (("snapshots", "version"), ("partitions", "rows"), ("files", "path")):
+        args = cli._parser().parse_args(
+            ["inspect", "--target", t.path, "--what", what]
+        )
+        out = cli.run(spark, args)
+        assert out["mode"] == f"inspect:{what}" and out["rows"]
+        assert key in out["rows"][0]
+    snaps = cli.run(
+        spark, cli._parser().parse_args(["inspect", "--target", t.path])
+    )["rows"]
+    assert any(r["tags"] == ["pin"] for r in snaps)
