@@ -2522,7 +2522,69 @@ def q_sync_delete_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry.
+
+    Ordering matters: the driver's correctness gate samples the FIRST 50
+    entries in registry order per round.  Rounds 1-2 gated the CDC/sync core
+    (all green in CORRECTNESS_r01/r02); round 3 rotates the previously
+    driver-unchecked doc_/emb_/web_/src_ families plus the two queries whose
+    implementations changed since their last green row (doc_jaccard_pairs now
+    runs LSH->verify, emb_near_dups runs the IVF-bucketed form) into the
+    window, cheapest first.  Queries past position 50 all hold a green driver
+    row from a prior round or are covered by scripts/check_oracle.py + pytest.
+    """
     return {
+        # --- driver window (positions 1-50): never-driver-checked + re-checks
+        "doc_train_split": q_doc_train_split,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_mix_plan": q_doc_mix_plan,
+        "doc_quota_by_lang": q_doc_quota_by_lang,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_repetition": q_doc_repetition,
+        "doc_vocab_topk": q_doc_vocab_topk,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_lm_surprisal": q_doc_lm_surprisal,
+        "doc_passages": q_doc_passages,
+        "cdc_url_quality": q_cdc_url_quality,
+        "cdc_segment_quantiles": q_cdc_segment_quantiles,
+        "cdc_postings_incremental": q_cdc_postings_incremental,
+        "sync_sql_over_lake": q_sync_sql_over_lake,
+        "sync_constraint_gate": q_sync_constraint_gate,
+        "sync_delete_positions": q_sync_delete_positions,
+        "sync_metadata_stats": q_sync_metadata_stats,
+        "sync_distinct_urls_sketch": q_sync_distinct_urls_sketch,
+        "sync_hot_domain_hitters": q_sync_hot_domain_hitters,
+        "src_http_offset": q_src_http_offset,
+        "src_singer_roundtrip": q_src_singer_roundtrip,
+        "src_warc_roundtrip": q_src_warc_roundtrip,
+        "src_warc_point_lookup": q_src_warc_point_lookup,
+        "src_warc_revisit_dedup": q_src_warc_revisit_dedup,
+        "src_warc_cdc_e2e": q_src_warc_cdc_e2e,
+        "doc_robots_filter": q_doc_robots_filter,
+        "doc_boilerplate_strip": q_doc_boilerplate_strip,
+        "doc_segment_dedup": q_doc_segment_dedup,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_curate": q_doc_curate,
+        "emb_srp_near_dups": q_emb_srp_near_dups,
+        "emb_near_dups": q_emb_near_dups,
+        "emb_kmeans_cells": q_emb_kmeans_cells,
+        "emb_pq_topk": q_emb_pq_topk,
+        "web_pagerank": q_web_pagerank,
+        "web_hits": q_web_hits,
+        "web_anchor_text": q_web_anchor_text,
+        "web_recrawl_schedule": q_web_recrawl_schedule,
+        "web_fetch_budget": q_web_fetch_budget,
+        "web_sitemap_frontier": q_web_sitemap_frontier,
+        # (slots 49-50 reserved for round-3 additions; filled below)
+        # --- past the window: green in CORRECTNESS_r01/r02, pytest-pinned
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
         "cdc_matview_incremental": q_cdc_matview_incremental,
@@ -2573,65 +2635,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_catalog_txn": q_sync_catalog_txn,
         "sync_rollback": q_sync_rollback,
         "sync_rename_column": q_sync_rename_column,
-        "sync_metadata_stats": q_sync_metadata_stats,
-        "sync_distinct_urls_sketch": q_sync_distinct_urls_sketch,
-        "sync_hot_domain_hitters": q_sync_hot_domain_hitters,
-        "src_http_offset": q_src_http_offset,
-        "src_singer_roundtrip": q_src_singer_roundtrip,
-        "src_warc_roundtrip": q_src_warc_roundtrip,
-        "src_warc_point_lookup": q_src_warc_point_lookup,
-        "src_warc_cdc_e2e": q_src_warc_cdc_e2e,
-        "src_warc_revisit_dedup": q_src_warc_revisit_dedup,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_robots_filter": q_doc_robots_filter,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
-        "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash_lsh": q_doc_minhash_lsh,
-        "doc_dedup_clusters": q_doc_dedup_clusters,
-        "doc_incremental_dedup": q_doc_incremental_dedup,
-        "doc_curate": q_doc_curate,
-        "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
-        "doc_winnow_pairs": q_doc_winnow_pairs,
-        "doc_vocab_topk": q_doc_vocab_topk,
-        "doc_repetition": q_doc_repetition,
-        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_simhash": q_doc_simhash,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_near_dups": q_emb_near_dups,
-        "emb_srp_near_dups": q_emb_srp_near_dups,
         "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_kmeans_cells": q_emb_kmeans_cells,
-        "emb_pq_topk": q_emb_pq_topk,
-        "doc_segment_dedup": q_doc_segment_dedup,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_train_split": q_doc_train_split,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_quota_by_lang": q_doc_quota_by_lang,
         "doc_corpus_stats": q_doc_corpus_stats,
-        "doc_mix_plan": q_doc_mix_plan,
-        "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_sample_mix": q_doc_sample_mix,
-        "doc_boilerplate_strip": q_doc_boilerplate_strip,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
-        "doc_lm_surprisal": q_doc_lm_surprisal,
-        "web_pagerank": q_web_pagerank,
-        "web_hits": q_web_hits,
-        "web_anchor_text": q_web_anchor_text,
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
-        "doc_bm25_topk": q_doc_bm25_topk,
-        "web_recrawl_schedule": q_web_recrawl_schedule,
-        "cdc_segment_quantiles": q_cdc_segment_quantiles,
-        "cdc_postings_incremental": q_cdc_postings_incremental,
-        "web_fetch_budget": q_web_fetch_budget,
-        "web_sitemap_frontier": q_web_sitemap_frontier,
-        "cdc_url_quality": q_cdc_url_quality,
-        "doc_passages": q_doc_passages,
-        "sync_sql_over_lake": q_sync_sql_over_lake,
-        "sync_constraint_gate": q_sync_constraint_gate,
-        "sync_delete_positions": q_sync_delete_positions,
     }
 
 

@@ -77,6 +77,60 @@ def test_normalize_identifier_col_matches_python(spark):
     assert got == [normalize_identifier(n) for n in names]
 
 
+def test_normalize_identifier_dialect_caps():
+    from airbyte_spark.functions.names import DIALECT_MAX_LEN
+
+    long = "col_" + "x" * 300
+    # every dialect enforces its documented cap
+    for d, cap in DIALECT_MAX_LEN.items():
+        out = normalize_identifier(long, dialect=d)
+        assert len(out) == cap, (d, len(out))
+    # Redshift 127 > Postgres 63 > nothing truncated at MySQL 64 for short names
+    assert len(normalize_identifier(long, dialect="redshift")) == 127
+    assert len(normalize_identifier(long, dialect="mysql")) == 64
+    assert normalize_identifier("ok_name", dialect="mysql") == "ok_name"
+    # reserved words + leading digits still escaped under a dialect
+    assert normalize_identifier("select", dialect="redshift") == "select_"
+    assert normalize_identifier("2fast", dialect="mysql") == "_2fast"
+
+
+def test_normalize_identifier_hash_truncation_distinct():
+    # two names that agree up to the cap must stay distinct post-truncation
+    base = "y" * 200
+    a = normalize_identifier(base + "a", dialect="postgres")
+    b = normalize_identifier(base + "b", dialect="postgres")
+    assert len(a) == len(b) == 63 and a != b
+    # deterministic
+    assert a == normalize_identifier(base + "a", dialect="postgres")
+    # default (dialect-less) path is the round-1 contract: plain truncation
+    assert normalize_identifier(base + "a") == normalize_identifier(base + "b")
+
+
+def test_normalize_identifier_ascii_fold():
+    assert normalize_identifier("Café Münü", dialect="bigquery") == "cafe_munu"
+    assert normalize_identifier("Straße", dialect="oracle") == "strase"
+    # non-ascii-only dialects keep the '_' sweep for accents
+    assert normalize_identifier("Café", dialect="postgres") == "caf_"
+
+
+def test_normalize_identifier_dialect_col_matches_python(spark):
+    names = ["Café Münü", "Straße", "select", "2fast", "ok_name", "z" * 400]
+    df = spark.createDataFrame([(n,) for n in names], "s string")
+    for d in ("bigquery", "oracle", "redshift", "mysql"):
+        got = [
+            r[0]
+            for r in df.select(normalize_identifier_col(F.col("s"), dialect=d)).collect()
+        ]
+        assert got == [normalize_identifier(n, dialect=d) for n in names], d
+
+
+def test_normalize_identifier_unknown_dialect():
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_identifier("x", dialect="dbase")
+
+
 def test_unnest_child_basic(spark):
     df = spark.createDataFrame(
         [
