@@ -147,8 +147,12 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("compact", "--target")
     sp.add_argument("--target-file-mb", type=int, default=128)
     sp = add("vacuum", "--target")
-    sp.add_argument("--retain-last", type=int, default=1,
-                    help="keep files referenced by the newest N snapshots")
+    # default matches expire-snapshots' retain window: a default vacuum
+    # after a default expire must not delete data files still referenced
+    # by retained manifests (would silently break advertised time travel)
+    sp.add_argument("--retain-last", type=int, default=10,
+                    help="keep files referenced by the newest N snapshots "
+                         "(default aligns with expire-snapshots)")
     sp = add("properties", "--target")
     sp.add_argument("--set", action="append", default=[], metavar="K=V")
     sp.add_argument("--unset", action="append", default=[], metavar="K")
@@ -418,7 +422,7 @@ def run(spark, args) -> dict:
         return {
             "type": "MAINTENANCE_RESULT",
             "mode": "vacuum",
-            "files_removed": t.vacuum(retain_last=getattr(args, "retain_last", 1)),
+            "files_removed": t.vacuum(retain_last=getattr(args, "retain_last", 10)),
         }
 
     if args.cmd == "properties":

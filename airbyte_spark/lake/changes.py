@@ -141,7 +141,7 @@ def row_changes(
     eq_added = [d for p, d in new_eq.items() if p not in old_eq]
     eq_dropped = [d for p, d in old_eq.items() if p not in new_eq]
 
-    def _eq_rows(dlist, at_version, entry_map, other_entries, ctype):
+    def _eq_rows(dlist, at_version, entry_map, other_entries, ctype, dv_overlap):
         if not dlist:
             return None
         import os as _os
@@ -150,6 +150,18 @@ def row_changes(
 
         m_at = table.manifest(at_version)
         tids = (m_at.get("field_ids") or {}).get(str(m_at["schema_id"]))
+        # A row of a both-live file can be covered by BOTH a positional
+        # sidecar and an equality delete that differ between the versions
+        # (each built against v_from without knowledge of the other).
+        # _dv_rows already materializes it, so exclude those (file, pos)
+        # pairs here or the change feed would emit the event twice.
+        anti = None
+        if dv_overlap:
+            anti = (
+                spark.read.schema("file string, pos long")
+                .parquet(*[_os.path.join(table.path, d["path"]) for d in dv_overlap])
+                .toDF("__dv_anti_file", "__dv_anti_pos")
+            )
         outs = None
         for d in dlist:
             files = [
@@ -166,7 +178,14 @@ def row_changes(
                     continue  # key column dropped → the delete never applied
             else:
                 names = list(d["cols"])
-            pre = table.read(at_version, files=files)
+            pre = table.read(at_version, files=files, with_positions=anti is not None)
+            if anti is not None:
+                pre = pre.join(
+                    _F.broadcast(anti),
+                    (_F.col("_dv_file") == _F.col("__dv_anti_file"))
+                    & (_F.col("_dv_pos") == _F.col("__dv_anti_pos")),
+                    "left_anti",
+                )
             kdf = spark.read.parquet(_os.path.join(table.path, d["path"])).select(
                 *[
                     _F.col(stored).alias(f"__eq_{cur}")
@@ -191,8 +210,12 @@ def row_changes(
             outs = rows if outs is None else outs.unionByName(rows)
         return outs
 
-    eq_delete_rows = _eq_rows(eq_added, v_from, old_entries, new_entries, "delete")
-    eq_insert_rows = _eq_rows(eq_dropped, v_to, new_entries, old_entries, "insert")
+    eq_delete_rows = _eq_rows(
+        eq_added, v_from, old_entries, new_entries, "delete", dv_added
+    )
+    eq_insert_rows = _eq_rows(
+        eq_dropped, v_to, new_entries, old_entries, "insert", dv_dropped
+    )
 
     def _with_dv(df: DataFrame) -> DataFrame:
         for extra in (dv_delete_rows, dv_insert_rows, eq_delete_rows, eq_insert_rows):

@@ -801,7 +801,18 @@ class LakeTable:
             cons = self.constraints()
         if not added or not cons:
             return
-        staged = self.read(files=added)
+        # Scan exactly the rows the commit will make VISIBLE: staged
+        # entries still carry seq=None (era 0), so a plain read would
+        # anti-join them against every live equality delete and a
+        # violating row whose key matches one would slip past the gate —
+        # yet after commit it is stamped seq=new_version (> every delete
+        # seq) and becomes visible. Pre-stamp the prospective seq so no
+        # live equality delete masks a staged row from the check.
+        from dataclasses import replace as _dc_replace
+
+        head = manifest if manifest is not None else self.manifest()
+        prospective = int(head.get("version", 0)) + 1
+        staged = self.read(files=[_dc_replace(e, seq=prospective) for e in added])
         viol = None
         for e in cons.values():
             v = self._violation_expr(e)
@@ -1975,6 +1986,8 @@ class LakeTable:
         snapshots are exempt from expire_snapshots and from vacuum's file
         cleanup until the tag is dropped."""
         v = version if version is not None else self.current_version()
+        if v is None:  # empty table: nothing committed yet, nothing to pin
+            raise FileNotFoundError("no snapshot to tag: table has no commits")
         if not os.path.exists(self._manifest_path(v)):
             raise FileNotFoundError(f"no snapshot v{v} to tag")
         refs = self._refs()
@@ -2162,10 +2175,32 @@ class LakeTable:
         referenced = {e.path for e in entries}
         referenced |= {d["path"] for d in self.delete_files()}
         referenced |= {d["path"] for d in self.eq_delete_files()}
-        for v in range(1, (self.current_version() or 0) + 1):
+        # Every RETAINED manifest (not just the head) gets the same
+        # segment-existence check: a vanished segment referenced by an
+        # older retained snapshot is metadata corruption for time travel,
+        # and leniently skipping it would also drop its file paths from
+        # the `referenced` set — misclassifying live files as orphans.
+        refs_incomplete = False
+        head_v = self.current_version()
+        for v in range(1, (head_v or 0) + 1):
             mp = self._manifest_path(v)
             if os.path.exists(mp):
-                mv = self._read_manifest_file(mp, lenient=True)
+                with open(mp) as fh:
+                    raw_v = json.load(fh)
+                for sec in ("file_segments", "committed_segments"):
+                    for r in raw_v.get(sec) or []:
+                        if not os.path.exists(os.path.join(self.path, r["path"])):
+                            refs_incomplete = True
+                            if v != head_v:  # head already surveyed above
+                                issues.append(
+                                    {
+                                        "kind": "missing-segment",
+                                        "path": r["path"],
+                                        "section": sec,
+                                        "version": v,
+                                    }
+                                )
+                mv = self._hydrate(raw_v, lenient=True)
                 referenced |= {f["path"] for f in mv["files"]}
                 referenced |= {d["path"] for d in mv.get("delete_files", [])}
                 referenced |= {d["path"] for d in mv.get("eq_delete_files", [])}
@@ -2175,13 +2210,17 @@ class LakeTable:
             referenced |= {d["path"] for d in bt.delete_files()}
             referenced |= {d["path"] for d in bt.eq_delete_files()}
         data_root = os.path.join(self.path, _DATA_DIR)
-        for root, _dirs, names in os.walk(data_root):
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                rel = os.path.relpath(os.path.join(root, name), self.path)
-                if rel not in referenced:
-                    issues.append({"kind": "orphan-file", "path": rel})
+        # a vanished segment means `referenced` is incomplete — flagging
+        # orphans off a partial set would mark live files as vacuum
+        # candidates, so the (informational) orphan survey is suppressed
+        if not refs_incomplete:
+            for root, _dirs, names in os.walk(data_root):
+                for name in names:
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, name), self.path)
+                    if rel not in referenced:
+                        issues.append({"kind": "orphan-file", "path": rel})
         live_segs = self._referenced_segments()
         segs_root = os.path.join(self.path, _LAKE_DIR, _SEG_DIR)
         if os.path.isdir(segs_root):

@@ -163,9 +163,39 @@ def test_maintenance_cmds(spark, tmp_path):
     assert out["n_issues"] == 0
     out = run(spark, ns(cmd="rollback", target=path, to_version=v_before))
     assert out["restored"] == v_before
-    out = run(spark, ns(cmd="vacuum", target=path))
+    out = run(spark, ns(cmd="vacuum", target=path, retain_last=1))
     assert out["files_removed"] > 0
     assert LakeTable.load(spark, path).read().count() == 200
+
+
+def test_vacuum_default_preserves_expire_window(spark, tmp_path):
+    """Default vacuum must align with expire-snapshots' default retention:
+    after a default expire, a default vacuum may not delete data files
+    still referenced by the retained manifests (time travel within the
+    advertised window stays intact)."""
+    import pyspark.sql.functions as FF
+
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 120).select(FF.col("id").alias("k"))
+    t = LakeTable.create(spark, path, df.schema, PartitionSpec())
+    for i in range(6):
+        t.append(df.filter(FF.col("k") % 6 == i), checkpoint_key=f"c{i}")
+    # full-table rewrite so old files become vacuum-eligible below retention
+    from airbyte_spark.lake.dml import replace_where
+
+    replace_where(t, t.read(), "true")
+    run(spark, ns(cmd="expire-snapshots", target=path, retain_last=10))
+    out = run(spark, ns(cmd="vacuum", target=path))
+    t = LakeTable.load(spark, path)
+    # every retained manifest remains fully readable after a default vacuum
+    for v in range(1, t.current_version() + 1):
+        import os
+
+        if os.path.exists(t._manifest_path(v)):
+            assert t.read(version=v).count() >= 0  # no missing-file read error
+    assert t.fsck() == [] or all(i["kind"] != "missing-file" for i in t.fsck())
 
 
 def test_read_mor_and_compact_versions(spark, changelog_dir, tmp_path):

@@ -114,3 +114,28 @@ def test_concurrently_added_constraint_enforced_on_commit(table, spark):
 
     with pytest.raises(ConstraintViolation):
         table.commit(entries, operation="append")
+
+
+def test_gate_sees_rows_masked_by_live_equality_delete(table, spark):
+    """Regression: the commit-time gate must scan the rows the commit will
+    make VISIBLE. Staged entries carry seq=None; without a prospective-seq
+    stamp they read as era 0 and every live equality delete anti-joins the
+    staged rows away — a violating row whose key matches a live equality
+    delete would pass the gate, then surface post-commit with
+    seq=new_version > delete seq."""
+    from airbyte_spark.lake.dml import delete_equality
+
+    table.add_constraint("v_positive", "v > 0")
+    # equality-delete id=1 (its row is live, predating the delete)
+    delete_equality(table, keys=[1], cols=["id"])
+    assert table.read().filter("id = 1").count() == 0
+
+    # re-insert id=1 with a VIOLATING value: the new row postdates the
+    # delete, so if committed it would be visible — the gate must reject
+    with pytest.raises(ConstraintViolation, match="v_positive"):
+        table.append(
+            spark.createDataFrame([(1, -7, "bad")], "id long, v long, s string")
+        )
+    # and a conforming re-insert of the same key still passes + is visible
+    table.append(spark.createDataFrame([(1, 99, "ok")], "id long, v long, s string"))
+    assert [r.v for r in table.read().filter("id = 1").collect()] == [99]

@@ -284,3 +284,47 @@ def test_change_feed_eq_delete_skips_postdating_files(spark, sf_dir, table):
     # only the re-insert batch appears, as inserts riding the file diff
     assert {r["_change_type"] for r in ch} == {"insert"}
     assert len(ch) == doomed.filter("event_id % 2 = 0").count()
+
+
+def test_change_feed_dual_covered_rows_emit_once(spark, sf_dir, table):
+    """Regression: a row of a both-live file covered by BOTH a new
+    position-delete sidecar and a new equality delete between the compared
+    versions must emit exactly ONE delete event (each materializer reads
+    at v_from without knowledge of the other new sidecar). Symmetrically,
+    a rollback dropping both sidecars resurrects the row exactly once."""
+    from airbyte_spark.lake.changes import row_changes
+    from airbyte_spark.lake.dml import delete_positions
+
+    t, src = table
+    t._update_properties({"bloom.key": "event_id"}, set(), "key-prop")
+    v0 = t.current_version()
+    # positional sidecar over the 'error' rows (reads post-delete state,
+    # so it must come first), then an equality delete over user_id%10=3 —
+    # the two sets overlap on rows with both properties
+    delete_positions(t, "event_type = 'error'")
+    delete_equality(
+        t, src.filter("user_id % 10 = 3").select("event_id"), cols=["event_id"]
+    )
+    v2 = t.current_version()
+    doomed = {
+        r["event_id"]
+        for r in src.filter("event_type = 'error' OR user_id % 10 = 3").collect()
+    }
+    overlap = {
+        r["event_id"]
+        for r in src.filter("event_type = 'error' AND user_id % 10 = 3").collect()
+    }
+    assert overlap, "fixture must actually exercise the dual-coverage case"
+
+    ch = row_changes(t, v0, v2).collect()
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    ids = [r["event_id"] for r in ch]
+    assert len(ids) == len(set(ids)), "duplicate delete events for dual-covered rows"
+    assert set(ids) == doomed
+
+    # rollback across both sidecars → every row back exactly once
+    t.rollback(v0)
+    back = row_changes(t, v2, t.current_version()).collect()
+    assert {r["_change_type"] for r in back} == {"insert"}
+    bids = [r["event_id"] for r in back]
+    assert len(bids) == len(set(bids)) and set(bids) == doomed
