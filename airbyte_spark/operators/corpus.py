@@ -322,8 +322,11 @@ def strip_boilerplate(
         .filter(F.col("_df") > F.lit(max_df_ratio) * F.col("_n_docs"))
         .select(group_col, "seg_hash")
     )
+    # no forced broadcast: the boilerplate set is small PER GROUP but grows
+    # with the number of sites, so at 100× it is not driver-bounded — AQE's
+    # runtime size estimate picks broadcast when it actually fits
     marked = segs.join(
-        F.broadcast(boiler.withColumn("_boiler", F.lit(True))),
+        boiler.withColumn("_boiler", F.lit(True)),
         [group_col, "seg_hash"],
         "left",
     ).withColumn("kept", F.col("_boiler").isNull())

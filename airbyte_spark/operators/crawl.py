@@ -186,7 +186,10 @@ def allocate_fetch_budget(
     )
     return (
         per.withColumn("slot", F.row_number().over(wslot).cast("int"))
-        .join(F.broadcast(quotas), "domain")
+        # no forced broadcast: quotas has one row per distinct domain, which
+        # grows with the frontier (hundreds of millions at web scale) — AQE
+        # broadcasts it at runtime only when it fits
+        .join(quotas, "domain")
         .filter(F.col("slot") <= F.col("quota"))
         .select("domain", url_col, priority_col, "slot", F.col("quota").cast("bigint"))
     )

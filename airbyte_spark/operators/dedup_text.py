@@ -26,6 +26,13 @@ from airbyte_spark.operators.textops import fingerprint, normalize_text
 
 HEX = "0123456789abcdef"
 
+# Above this LSH candidate-pair count, the verify stage's joins are left
+# to AQE's size-based strategy instead of forced broadcasts (mirrors
+# lake/merge.py's BROADCAST_WINNER_MAX: a boilerplate-heavy corpus at
+# 100× the tested scale produces a candidate set that would OOM the
+# driver or exceed the broadcast limit if broadcast unconditionally).
+BROADCAST_CAND_MAX = 2_000_000
+
 
 def words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda x: x != "")
@@ -357,28 +364,42 @@ def lsh_jaccard_pairs(
     cand = lsh_pairs(df, text_col, id_col, n, num_hashes, bands, shingle_df=d).cache()
     # verify only touches documents that appear in some candidate pair —
     # semi-join the shingle table down to them, fold each surviving doc's
-    # shingles into one set row, and score pairs with a single broadcast
-    # join + array_intersect (near-dup candidates are a vanishing fraction
+    # shingles into one set row, and score pairs with a single join +
+    # array_intersect (near-dup candidates are usually a vanishing fraction
     # of a deduped corpus, so the per-doc sets are small and few; this
-    # avoids a second exploded pair-count shuffle entirely)
+    # avoids a second exploded pair-count shuffle entirely).
+    #
+    # The broadcasts are GATED on the measured candidate count (mirroring
+    # merge.py's BROADCAST_WINNER_MAX): on a boilerplate-heavy corpus at
+    # 100× scale the candidate set is NOT vanishing, and a forced broadcast
+    # of the shingle-set sides would OOM the driver or trip the 8 GB
+    # broadcast limit. Past the gate the joins are left to AQE's size-based
+    # strategy. cand is cached, so this count is the single execution of
+    # the minhash chain and the verify below reuses the materialized cache.
+    n_cand = cand.count()
+    gate = n_cand <= BROADCAST_CAND_MAX
+
+    def _maybe_b(side: DataFrame) -> DataFrame:
+        return F.broadcast(side) if gate else side
+
     cand_ids = (
         cand.select(F.col("a_id").alias("doc_id"))
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    # cached: both broadcast sides below read it, and without the cache the
-    # second broadcast would re-run the semi-join + collect_set (sa/sb are
+    # cached: both verify sides below read it, and without the cache the
+    # second side would re-run the semi-join + collect_set (sa/sb are
     # alias-renamed plans, so exchange reuse does not apply)
     sets = (
-        d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        d.join(_maybe_b(cand_ids), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("sh"))
     ).cache()
     sa = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
     sb = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
     return (
-        cand.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
+        cand.join(_maybe_b(sa), "a_id")
+        .join(_maybe_b(sb), "b_id")
         .withColumn("common", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",

@@ -96,7 +96,9 @@ def apply_robots_rules(
     )
     matched = (
         keyed.select(url_col, "_dom", "_path")
-        .join(F.broadcast(r), on="_dom", how="inner")
+        # no forced broadcast: the rule set is one row per (domain, prefix)
+        # and grows with crawled domains — defer to AQE's runtime estimate
+        .join(r, on="_dom", how="inner")
         .filter(F.col("_path").startswith(F.col("_prefix")))
         .groupBy(url_col)
         .agg(

@@ -397,3 +397,28 @@ def test_pq_train_reduces_quantization_error(spark, sf_dir):
     trained = qerr(pq_train(emb_df, m=8, ksub=16, iters=2))
     assert trained <= base + 1e-9
     assert trained < base  # strict improvement on random data
+
+
+def test_lsh_jaccard_broadcast_gate_fallback(docs, monkeypatch):
+    """Forcing candidate-count overflow must drop the verify-stage
+    broadcast HINTS (falling back to AQE's size-based join choice) while
+    producing identical pairs. Guards the 100×-scale failure mode: an
+    unconditional broadcast of the shingle-set sides on a boilerplate-heavy
+    corpus would OOM the driver or trip the broadcast size limit."""
+    from airbyte_spark.operators import dedup_text as DT
+
+    sample = docs.limit(200)
+    gated = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+        for r in DT.lsh_jaccard_pairs(sample, threshold=0.5).collect()
+    }
+    monkeypatch.setattr(DT, "BROADCAST_CAND_MAX", 0)
+    df = DT.lsh_jaccard_pairs(sample, threshold=0.5)
+    # no user-forced broadcast hint anywhere in the logical plan (AQE may
+    # still CHOOSE broadcast at runtime from real sizes — that is the point)
+    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "strategy=broadcast" not in plan
+    fallback = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 6)) for r in df.collect()
+    }
+    assert fallback == gated and gated, "fallback plan must match gated results"
