@@ -82,6 +82,22 @@ def q_cdc_mor_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
 
 
+def q_cdc_mor_resolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR resolve-at-read on UNCOMPACTED state (the bench's
+    mor_resolve_read line as a correctness row): replay appends one winner
+    set per checkpoint — multiple versions of a key across files — and the
+    read itself performs the LWW resolution (lake/merge.py resolve_stored:
+    salted lag-head window over the appended versions). No compaction runs,
+    so this gates exactly the read path a 100 TB MoR table serves between
+    compactions. Must equal the copy-on-write final state."""
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    path = tempfile.mkdtemp(prefix="airbyte_spark_morr_") + "/pages"
+    pipe = CdcPipeline.create_target(spark, path, n_buckets=8, write_mode="mor")
+    pipe.replay(read_changelog(spark, sf_dir))
+    return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
+
+
 def q_cdc_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance from the row-level change
     feed (lake/changes.py row_changes + operators/matview.py): build the
@@ -417,6 +433,36 @@ def q_cdc_unnest_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = ev.select("event_id", arr.alias("vals"))
     return unnest_child(df, "vals", ["event_id"], value_alias="val")
+
+
+def q_cdc_unnest_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive nested-stream normalization (children-of-children): a
+    two-level descent with chained parent hashids, per the reference's
+    child-processor recursion (stream_processor.py:332-366 and the
+    test_nested_streams fixture). Null inner arrays produce no
+    grandchildren; both levels are shuffle-free narrow explodes."""
+    from airbyte_spark.operators.unnest import unnest_child_recursive
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    item1 = F.struct(
+        F.col("event_type").alias("tag"),
+        F.array(
+            F.concat(F.lit("a-"), (F.col("user_id") % 5).cast("string")),
+            F.concat(F.lit("b-"), (F.col("event_id") % 7).cast("string")),
+        ).alias("subs"),
+    )
+    item2 = F.struct(
+        F.get_json_object(F.col("props"), "$.k").alias("tag"),
+        F.when(
+            F.col("user_id") % 4 != 0,
+            F.array(F.concat(F.lit("c-"), (F.col("user_id") % 3).cast("string"))),
+        ).alias("subs"),
+    )
+    arr = F.when(F.col("event_type") != "signup", F.array(item1, item2))
+    df = ev.select("event_id", arr.alias("vals"))
+    return unnest_child_recursive(
+        df, [("vals", "item"), ("item.subs", "val")], ["event_id"]
+    )
 
 
 def q_cdc_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2583,7 +2629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_recrawl_schedule": q_web_recrawl_schedule,
         "web_fetch_budget": q_web_fetch_budget,
         "web_sitemap_frontier": q_web_sitemap_frontier,
-        # (slots 49-50 reserved for round-3 additions; filled below)
+        # (round-3 additions)
+        "cdc_unnest_nested": q_cdc_unnest_nested,
+        "cdc_mor_resolve_read": q_cdc_mor_resolve_read,
         # --- past the window: green in CORRECTNESS_r01/r02, pytest-pinned
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
@@ -2911,6 +2959,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": final_state,
         "cdc_mor_replay_final_state": final_state,
+        "cdc_mor_resolve_read": final_state,
         "cdc_matview_incremental": f"""
             WITH ch AS ({_CH}),
             r AS (SELECT *, row_number() OVER (
@@ -3104,6 +3153,32 @@ def oracle_sql() -> dict[str, str]:
                    generate_subscripts(vals, 1) AS _idx,
                    unnest(vals) AS val
             FROM src WHERE vals IS NOT NULL
+        """,
+        "cdc_unnest_nested": """
+            WITH src AS (
+              SELECT event_id,
+                     CASE WHEN event_type <> 'signup' THEN
+                       [struct_pack(tag := event_type,
+                                    subs := ['a-' || CAST(user_id % 5 AS VARCHAR),
+                                             'b-' || CAST(event_id % 7 AS VARCHAR)]),
+                        struct_pack(tag := json_extract_string(props, '$.k'),
+                                    subs := CASE WHEN user_id % 4 <> 0
+                                            THEN ['c-' || CAST(user_id % 3 AS VARCHAR)]
+                                            END)]
+                     END AS vals
+              FROM events),
+            lvl1 AS (
+              SELECT md5(CAST(event_id AS VARCHAR)) AS ph1,
+                     event_id,
+                     generate_subscripts(vals, 1) AS idx1,
+                     unnest(vals) AS item
+              FROM src WHERE vals IS NOT NULL)
+            SELECT md5(ph1 || '-' || CAST(idx1 AS VARCHAR)) AS _parent_hashid,
+                   event_id,
+                   idx1 AS _idx_l1,
+                   generate_subscripts(item.subs, 1) AS _idx,
+                   unnest(item.subs) AS val
+            FROM lvl1 WHERE item.subs IS NOT NULL
         """,
         "cdc_timestamp_parse": """
             WITH v AS (

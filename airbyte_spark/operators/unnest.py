@@ -56,3 +56,57 @@ def unnest_child(
         (F.col("_pos") + 1).cast("long").alias(index_alias),
         value_alias,
     )
+
+
+def unnest_child_recursive(
+    df: DataFrame,
+    levels: list[tuple[str, str]],
+    parent_keys: list[str],
+    index_alias: str = "_idx",
+) -> DataFrame:
+    """Recursively normalize children-of-children, matching the reference's
+    child-processor recursion (base-normalization stream_processor.py:
+    332-366 recurses into each nested stream's own nested streams; fixture
+    test_nested_streams has the two-level case).
+
+    `levels` is the descent path: [(array_accessor, value_alias), ...] —
+    the first accessor is a column of `df`; each later one is resolved
+    against the previous level's exploded value (dotted struct access such
+    as "item.subs" works). Parent hashids CHAIN: level k's _parent_hashid
+    is the surrogate key of level k-1's identifying pair
+    (_parent_hashid, _idx), exactly how the reference feeds the child's
+    hashid into the grandchild's foreign key. Ancestor indexes are kept as
+    _idx_l1.._idx_l{k-1} so the deepest table remains joinable to every
+    ancestor level.
+
+    Returns the DEEPEST child table:
+      (_parent_hashid, *parent_keys, _idx_l1.., _idx, value)
+
+    NULL arrays at ANY level produce no descendants (the reference's
+    null-safety filter, applied per level); empty arrays likewise. Scale
+    shape: every level is a narrow posexplode in the parent's partitions —
+    no shuffle at any depth."""
+    if not levels:
+        raise ValueError("levels must name at least one array to unnest")
+    arr0, alias0 = levels[0]
+    out = unnest_child(df, arr0, parent_keys, value_alias=alias0, index_alias=index_alias)
+    ancestors: list[str] = []
+    for depth, (acc, alias) in enumerate(levels[1:], start=1):
+        anc = f"{index_alias}_l{depth}"
+        filtered = out.filter(F.col(acc).isNotNull())
+        out = filtered.select(
+            surrogate_key(["_parent_hashid", index_alias]).alias("_ph"),
+            *parent_keys,
+            *ancestors,
+            F.col(index_alias).alias(anc),
+            F.posexplode(F.col(acc)).alias("_pos", alias),
+        ).select(
+            F.col("_ph").alias("_parent_hashid"),
+            *parent_keys,
+            *ancestors,
+            anc,
+            (F.col("_pos") + 1).cast("long").alias(index_alias),
+            alias,
+        )
+        ancestors.append(anc)
+    return out

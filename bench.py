@@ -91,8 +91,12 @@ def main() -> None:
 
         qs = entry.queries()
         for name, fn in qs.items():
-            if name in ("cdc_replay_final_state", "cdc_mor_replay_final_state"):
-                continue  # covered by the headlines
+            if name in (
+                "cdc_replay_final_state",
+                "cdc_mor_replay_final_state",
+                "cdc_mor_resolve_read",
+            ):
+                continue  # covered by the headline replay + mor_resolve_read lines
             queries[name] = time_one(lambda fn=fn: fn(spark, sf_dir).count())
     finally:
         shutil.rmtree(work, ignore_errors=True)

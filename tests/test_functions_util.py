@@ -161,3 +161,58 @@ def test_unnest_child_composite_parent_key(spark):
     import hashlib
 
     assert out[0]["_parent_hashid"] == hashlib.md5(b"u-7").hexdigest()
+
+
+def test_unnest_child_recursive_two_levels(spark):
+    from airbyte_spark.operators.unnest import unnest_child_recursive
+
+    df = spark.createDataFrame(
+        [
+            (1, [("t1", ["x", "y"]), ("t2", ["z"])]),
+            (2, [("t3", None)]),          # null inner array → no grandchildren
+            (3, [("t4", [])]),            # empty inner array → none
+            (4, None),                    # null outer array → nothing at all
+        ],
+        "pid int, vals array<struct<tag:string, subs:array<string>>>",
+    )
+    out = unnest_child_recursive(
+        df, [("vals", "item"), ("item.subs", "val")], ["pid"]
+    ).collect()
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    got = sorted(
+        (r["pid"], r["_idx_l1"], r["_idx"], r["val"], r["_parent_hashid"])
+        for r in out
+    )
+    # chained hashid: md5(md5(pid) || '-' || level-1 idx)
+    ph = lambda pid, i1: md5(f"{md5(str(pid))}-{i1}")  # noqa: E731
+    assert got == [
+        (1, 1, 1, "x", ph(1, 1)),
+        (1, 1, 2, "y", ph(1, 1)),
+        (1, 2, 1, "z", ph(1, 2)),
+    ]
+
+
+def test_unnest_child_recursive_three_levels_no_shuffle(spark):
+    from airbyte_spark.operators.unnest import unnest_child_recursive
+
+    df = spark.createDataFrame(
+        [(7, [[["a", "b"], ["c"]], [["d"]]])],
+        "pid int, l1 array<array<array<string>>>",
+    )
+    out = unnest_child_recursive(
+        df, [("l1", "v1"), ("v1", "v2"), ("v2", "val")], ["pid"]
+    )
+    rows = sorted(
+        (r["_idx_l1"], r["_idx_l2"], r["_idx"], r["val"]) for r in out.collect()
+    )
+    assert rows == [
+        (1, 1, 1, "a"),
+        (1, 1, 2, "b"),
+        (1, 2, 1, "c"),
+        (2, 1, 1, "d"),
+    ]
+    # every level is a narrow explode: no Exchange anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
