@@ -238,15 +238,18 @@ class LakeTable:
 
     # ---- lifecycle ----
 
-    @staticmethod
+    @classmethod
     def create(
+        cls,
         spark: SparkSession,
         path: str,
         schema: StructType,
         partition_spec: PartitionSpec | None = None,
         properties: dict[str, str] | None = None,
     ) -> "LakeTable":
-        t = LakeTable(spark, path)
+        # classmethod (not static): an adapter subclass passed through the
+        # TableFormat seam constructs ITSELF here
+        t = cls(spark, path)
         os.makedirs(os.path.join(t.path, _LAKE_DIR), exist_ok=False)
         os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
         manifest = {
@@ -268,9 +271,9 @@ class LakeTable:
         t._write_manifest(manifest)
         return t
 
-    @staticmethod
-    def load(spark: SparkSession, path: str) -> "LakeTable":
-        t = LakeTable(spark, path)
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
         if t.current_version() is None:
             raise FileNotFoundError(f"no lake table at {path}")
         return t

@@ -1,4 +1,8 @@
-"""MERGE INTO for LakeTable — copy-on-write upsert with LWW + tombstones.
+"""MERGE INTO for any TableFormat — copy-on-write upsert with LWW + tombstones.
+
+Written against the TableFormat protocol (lake/table_format.py), never a
+concrete implementation: swapping a real Iceberg adapter in changes
+nothing here.
 
 Semantics (≡ the reference's SCD active-row rules, base-normalization
 stream_processor.py:695-768, and the destination acceptance contract
@@ -40,7 +44,11 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from airbyte_spark.lake.format import FileEntry, LakeTable, _align
+from airbyte_spark.lake.table_format import (
+    FileEntry,
+    TableFormat,
+    align_to_schema,
+)
 from airbyte_spark.protocol import StreamConfig
 from airbyte_spark.schema import TARGET_META_COLS
 
@@ -67,7 +75,7 @@ def payload_columns(batch: DataFrame) -> list[str]:
 
 
 def _prune_candidates(
-    table: LakeTable,
+    table: TableFormat,
     batch_bounds: dict[int, tuple[str, str]],
     key_col: str,
     winner_hashes: "dict[int, object] | None" = None,
@@ -158,7 +166,7 @@ def _batch_size_estimate(batch: DataFrame) -> int:
         return 0
 
 
-def _window_sub_split(table: LakeTable, bucketed: bool, n_buckets: int) -> int:
+def _window_sub_split(table: TableFormat, bucketed: bool, n_buckets: int) -> int:
     """Per-bucket key-hash salt count for the merge/resolve window.
 
     For a bucketed table the window makes one group per reducer slot
@@ -179,7 +187,7 @@ def _window_sub_split(table: LakeTable, bucketed: bool, n_buckets: int) -> int:
 
 
 def merge_upsert(
-    table: LakeTable,
+    table: TableFormat,
     batch: DataFrame,
     cfg: StreamConfig,
     checkpoint_key: "str | list[str] | None" = None,
@@ -410,7 +418,7 @@ def merge_upsert(
 
 
 def append_winners(
-    table: LakeTable,
+    table: TableFormat,
     batch: DataFrame,
     cfg: StreamConfig,
     checkpoint_key: "str | list[str] | None" = None,
@@ -490,7 +498,7 @@ def append_winners(
         slim = finalize(slim, F.lit(True))  # every appended row is a fresh winner
 
     entries = table._stage_write(
-        _align(slim, target_schema),
+        align_to_schema(slim, target_schema),
         stat_cols=[lead_key, cfg.deleted_at_field],
         one_file_per_partition=True,
     )
@@ -505,7 +513,7 @@ def append_winners(
     return MergeStats(version=version, candidate_files=0, rows_in=rows_in, max_lsn=max_lsn)
 
 
-def resolve_stored(table: LakeTable, cfg: StreamConfig, version: int | None = None) -> DataFrame:
+def resolve_stored(table: TableFormat, cfg: StreamConfig, version: int | None = None) -> DataFrame:
     """Read-time LWW resolution for merge-on-read tables: ONE window pass
     (the same resolve the CoW merge runs at write time) picks the latest
     stored version per key across all accumulated append-winners commits.
@@ -527,7 +535,7 @@ def resolve_stored(table: LakeTable, cfg: StreamConfig, version: int | None = No
     )
 
 
-def compact_versions(table: LakeTable, cfg: StreamConfig) -> int:
+def compact_versions(table: TableFormat, cfg: StreamConfig) -> int:
     """Rewrite a merge-on-read table to its resolved form — one (latest)
     version per key — in one atomic commit (≡ Iceberg rewrite_data_files
     applying accumulated deletes). Reads re-resolve, so the rewrite changes
@@ -623,7 +631,7 @@ def resolve_merge(
 
 
 def expire_tombstones(
-    table: LakeTable, cfg: StreamConfig, watermark, checkpoint_key: str | None = None
+    table: TableFormat, cfg: StreamConfig, watermark, checkpoint_key: str | None = None
 ) -> int:
     """Garbage-collect soft-delete rows whose delete cursor is older than the
     watermark — safe once the source guarantees no event older than the

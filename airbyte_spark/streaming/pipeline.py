@@ -25,7 +25,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from airbyte_spark.functions.extract import extract_text
-from airbyte_spark.lake.format import LakeTable, PartitionSpec
+from airbyte_spark.lake.table_format import (
+    DEFAULT_FORMAT,
+    PartitionSpec,
+    TableFormat,
+    TableFormatFactory,
+)
 from airbyte_spark.lake.merge import (
     BLOOM_PRUNE_KEY_MAX as _PLAN_KEYS_MAX,
     append_winners,
@@ -115,7 +120,7 @@ class BatchResult:
 
 @dataclass
 class CdcPipeline:
-    table: LakeTable
+    table: TableFormat
     cfg: StreamConfig
     extract: bool = True
     collect_batch_metrics: bool = True
@@ -128,7 +133,7 @@ class CdcPipeline:
     write_mode: str = "cow"
     # opt-in steady-state maintenance: after a non-skipped commit, when the
     # table holds at least this many sub-target-size files, bin-pack them
-    # (LakeTable.compact — a pure metadata+rewrite commit, state-neutral).
+    # (TableFormat.compact — a pure metadata+rewrite commit, state-neutral).
     # Keeps file counts bounded under per-checkpoint small-batch ingest
     # without a separate maintenance scheduler. None = never (default).
     auto_compact_files: int | None = None
@@ -152,10 +157,15 @@ class CdcPipeline:
         n_buckets: int = 16,
         cfg: StreamConfig | None = None,
         write_mode: str = "cow",
+        table_format: "TableFormatFactory | None" = None,
     ) -> "CdcPipeline":
+        # the table-format seam: default is the from-scratch JSON-manifest
+        # lake; a deployment passes its Iceberg adapter class here and the
+        # pipeline/merge code paths are unchanged (docs/ICEBERG_MAPPING.md)
+        fmt = table_format if table_format is not None else DEFAULT_FORMAT
         cfg = cfg or StreamConfig(name="pages", schema=default_target_schema())
-        if LakeTable.exists(path):
-            table = LakeTable.load(spark, path)
+        if fmt.exists(path):
+            table = fmt.load(spark, path)
             # the table's recorded mode wins — a reader/writer must not
             # reinterpret an existing table's files under the other mode
             write_mode = table.properties().get("write.mode", "cow")
@@ -169,7 +179,7 @@ class CdcPipeline:
                 if write_mode != "mor"
                 else {"write.mode": "mor"}
             )
-            table = LakeTable.create(
+            table = fmt.create(
                 spark,
                 path,
                 default_target_schema(),
