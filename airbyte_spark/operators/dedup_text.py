@@ -514,6 +514,11 @@ def near_dup_clusters(
     O(1) in the iteration count rather than O(rounds). At 100 TB swap the
     localCheckpoint for a reliable checkpoint dir; the loop itself is the
     standard scale shape.
+
+    ONE job per round: the convergence probe is the materializing action —
+    a full count_if aggregate over the lazily-marked checkpoint scans every
+    partition, so it both persists the round's labels and returns the
+    changed count (no separate checkpoint job + probe job).
     """
     if pairs is None:
         pairs = lsh_pairs(df, text_col, id_col)
@@ -540,9 +545,11 @@ def near_dup_clusters(
                 ).alias("cluster_id"),
                 (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = stepped.filter(F.col("_changed")).limit(1).count()
+        # materialize + probe in one action (NULL _changed = no neighbor,
+        # not counted)
+        changed = stepped.agg(F.count_if(F.col("_changed")).alias("n")).first()["n"]
         labels = stepped.drop("_changed")
         if changed == 0:
             break
