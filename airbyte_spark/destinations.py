@@ -45,10 +45,14 @@ def write_local(
     stream: str,
     fmt: str = "csv",
     mode: str = "overwrite",
+    dialect: str | None = None,
 ) -> str:
     """Write one stream to `<dest_dir>/<normalized stream>.<fmt>/`.
 
     mode: "overwrite" (full refresh) | "append" (adds a part subdir).
+    dialect: per-destination identifier rules (names.DIALECT_MAX_LEN — the
+    reference normalizes per target warehouse); None keeps the default
+    63-cap contract.
     Returns the promoted path.
     """
     if fmt not in _FORMATS:
@@ -56,9 +60,9 @@ def write_local(
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be overwrite|append")
     out = df.select(
-        *[df[c].alias(normalize_identifier(c)) for c in df.columns]
+        *[df[c].alias(normalize_identifier(c, dialect=dialect)) for c in df.columns]
     )
-    table = normalize_identifier(stream)
+    table = normalize_identifier(stream, dialect=dialect)
     final_path = os.path.join(dest_dir, f"{table}.{fmt}")
     os.makedirs(final_path if mode == "append" else dest_dir, exist_ok=True)
     sub = uuid.uuid4().hex[:12]

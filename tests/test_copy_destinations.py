@@ -147,3 +147,29 @@ def test_export_shards_deterministic_with_manifest(spark, tmp_path):
         docs.filter("doc_id <> 7"), str(tmp_path / "shards3"), max_tokens=32, n_shards=4
     )
     assert m3 != m1
+
+
+def test_write_local_dialect_naming(spark, tmp_path):
+    """Per-destination identifier rules reach the file/column names: an
+    over-cap mysql column truncates with the hash suffix, accents fold for
+    ascii-only dialects."""
+    import os
+
+    from airbyte_spark.destinations import read_local, write_local
+    from airbyte_spark.functions.names import normalize_identifier
+
+    long_col = "col_" + "x" * 100
+    df = spark.createDataFrame([(1, "a")], f"`{long_col}` int, `Café` string")
+    path = write_local(df, str(tmp_path), "My Straße Stream", fmt="json",
+                       dialect="mysql")
+    assert os.path.basename(path).startswith(
+        normalize_identifier("My Straße Stream", dialect="mysql")
+    )
+    back = read_local(spark, str(tmp_path), "My Straße Stream", "json")
+    # read_local uses the default normalizer for the path — same stream
+    # name under mysql differs only if over-cap; here it matches
+    assert set(back.columns) == {
+        normalize_identifier(long_col, dialect="mysql"),
+        normalize_identifier("Café", dialect="mysql"),
+    }
+    assert len(normalize_identifier(long_col, dialect="mysql")) == 64
