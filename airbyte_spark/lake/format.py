@@ -77,6 +77,11 @@ _SEG_CACHE_MAX = 512
 _DV_FILE = "_dv_file"
 _DV_POS = "_dv_pos"
 
+# Above this many sidecar-recorded delete rows, reads leave the anti-join
+# strategy to AQE instead of forcing a broadcast (mirrors merge.py's
+# BROADCAST_WINNER_MAX; the gate reads manifest metadata only — no job).
+BROADCAST_DELETE_ROWS_MAX = 5_000_000
+
 
 class CommitConflict(Exception):
     """Another writer published the manifest version this commit targeted.
@@ -1062,7 +1067,16 @@ class LakeTable:
                 for c in names:
                     e_ = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
                     cond = e_ if cond is None else cond & e_
-                part = part.join(F.broadcast(ddf), cond, "left_anti")
+                # broadcast gated on the sidecar's manifest-recorded row
+                # count (metadata-only — no job): a normal purge is KBs,
+                # but a pathological mega-delete must fall to AQE's
+                # size-based join instead of a forced driver broadcast
+                side = (
+                    F.broadcast(ddf)
+                    if (d.get("rows") or 0) <= BROADCAST_DELETE_ROWS_MAX
+                    else ddf
+                )
+                part = part.join(side, cond, "left_anti")
             parts.append(part)
         out = parts[0]
         for p in parts[1:]:
@@ -1078,7 +1092,14 @@ class LakeTable:
             cond = (F.col(_DV_FILE) == F.col("__dv_anti_file")) & (
                 F.col(_DV_POS) == F.col("__dv_anti_pos")
             )
-            out = out.join(F.broadcast(dmap), cond, "left_anti")
+            # same metadata-derived gate as the equality sidecars above
+            n_dv_rows = sum((d.get("rows") or 0) for d in dvs)
+            dside = (
+                F.broadcast(dmap)
+                if n_dv_rows <= BROADCAST_DELETE_ROWS_MAX
+                else dmap
+            )
+            out = out.join(dside, cond, "left_anti")
         if need_pos and not with_positions:
             out = out.drop(_DV_FILE, _DV_POS)
         return out

@@ -328,3 +328,22 @@ def test_change_feed_dual_covered_rows_emit_once(spark, sf_dir, table):
     assert {r["_change_type"] for r in back} == {"insert"}
     bids = [r["event_id"] for r in back]
     assert len(bids) == len(set(bids)) and set(bids) == doomed
+
+
+def test_delete_broadcast_gate_fallback(spark, sf_dir, table, monkeypatch):
+    """Forcing the sidecar-size gate to overflow must yield the identical
+    read result with no forced broadcast hint in the logical plan (AQE
+    decides from runtime sizes) — the mega-delete failure mode at 100x."""
+    import airbyte_spark.lake.format as FMT
+    from airbyte_spark.lake.dml import delete_positions
+
+    t, src = table
+    delete_positions(t, "event_type = 'error'")
+    delete_equality(t, src.filter("user_id % 10 = 3").select("event_id"))
+    want = sorted(r["event_id"] for r in t.read().collect())
+    monkeypatch.setattr(FMT, "BROADCAST_DELETE_ROWS_MAX", 0)
+    df = t.read()
+    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "strategy=broadcast" not in plan
+    got = sorted(r["event_id"] for r in df.collect())
+    assert got == want and want
