@@ -2578,6 +2578,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     runs LSH->verify, emb_near_dups runs the IVF-bucketed form) into the
     window, cheapest first.  Queries past position 50 all hold a green driver
     row from a prior round or are covered by scripts/check_oracle.py + pytest.
+
+    Round-4 rotation plan: the only registered queries that have NEVER held
+    a driver row are the four that slipped this round's window —
+    doc_corpus_stats, doc_sample_mix, cdc_url_domains, cdc_url_canonical
+    (all simple scan-shaped aggregations, self-check + pytest green).
+    Rotate them into the first 50 next round, plus any query whose
+    implementation changes after its last green row.
     """
     return {
         # --- driver window (positions 1-50): never-driver-checked + re-checks
