@@ -28,8 +28,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -207,6 +209,92 @@ def image_features_udf(data: pd.Series) -> pd.DataFrame:
     )
 
 
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (numpy only — no scipy in this container);
+    fixed n=32 makes the transform two 32×32 matmuls per image."""
+    import numpy as np
+
+    k = np.arange(n)
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = None  # built lazily (numpy import at module load is fine, keep symmetry)
+
+
+def _phash_one(b: "bytes | None"):
+    """64-bit perceptual hash (classic DCT pHash): decode → luma →
+    32×32 block-mean resample → 2D DCT-II → 8×8 low-frequency block →
+    median-threshold bits. Robust to resizing/brightness/noise, so
+    hamming-close hashes = visually-near-duplicate images."""
+    import numpy as np
+
+    global _DCT32
+    _fmt, px = _decode_rgb(b)
+    if px is None:
+        return None
+    g = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    if h >= 32 and w >= 32:
+        # area (block-mean) resample via integral image — stable under
+        # small shifts, unlike nearest sampling
+        integ = np.zeros((h + 1, w + 1))
+        integ[1:, 1:] = np.cumsum(np.cumsum(g, axis=0), axis=1)
+        r = (np.arange(33) * h) // 32
+        c = (np.arange(33) * w) // 32
+        sums = (
+            integ[r[1:], :][:, c[1:]]
+            - integ[r[:-1], :][:, c[1:]]
+            - integ[r[1:], :][:, c[:-1]]
+            + integ[r[:-1], :][:, c[:-1]]
+        )
+        area = (r[1:] - r[:-1])[:, None] * (c[1:] - c[:-1])[None, :]
+        g32 = sums / area
+    else:  # tiny raster: nearest sampling (no zero-area blocks)
+        g32 = g[(np.arange(32) * h) // 32][:, (np.arange(32) * w) // 32]
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    coef = _DCT32 @ g32 @ _DCT32.T
+    block = coef[:8, :8].ravel()
+    bits = block > np.median(block)
+    packed = np.uint64(0)
+    for bit in bits:
+        packed = np.uint64(packed << np.uint64(1)) | np.uint64(bit)
+    return int(np.int64(packed))  # bit pattern as Spark LongType
+
+
+@pandas_udf(LongType())
+def image_phash_udf(data: pd.Series) -> pd.Series:
+    """Vectorized-batch 64-bit pHash column (NULL for undecodable bytes).
+    Feeds hamming_banded_pairs for image near-dup detection at Σ bucket²
+    cost — the multimodal sibling of SimHash text dedup."""
+    return data.map(_phash_one).astype(object)
+
+
+def image_near_dup_pairs(
+    df,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_hamming: int = 7,
+):
+    """Image near-duplicate pairs: pHash fingerprint (one Arrow-batched
+    decode pass, narrow) → hamming-adjacent band self-join (recall 1.0 for
+    hamming ≤ bands-1 by pigeonhole) → popcount verify. Returns (a_id,
+    b_id, hamming). Cost ∝ Σ bucket², never corpus² — the exact scale
+    shape of the text SimHash path, reusing its join machinery."""
+    from airbyte_spark.operators.dedup_text import hamming_banded_pairs
+
+    fps = df.select(
+        F.col(id_col).alias("doc_id"), image_phash_udf(F.col(data_col)).alias("fp")
+    )
+    return hamming_banded_pairs(
+        fps, fp_col="fp", id_col="doc_id", bits=64, bands=bands,
+        max_hamming=max_hamming,
+    )
+
+
 def make_thumbnail_udf(max_side: int = 64):
     """Factory for a decode → nearest-neighbor downscale → re-encode (P6)
     thumbnail UDF — the full transform loop, not a stub: output bytes are
@@ -338,6 +426,61 @@ def audio_features_udf(data: pd.Series) -> pd.DataFrame:
         {"sample_rate": "Int32", "channels": "Int32", "duration_ms": "Int32",
          "rms": "float32", "zero_cross_rate": "float32"}
     )
+
+
+def make_audio_mel_udf(n_mels: int = 16, frame: int = 512, hop: int = 256):
+    """Factory for a REAL log-mel feature extractor over PCM16 WAV bytes
+    (numpy FFT — no external audio libs): hann-windowed frames → rfft
+    power → HTK-mel triangular filterbank → log10 → mean over time.
+    Output: array<float> of n_mels per row (NULL for non-WAV bytes) — the
+    fixed-size audio embedding a speech-quality filter or ANN index
+    consumes, computed Arrow-batched inside the scan partition."""
+
+    @pandas_udf(ArrayType(FloatType()))
+    def audio_mel_udf(data: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def mel(f):
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+
+        def inv_mel(m):
+            return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+        win = np.hanning(frame)
+        n_bins = frame // 2 + 1
+
+        def one(b):
+            meta = _parse_wav(bytes(b)) if b is not None else None
+            if meta is None or meta[2] != 16 or meta[0] <= 0 or meta[1] <= 0:
+                return None
+            rate, ch, _bits, off, dlen = meta
+            samples = np.frombuffer(
+                b, dtype="<i2", count=dlen // 2, offset=off
+            ).astype(np.float64)
+            n_frames_pcm = len(samples) // ch if ch else 0
+            if n_frames_pcm < frame:
+                return None
+            mono = samples[: n_frames_pcm * ch].reshape(n_frames_pcm, ch).mean(axis=1)
+            mono /= 32768.0
+            n_hops = 1 + (len(mono) - frame) // hop
+            idx = np.arange(frame)[None, :] + hop * np.arange(n_hops)[:, None]
+            spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1)) ** 2
+            # triangular HTK-mel filterbank over [0, rate/2]
+            edges = inv_mel(np.linspace(0.0, mel(rate / 2.0), n_mels + 2))
+            bins = np.floor((frame + 1) * edges / rate).astype(int)
+            fb = np.zeros((n_mels, n_bins))
+            for m_i in range(n_mels):
+                lo, cc, hi = bins[m_i], bins[m_i + 1], bins[m_i + 2]
+                if cc > lo:
+                    fb[m_i, lo:cc] = (np.arange(lo, cc) - lo) / (cc - lo)
+                if hi > cc:
+                    fb[m_i, cc:hi] = (hi - np.arange(cc, hi)) / (hi - cc)
+            logmel = np.log10(spec @ fb.T + 1e-10)
+            return logmel.mean(axis=0).astype(np.float32).tolist()
+
+        return data.map(one).astype(object)
+
+    return audio_mel_udf
 
 
 def sample_frames(

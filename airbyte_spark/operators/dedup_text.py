@@ -461,29 +461,54 @@ def simhash_pairs(
     popcount(xor) ≤ max_hamming. Returns (a_id, b_id, hamming).
     """
     assert max_hamming < bands, "pigeonhole recall guarantee needs max_hamming < bands"
+    sh = simhash(df, text_col, id_col, bits)
+    return hamming_banded_pairs(
+        sh, fp_col="simhash", id_col="doc_id", bits=bits, bands=bands,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_banded_pairs(
+    fps: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over ANY integer fingerprint column (SimHash, image
+    pHash, ...) via hamming-adjacent band buckets — the generalized core of
+    simhash_pairs: split the fingerprint into `bands` equal bit-slices; by
+    pigeonhole any pair within hamming < bands agrees on ≥1 slice, so the
+    banded self-join has RECALL 1.0 for max_hamming ≤ bands-1 at Σ bucket²
+    cost. Survivors verify with popcount(xor). Returns (a_id, b_id,
+    hamming), a_id < b_id."""
+    assert max_hamming < bands, "pigeonhole recall guarantee needs max_hamming < bands"
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(df, text_col, id_col, bits)
+    sh = fps.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("_fp")).filter(
+        F.col("_fp").isNotNull()
+    )
     slices = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), bi * width)
+                F.shiftrightunsigned(F.col("_fp"), bi * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
             for bi in range(bands)
         ]
     )
-    exploded = sh.select("doc_id", "simhash", F.explode(slices).alias("bk")).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    exploded = sh.select("doc_id", "_fp", F.explode(slices).alias("bk")).select(
+        "doc_id", "_fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     return (
-        band_collision_pairs(exploded, carry=("simhash",))
+        band_collision_pairs(exploded, carry=("_fp",))
         .select(
             "a_id",
             "b_id",
-            F.bit_count(F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))).alias("hamming"),
+            F.bit_count(F.col("a__fp").bitwiseXOR(F.col("b__fp"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

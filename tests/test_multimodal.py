@@ -186,3 +186,87 @@ def test_audio_features_malformed_rate_zero(spark):
         .first()
     )
     assert row["sample_rate"] is None and row["rms"] is None
+
+
+def _ppm_arr(arr):
+    import numpy as np
+
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.asarray(arr, dtype=np.uint8).tobytes()
+
+
+def _pattern(h, w, seed=0, noise=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = (np.sin(x / 7.0) * 80 + np.cos(y / 11.0) * 60 + 120).clip(0, 255)
+    img = np.stack([base, base * 0.8, base * 0.5], axis=-1)
+    if noise:
+        img = img + rng.randint(-noise, noise + 1, size=img.shape)
+    return img.clip(0, 255).astype("uint8")
+
+
+def test_image_phash_determinism_and_robustness(spark):
+    import numpy as np
+
+    from airbyte_spark.functions.extract import _phash_one
+
+    a = _ppm_arr(_pattern(64, 96))
+    assert _phash_one(a) == _phash_one(a) is not None
+    # mild pixel noise: hamming-close
+    b = _ppm_arr(_pattern(64, 96, seed=1, noise=6))
+    # downscaled same image: hash survives resampling
+    small = _ppm_arr(_pattern(64, 96)[::2, ::2])
+    # different content: far
+    other = _ppm_arr(np.transpose(_pattern(96, 64), (1, 0, 2)).copy())
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    pa = _phash_one(a)
+    assert ham(pa, _phash_one(b)) <= 6
+    assert ham(pa, _phash_one(small)) <= 8
+    assert ham(pa, _phash_one(other)) > 12
+    assert _phash_one(b"not an image") is None
+
+
+def test_image_near_dup_pairs_banded(spark):
+    from airbyte_spark.functions.extract import image_near_dup_pairs
+
+    rows = [
+        (1, bytearray(_ppm_arr(_pattern(64, 96)))),
+        (2, bytearray(_ppm_arr(_pattern(64, 96, seed=2, noise=5)))),  # near-dup of 1
+        (3, bytearray(_ppm_arr(_pattern(48, 48, seed=3, noise=0) [::-1].copy()))),
+        (4, None),
+        (5, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in image_near_dup_pairs(df, bands=8, max_hamming=7).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 7
+    assert all(k == (1, 2) for k in got), got  # 3 differs; 4/5 undecodable
+
+
+def test_audio_mel_frequency_ordering(spark):
+    import numpy as np
+
+    from airbyte_spark.functions.extract import make_audio_mel_udf
+
+    rate = 16000
+
+    def sine(freq, secs=0.5):
+        t = np.arange(int(rate * secs)) / rate
+        return (np.sin(2 * np.pi * freq * t) * 16000).astype("<i2")
+
+    rows = [
+        (1, bytearray(_wav(rate, 1, sine(500)))),
+        (2, bytearray(_wav(rate, 1, sine(3000)))),
+        (3, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    udf = make_audio_mel_udf(n_mels=16)
+    got = {r["doc_id"]: r["mel"] for r in df.select("doc_id", udf("data").alias("mel")).collect()}
+    assert got[3] is None
+    lo, hi = np.argmax(got[1]), np.argmax(got[2])
+    assert hi > lo, (lo, hi)  # higher pitch peaks in a higher mel band
+    assert len(got[1]) == 16 and all(np.isfinite(got[1]))
