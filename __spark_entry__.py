@@ -1973,6 +1973,19 @@ def q_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(docs, words_per_segment=10)
 
 
+def q_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking partial-overlap profile: boundaries depend
+    only on local word content (md5 prefix), so insertions/deletions
+    reshape one chunk and leave every other chunk hash intact — the
+    storage-dedup primitive fixed-width segments cannot be. Per doc:
+    n_chunks and how many chunk hashes recur in >= 2 documents
+    (operators/corpus.py content_defined_chunks / chunk_dedup_stats)."""
+    from airbyte_spark.operators.corpus import chunk_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_dedup_stats(docs)
+
+
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word 5-gram
     with the held-out eval slice (doc_id % 97 == 0) are flagged. Eval
@@ -2582,7 +2595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-4 rotation plan: the only registered queries that have NEVER held
     a driver row are the four that slipped this round's window —
     doc_corpus_stats, doc_sample_mix, cdc_url_domains, cdc_url_canonical
-    (all simple scan-shaped aggregations, self-check + pytest green).
+    (all simple scan-shaped aggregations, self-check + pytest green) —
+    plus doc_chunk_dedup (added after the round-3 window was fixed).
     Rotate them into the first 50 next round, plus any query whose
     implementation changes after its last green row.
     """
@@ -2701,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_mix": q_doc_sample_mix,
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
+        "doc_chunk_dedup": q_doc_chunk_dedup,  # added late r3 → r4 rotation
     }
 
 
@@ -4017,6 +4032,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, n_id, "rank", cos FROM r WHERE "rank" <= 10
         """,
         "emb_kmeans_cells": _kmeans_oracle_sql(),
+        "doc_chunk_dedup": """
+            WITH sp AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS pos
+              FROM sp),
+            fl AS (
+              SELECT doc_id, pos, w,
+                     CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS flag
+              FROM tok),
+            ch AS (
+              SELECT doc_id, pos, w,
+                     sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+              FROM fl),
+            agg AS (
+              SELECT doc_id, chunk_id,
+                     md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+              FROM ch GROUP BY doc_id, chunk_id),
+            cnt AS (
+              SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+              FROM agg GROUP BY chunk_hash)
+            SELECT a.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_dup_chunks
+            FROM agg a JOIN cnt c USING (chunk_hash)
+            GROUP BY a.doc_id
+        """,
         "doc_segment_dedup": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             segs AS (

@@ -482,3 +482,70 @@ def passage_chunks(
         F.array_join(sliced, " ").alias("passage"),
         F.size(sliced).cast("int").alias("n_tokens"),
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking over the word stream: a new chunk STARTS at
+    every word whose md5 begins with '0' (probability 1/16 → expected chunk
+    ≈ 16 words). Because boundaries depend only on local content — never on
+    position — an insertion or deletion reshapes at most the one chunk it
+    touches and every other chunk hash is unchanged, which is what makes
+    CDC the storage-dedup / partial-overlap primitive fixed-width segments
+    (segment_dedup) cannot be: a one-word prefix insertion shifts EVERY
+    fixed window but no CDC boundary.
+
+    Output: (id, chunk_id, chunk_text, n_words, chunk_hash).
+
+    Scale shape: one posexplode fused into the scan, one running-sum window
+    keyed by doc id (each doc's words land in one partition — documents,
+    not the corpus, bound the window), one groupBy(doc, chunk) reassembly.
+    Cost class of segment_dedup; no corpus-wide hot key.
+    """
+    words = F.split(F.col(text_col), " ")
+    tok = df.select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
+    flag = F.when(F.substring(F.md5(F.col("w")), 1, 1) == "0", 1).otherwise(0)
+    win = Window.partitionBy(id_col).orderBy("pos")
+    chunked = tok.withColumn("chunk_id", F.sum(flag).over(win))
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document partial-overlap profile from content-defined chunks:
+    (id, n_chunks, n_dup_chunks) where a dup chunk's hash occurs in ≥2
+    distinct documents. High n_dup_chunks/n_chunks with a low full-text
+    match is exactly the "quoted/templated/partially-copied" region exact
+    and near dedup both miss; downstream policy drops or trims. One extra
+    shuffle on the 32-byte chunk hash (map-side combinable count)."""
+    ch = content_defined_chunks(df, id_col, text_col)
+    counts = ch.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    return (
+        ch.join(counts, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count_if(F.col("n_docs") >= 2).cast("bigint").alias("n_dup_chunks"),
+        )
+    )

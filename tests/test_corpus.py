@@ -476,3 +476,44 @@ def test_passage_chunks_rule(spark):
     assert all(d != 3 for d, _ in got)  # empty doc chunks to nothing
     # overlap invariant: consecutive windows share window-stride tokens
     assert got[(1, 0)][0].split()[3:] == got[(1, 1)][0].split()[:1]
+
+
+def test_content_defined_chunks_shift_robust(spark):
+    """CDC's reason to exist: a prefix insertion shifts EVERY fixed-width
+    segment but leaves all but one content-defined chunk hash intact."""
+    from airbyte_spark.operators.corpus import (
+        chunk_dedup_stats,
+        content_defined_chunks,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest tonight while owls watch silently from "
+        "tall trees nearby under a pale cold moon as wind moves the branches"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted prefix words " + base),
+         (3, "totally different content about ships and oceans sailing forever")],
+        "doc_id long, text string",
+    )
+    h1 = {r["chunk_hash"] for r in content_defined_chunks(df.filter("doc_id=1")).collect()}
+    h2 = {r["chunk_hash"] for r in content_defined_chunks(df.filter("doc_id=2")).collect()}
+    h3 = {r["chunk_hash"] for r in content_defined_chunks(df.filter("doc_id=3")).collect()}
+    assert len(h1 & h2) >= len(h1) - 1 and len(h1) > 1  # only the first chunk reshapes
+    assert not (h1 & h3)
+    stats = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"]) for r in chunk_dedup_stats(df).collect()}
+    assert stats[3] == (len(h3), 0)
+    assert stats[1][1] == len(h1 & h2)
+
+
+def test_content_defined_chunks_reassemble_exactly(spark):
+    from airbyte_spark.operators.corpus import content_defined_chunks
+    import pyspark.sql.functions as FF
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    df = spark.createDataFrame([(1, text.strip())], "doc_id long, text string")
+    rows = sorted(
+        content_defined_chunks(df).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert " ".join(r["chunk_text"] for r in rows) == text.strip()
+    assert sum(r["n_words"] for r in rows) == len(text.strip().split(" "))
