@@ -270,3 +270,36 @@ def test_audio_mel_frequency_ordering(spark):
     lo, hi = np.argmax(got[1]), np.argmax(got[2])
     assert hi > lo, (lo, hi)  # higher pitch peaks in a higher mel band
     assert len(got[1]) == 16 and all(np.isfinite(got[1]))
+
+
+def test_audio_mel_feeds_ann_topk(spark):
+    """Integration: mel embeddings flow straight into the ANN suite —
+    cosine top-1 over mel vectors retrieves the same-pitch clip."""
+    import numpy as np
+
+    from airbyte_spark.functions.extract import make_audio_mel_udf
+    from airbyte_spark.operators.similarity import cosine_topk
+
+    rate = 16000
+
+    def sine(freq, secs=0.4, phase=0.0):
+        t = np.arange(int(rate * secs)) / rate
+        return (np.sin(2 * np.pi * freq * t + phase) * 16000).astype("<i2")
+
+    corpus = spark.createDataFrame(
+        [
+            (1, bytearray(_wav(rate, 1, sine(500)))),
+            (2, bytearray(_wav(rate, 1, sine(3000)))),
+            (3, bytearray(_wav(rate, 1, sine(7000)))),
+        ],
+        "doc_id long, data binary",
+    )
+    queries = spark.createDataFrame(
+        [(10, bytearray(_wav(rate, 1, sine(3000, phase=0.7))))],
+        "doc_id long, data binary",
+    )
+    udf = make_audio_mel_udf(n_mels=16)
+    emb = corpus.select("doc_id", udf("data").alias("embedding"))
+    q = queries.select("doc_id", udf("data").alias("embedding"))
+    top = cosine_topk(q, emb, k=1, id_col="doc_id").collect()
+    assert len(top) == 1 and top[0]["n_id"] == 2
