@@ -82,6 +82,42 @@ def q_cdc_mor_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
 
 
+def q_cdc_schema_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven type normalization (≡ the cdk TypeTransformer's
+    DefaultSchemaNormalization, sources/utils/transform.py:85-120): raw
+    string properties cast tolerantly to their declared jsonschema types —
+    strtobool word sets for booleans, numeric try_cast for integer/number;
+    failures → NULL (typed-column analogue of keep-original). Pure column
+    expressions fused into the scan (functions/jsonschema.py)."""
+    from airbyte_spark.functions.jsonschema import normalize_to_schema
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b_words = ["yes", "off", "TRUE", "0", "maybe", "t"]
+    raw = ev.select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("x"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("i"),
+        F.concat(
+            (F.col("user_id") % 100).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 10).cast("string"),
+        ).alias("n"),
+        F.element_at(
+            F.array(*[F.lit(w) for w in b_words]),
+            (F.col("event_id") % 6 + 1).cast("int"),
+        ).alias("b"),
+    )
+    schema = {
+        "properties": {
+            "i": {"type": ["integer", "null"]},
+            "n": {"type": "number"},
+            "b": {"type": "boolean"},
+        }
+    }
+    return normalize_to_schema(raw, schema)
+
+
 def q_cdc_mor_resolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoR resolve-at-read on UNCOMPACTED state (the bench's
     mor_resolve_read line as a correctness row): replay appends one winner
@@ -2596,9 +2632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a driver row are the four that slipped this round's window —
     doc_corpus_stats, doc_sample_mix, cdc_url_domains, cdc_url_canonical
     (all simple scan-shaped aggregations, self-check + pytest green) —
-    plus doc_chunk_dedup (added after the round-3 window was fixed).
-    Rotate them into the first 50 next round, plus any query whose
-    implementation changes after its last green row.
+    plus doc_chunk_dedup and cdc_schema_normalize (added after the round-3
+    window was fixed). Rotate them into the first 50 next round, plus any
+    query whose implementation changes after its last green row.
     """
     return {
         # --- driver window (positions 1-50): never-driver-checked + re-checks
@@ -2716,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_url_domains": q_cdc_url_domains,
         "cdc_url_canonical": q_cdc_url_canonical,
         "doc_chunk_dedup": q_doc_chunk_dedup,  # added late r3 → r4 rotation
+        "cdc_schema_normalize": q_cdc_schema_normalize,  # added late r3 → r4
     }
 
 
@@ -2982,6 +3019,23 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": final_state,
         "cdc_mor_replay_final_state": final_state,
         "cdc_mor_resolve_read": final_state,
+        "cdc_schema_normalize": """
+            WITH raw AS (
+              SELECT event_id AS id,
+                     CASE WHEN event_id % 7 = 0 THEN 'x'
+                          ELSE CAST(user_id AS VARCHAR) END AS i,
+                     CAST(user_id % 100 AS VARCHAR) || '.' ||
+                       CAST(event_id % 10 AS VARCHAR) AS n,
+                     (['yes','off','TRUE','0','maybe','t'])[CAST(event_id % 6 AS INT) + 1] AS b
+              FROM events)
+            SELECT id,
+                   TRY_CAST(i AS BIGINT) AS i,
+                   TRY_CAST(n AS DOUBLE) AS n,
+                   CASE WHEN lower(trim(b)) IN ('y','yes','t','true','on','1') THEN true
+                        WHEN lower(trim(b)) IN ('n','no','f','false','off','0') THEN false
+                        END AS b
+            FROM raw
+        """,
         "cdc_matview_incremental": f"""
             WITH ch AS ({_CH}),
             r AS (SELECT *, row_number() OVER (

@@ -86,3 +86,65 @@ def split_valid(
         stamped.filter(F.col("is_valid")).drop("violations", "is_valid"),
         stamped.filter(~F.col("is_valid")).drop("is_valid"),
     )
+
+
+# ---- schema-driven type normalization (≡ sources/utils/transform.py) -------
+
+_TRUE_WORDS = ("y", "yes", "t", "true", "on", "1")
+_FALSE_WORDS = ("n", "no", "f", "false", "off", "0")
+
+
+def _scalar_cast(col: Column, target: str) -> Column:
+    if target == "integer":
+        return col.try_cast("bigint")
+    if target == "number":
+        return col.try_cast("double")
+    if target == "boolean":
+        low = F.lower(F.trim(col))
+        return (
+            F.when(low.isin(*_TRUE_WORDS), F.lit(True))
+            .when(low.isin(*_FALSE_WORDS), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+    return col.cast("string")  # "string" and unknown types
+
+
+def normalize_to_schema(df: DataFrame, schema: dict) -> DataFrame:
+    """Schema-driven type normalization (≡ the reference TypeTransformer's
+    DefaultSchemaNormalization, sources/utils/transform.py:85-120): cast
+    each raw STRING property to its declared jsonschema type, tolerantly —
+    strtobool-style word sets for booleans, numeric try_cast for
+    integer/number, identity for string. `{"type": [X, "null"]}` unwraps
+    to X; a genuinely ambiguous multi-type property is left as string
+    (exactly the reference's leave-it-alone rule). Arrays of scalars parse
+    via from_json element-wise then cast per item type.
+
+    One columnar divergence, documented: the reference returns the
+    ORIGINAL value when a cast fails (heterogeneous python objects); a
+    typed column cannot, so failures become NULL — the same policy as
+    parse_timestamp_tolerant. Pure column expressions: fused into the
+    scan, zero shuffles, no UDF at 10^10 records.
+    """
+    props = schema.get("properties") or {}
+    out = []
+    for name in df.columns:
+        sub = props.get(name)
+        if sub is None:
+            out.append(F.col(name))
+            continue
+        target = sub.get("type")
+        if isinstance(target, list):
+            nn = [t for t in target if t != "null"]
+            target = nn[0] if len(nn) == 1 else "string"
+        if target == "array":
+            item = (sub.get("items") or {}).get("type", "string")
+            if isinstance(item, list):
+                nni = [t for t in item if t != "null"]
+                item = nni[0] if len(nni) == 1 else "string"
+            parsed = F.from_json(F.col(name), "array<string>")
+            out.append(
+                F.transform(parsed, lambda v: _scalar_cast(v, item)).alias(name)
+            )
+            continue
+        out.append(_scalar_cast(F.col(name), target).alias(name))
+    return df.select(*out)

@@ -135,3 +135,11 @@ def normalize_identifier_col(
             F.substring(F.md5(out.cast("binary")), 1, 8),
         )
     )
+
+
+def camel_to_snake(s: str) -> str:
+    """camelCase/PascalCase → snake_case (≡ sources/utils/casing.py:10-12,
+    same two-step regex) — the stream/field casing rule HTTP sources apply
+    before identifier normalization."""
+    s = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", s)
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s).lower()

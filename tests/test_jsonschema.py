@@ -67,3 +67,54 @@ def test_multiple_violations_sorted(spark):
         "type: id",
         "type: score",
     ]
+
+
+def test_normalize_to_schema_default_casts(spark):
+    """≡ TypeTransformer DefaultSchemaNormalization (transform.py:85-120):
+    tolerant per-property casting to the declared jsonschema type."""
+    from airbyte_spark.functions.jsonschema import normalize_to_schema
+
+    schema = {
+        "properties": {
+            "i": {"type": ["integer", "null"]},
+            "n": {"type": "number"},
+            "b": {"type": "boolean"},
+            "s": {"type": "string"},
+            "multi": {"type": ["integer", "string"]},  # ambiguous → string
+            "arr": {"type": "array", "items": {"type": "integer"}},
+        }
+    }
+    df = spark.createDataFrame(
+        [
+            ("42", "1.5", "YES", "x", "7", '["1","2"]'),
+            ("1.5", "nope", "off", None, "z", '["bad"]'),
+            (None, "2e3", "maybe", "9", None, None),
+        ],
+        "i string, n string, b string, s string, multi string, arr string",
+    )
+    out = normalize_to_schema(df, schema)
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields) == {
+        "i": "bigint", "n": "double", "b": "boolean", "s": "string",
+        "multi": "string", "arr": "array<bigint>",
+    }
+    rows = out.collect()
+    assert (rows[0]["i"], rows[0]["n"], rows[0]["b"]) == (42, 1.5, True)
+    assert rows[0]["arr"] == [1, 2]
+    # int("1.5") fails → NULL (the typed-column analogue of keep-original);
+    # unknown boolean word → NULL; strtobool's off → False
+    assert rows[1]["i"] is None and rows[1]["n"] is None and rows[1]["b"] is False
+    assert rows[1]["arr"] == [None]
+    assert rows[2]["n"] == 2000.0 and rows[2]["b"] is None
+    # ambiguous multi-type left as the raw string
+    assert [r["multi"] for r in rows] == ["7", "z", None]
+    # properties absent from the schema pass through untouched
+    assert [r["s"] for r in rows] == ["x", None, "9"]
+
+
+def test_camel_to_snake_matches_reference_rule():
+    from airbyte_spark.functions.names import camel_to_snake
+
+    assert camel_to_snake("userId") == "user_id"
+    assert camel_to_snake("CamelCaseABCDef") == "camel_case_abc_def"
+    assert camel_to_snake("already_snake") == "already_snake"
+    assert camel_to_snake("HTTPResponse2XX") == "http_response2_xx"
