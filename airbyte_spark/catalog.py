@@ -229,6 +229,29 @@ def post_sync_sql(spark: SparkSession, stream: ConfiguredStream, sql: str):
     return spark.sql(sql)
 
 
+# jsonschema for one catalog stream entry (the per-stream analogue of the
+# CLI spec's connectionSpecification; validated in catalog_from_json)
+STREAM_ENTRY_SPEC = {
+    "type": "object",
+    "required": ["name", "schema_ddl", "source", "target"],
+    "properties": {
+        "name": {"type": "string"},
+        "schema_ddl": {"type": "string"},
+        "source": {"type": "object"},
+        "target": {"type": "string"},
+        "sync_mode": {"type": "string", "enum": ["full_refresh", "incremental"]},
+        "destination_sync_mode": {
+            "type": "string",
+            "enum": ["overwrite", "append", "append_dedup"],
+        },
+        "primary_key": {"type": "array"},
+        "cursor_field": {"type": "string"},
+        "n_buckets": {"type": "integer"},
+        "extract": {"type": "boolean"},
+    },
+}
+
+
 def catalog_from_json(doc: dict) -> SyncCatalog:
     """Build a SyncCatalog from a JSON document (the CLI's --catalog file)
     — ≡ the user-configured ConfiguredAirbyteCatalog the reference ships to
@@ -248,10 +271,20 @@ def catalog_from_json(doc: dict) -> SyncCatalog:
     """
     from pyspark.sql.types import StructType
 
+    from airbyte_spark.functions.jsonschema import check_config_against_spec
     from airbyte_spark.sources.registry import source_factory
 
     streams = []
     for s in doc["streams"]:
+        # ≡ the cdk's check_config_against_spec_or_exit (connector.py):
+        # reject a malformed stream entry with every violation named,
+        # before any Spark work starts
+        errs = check_config_against_spec(s, STREAM_ENTRY_SPEC)
+        if errs:
+            raise ValueError(
+                f"stream entry {s.get('name', '?')!r} fails the catalog "
+                f"spec: {errs}"
+            )
         cfg = StreamConfig(
             name=s["name"],
             schema=StructType.fromDDL(s["schema_ddl"]),

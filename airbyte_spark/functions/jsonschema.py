@@ -148,3 +148,63 @@ def normalize_to_schema(df: DataFrame, schema: dict) -> DataFrame:
             continue
         out.append(_scalar_cast(F.col(name), target).alias(name))
     return df.select(*out)
+
+
+# ---- driver-side config validation (≡ check_config_against_spec) -----------
+
+_PY_TYPES = {
+    "string": str,
+    "integer": int,
+    "number": (int, float),
+    "boolean": bool,
+    "array": list,
+    "object": dict,
+    "null": type(None),
+}
+
+
+def check_config_against_spec(config: dict, spec: dict) -> list[str]:
+    """Validate a connector config dict against a spec's
+    connectionSpecification (≡ the cdk's check_config_against_spec_or_exit,
+    sources/utils/schema_helpers.py / connector.py): required presence,
+    declared type(s), enum membership. Returns sorted violation strings
+    (empty = valid) — callers decide raise-vs-report. Driver-side and tiny
+    by construction (a config is KBs); the DATA-side validator above is the
+    columnar sibling."""
+    errs: list[str] = []
+    props = spec.get("properties") or {}
+    for name in spec.get("required") or []:
+        if config.get(name) is None:
+            errs.append(f"missing required: {name}")
+    for name, val in config.items():
+        sub = props.get(name)
+        if sub is None or val is None:
+            continue  # unknown keys tolerated, None handled by required
+        types = sub.get("type")
+        types = [types] if isinstance(types, str) else (types or [])
+        if types:
+            expected = tuple(
+                t for name_t in types for t in (
+                    _PY_TYPES[name_t] if isinstance(_PY_TYPES[name_t], tuple)
+                    else (_PY_TYPES[name_t],)
+                ) if name_t in _PY_TYPES
+            )
+            # bool is an int subclass in python — don't let True pass as integer
+            if isinstance(val, bool) and bool not in expected:
+                errs.append(f"type: {name}")
+            elif not isinstance(val, expected):
+                errs.append(f"type: {name}")
+        if "enum" in sub and val not in sub["enum"]:
+            errs.append(f"enum: {name}")
+    return sorted(errs)
+
+
+def apply_config_defaults(config: dict, spec: dict) -> dict:
+    """Fill absent properties from the spec's declared defaults (the cdk
+    applies spec defaults the same way before a sync). Returns a new dict;
+    explicit None is 'absent'."""
+    out = dict(config)
+    for name, sub in (spec.get("properties") or {}).items():
+        if out.get(name) is None and "default" in sub:
+            out[name] = sub["default"]
+    return out

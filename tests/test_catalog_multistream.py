@@ -283,3 +283,23 @@ def test_atomic_catalog_sync_failure_publishes_nothing(spark, sf_dir, tmp_path):
         assert t.current_version() == 1  # only the empty create commit
         assert t.read().count() == 0
         assert t.branches() == []  # aborted branches dropped
+
+
+def test_catalog_rejects_malformed_stream_entry():
+    import pytest
+
+    from airbyte_spark.catalog import catalog_from_json
+
+    doc = {"streams": [{
+        "name": "pages",
+        # schema_ddl missing; bad enum; bad type
+        "source": {"type": "mapped_parquet"},
+        "target": "/t",
+        "sync_mode": "upsert",
+        "n_buckets": "sixteen",
+    }]}
+    with pytest.raises(ValueError) as e:
+        catalog_from_json(doc)
+    msg = str(e.value)
+    assert "missing required: schema_ddl" in msg
+    assert "enum: sync_mode" in msg and "type: n_buckets" in msg

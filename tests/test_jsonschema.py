@@ -118,3 +118,34 @@ def test_camel_to_snake_matches_reference_rule():
     assert camel_to_snake("CamelCaseABCDef") == "camel_case_abc_def"
     assert camel_to_snake("already_snake") == "already_snake"
     assert camel_to_snake("HTTPResponse2XX") == "http_response2_xx"
+
+
+def test_check_config_against_spec():
+    from airbyte_spark.functions.jsonschema import (
+        apply_config_defaults,
+        check_config_against_spec,
+    )
+
+    spec = {
+        "type": "object",
+        "required": ["source", "target"],
+        "properties": {
+            "source": {"type": "string"},
+            "target": {"type": "string"},
+            "n_buckets": {"type": "integer", "default": 16},
+            "write_mode": {"type": "string", "enum": ["cow", "mor"], "default": "cow"},
+            "from_checkpoint": {"type": ["integer", "null"]},
+        },
+    }
+    ok = {"source": "/s", "target": "/t", "n_buckets": 8, "write_mode": "mor"}
+    assert check_config_against_spec(ok, spec) == []
+    bad = {"source": "/s", "n_buckets": "8", "write_mode": "upsert",
+           "from_checkpoint": True}
+    assert check_config_against_spec(bad, spec) == [
+        "enum: write_mode", "missing required: target", "type: from_checkpoint",
+        "type: n_buckets",
+    ]
+    filled = apply_config_defaults({"source": "/s", "target": "/t"}, spec)
+    assert filled["n_buckets"] == 16 and filled["write_mode"] == "cow"
+    # unknown keys tolerated; explicit values never overwritten
+    assert apply_config_defaults(ok, spec)["n_buckets"] == 8
