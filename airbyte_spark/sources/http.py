@@ -54,7 +54,21 @@ Transport = Callable[[str, dict], dict]
 
 
 class TransportError(Exception):
-    """Retryable transport failure (≡ the cdk's DefaultBackoffException)."""
+    """Retryable transport failure (≡ the cdk's DefaultBackoffException).
+    Non-TransportError exceptions (plain 4xx, parse errors) propagate
+    immediately — the reference's give-up-on-unexpected-4xx rule
+    (rate_limiting.py:29-33)."""
+
+
+class RateLimitError(TransportError):
+    """429-style throttle carrying the server-advised wait (≡ the cdk's
+    UserDefinedBackoffException built from Retry-After,
+    rate_limiting.py:47-68): the retry wrapper sleeps exactly
+    `retry_after` instead of the exponential schedule."""
+
+    def __init__(self, message: str = "429 rate limited", retry_after: float = 1.0):
+        super().__init__(message)
+        self.retry_after = retry_after
 
 
 def with_retries(
@@ -63,7 +77,8 @@ def with_retries(
     backoff_base: float = 0.5,
     sleep: Callable[[float], None] | None = None,
 ) -> Transport:
-    """Exponential-backoff retry wrapper (http.py:286-311 backoff policy).
+    """Retry wrapper (http.py:286-311 backoff policy): exponential backoff
+    for generic transport failures, server-advised sleep for rate limits.
 
     `sleep` is injectable so tests assert the schedule without waiting.
     """
@@ -76,6 +91,10 @@ def with_retries(
         for attempt in range(max_tries):
             try:
                 return transport(path, params)
+            except RateLimitError as exc:  # server says exactly how long
+                last = exc
+                if attempt < max_tries - 1:
+                    do_sleep(exc.retry_after)
             except TransportError as exc:  # only transport-level failures retry
                 last = exc
                 if attempt < max_tries - 1:

@@ -143,3 +143,47 @@ def test_substream_children_per_parent(spark, sf_dir, expected):
     # FK stamp matches the record's own user_id on every row
     assert got.filter(F.col("parent_user_id") != F.col("user_id")).count() == 0
     got.unpersist()
+
+
+def test_rate_limit_sleeps_server_advised():
+    """RateLimitError sleeps exactly the server's Retry-After (≡ the cdk
+    user_defined_backoff_handler), interleaved with exponential backoff
+    for generic transport failures."""
+    from airbyte_spark.sources.http import (
+        RateLimitError,
+        TransportError,
+        with_retries,
+    )
+
+    fails = [RateLimitError(retry_after=7.5), TransportError("boom"),
+             RateLimitError(retry_after=2.0)]
+    calls = {"n": 0}
+
+    def flaky(path, params):
+        if calls["n"] < len(fails):
+            calls["n"] += 1
+            raise fails[calls["n"] - 1]
+        return {"records": [{"ok": 1}]}
+
+    slept = []
+    t = with_retries(flaky, max_tries=5, backoff_base=0.5, sleep=slept.append)
+    assert t("x", {})["records"] == [{"ok": 1}]
+    assert slept == [7.5, 1.0, 2.0]  # advised, expo(attempt=1), advised
+
+
+def test_non_transport_4xx_gives_up_immediately():
+    from airbyte_spark.sources.http import with_retries
+
+    calls = {"n": 0}
+
+    def hard_404(path, params):
+        calls["n"] += 1
+        raise KeyError("404 not found")  # not a TransportError
+
+    slept = []
+    t = with_retries(hard_404, max_tries=5, sleep=slept.append)
+    import pytest
+
+    with pytest.raises(KeyError):
+        t("x", {})
+    assert calls["n"] == 1 and slept == []
