@@ -82,6 +82,38 @@ def q_cdc_mor_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
 
 
+def q_src_airbyte_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AirbyteMessage wire-protocol round-trip (the reference's stdout
+    contract, airbyte_protocol.yaml): events → RECORD JSONL envelopes +
+    trailing STATE → distributed parse back to typed rows. The read drops
+    LOG/foreign-stream lines and recovers the checkpoint; the query
+    asserts state recovery in-line and returns the typed records
+    (sources/airbyte_messages.py)."""
+    from pyspark.sql.types import StructType
+
+    from airbyte_spark.sources.airbyte_messages import (
+        read_airbyte_messages,
+        write_airbyte_messages,
+    )
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "value", "ts")
+    )
+    out = tempfile.mkdtemp(prefix="airbyte_msgs_") + "/stream"
+    write_airbyte_messages(
+        src, out, "events", state={"cursor_value": "ck-final"},
+        emitted_at_col="ts",
+    )
+    records, state = read_airbyte_messages(
+        spark, out,
+        StructType.fromDDL("event_id bigint, event_type string, value double"),
+        stream="events",
+    )
+    assert state == {"cursor_value": "ck-final"}, state
+    return records.select("event_id", "event_type", "value")
+
+
 def q_cdc_schema_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-driven type normalization (≡ the cdk TypeTransformer's
     DefaultSchemaNormalization, sources/utils/transform.py:85-120): raw
@@ -2632,9 +2664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a driver row are the four that slipped this round's window —
     doc_corpus_stats, doc_sample_mix, cdc_url_domains, cdc_url_canonical
     (all simple scan-shaped aggregations, self-check + pytest green) —
-    plus doc_chunk_dedup and cdc_schema_normalize (added after the round-3
-    window was fixed). Rotate them into the first 50 next round, plus any
-    query whose implementation changes after its last green row.
+    plus doc_chunk_dedup, cdc_schema_normalize, and src_airbyte_messages
+    (added after the round-3 window was fixed). Rotate them into the first
+    50 next round, plus any query whose implementation changes after its
+    last green row.
     """
     return {
         # --- driver window (positions 1-50): never-driver-checked + re-checks
@@ -2753,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_url_canonical": q_cdc_url_canonical,
         "doc_chunk_dedup": q_doc_chunk_dedup,  # added late r3 → r4 rotation
         "cdc_schema_normalize": q_cdc_schema_normalize,  # added late r3 → r4
+        "src_airbyte_messages": q_src_airbyte_messages,  # added late r3 → r4
     }
 
 
@@ -3019,6 +3053,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": final_state,
         "cdc_mor_replay_final_state": final_state,
         "cdc_mor_resolve_read": final_state,
+        "src_airbyte_messages": """
+            SELECT event_id, event_type, value FROM events
+        """,
         "cdc_schema_normalize": """
             WITH raw AS (
               SELECT event_id AS id,
