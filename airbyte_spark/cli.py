@@ -190,6 +190,9 @@ def _parser() -> argparse.ArgumentParser:
     sp = add("rollback", "--target")
     sp.add_argument("--to-version", type=int, required=True)
     add("fsck", "--target")
+    sp = add("emit-messages", "--target")
+    sp.add_argument("--out", required=True, help="output JSONL dir")
+    sp.add_argument("--stream", default="pages")
     sp = add("export-shards", "--target")
     sp.add_argument("--docs", required=True, help="documents parquet path")
     sp.add_argument("--max-tokens", type=int, default=2048)
@@ -374,6 +377,24 @@ def run(spark, args) -> dict:
                 },
             },
         }
+
+    if args.cmd == "emit-messages":
+        # lake table → AirbyteMessage JSONL (RECORD lines + trailing STATE
+        # carrying the table's resume position), so any protocol-speaking
+        # destination can consume this engine's output unchanged
+        from airbyte_spark.lake.format import LakeTable
+        from airbyte_spark.sources.airbyte_messages import write_airbyte_messages
+
+        t = LakeTable.load(spark, args.target)
+        df = t.read()
+        emitted = "_emitted_at" if "_emitted_at" in df.columns else None
+        state = {"table_version": t.current_version(),
+                 "committed": sorted(t.committed())}
+        write_airbyte_messages(
+            df, args.out, args.stream, state=state, emitted_at_col=emitted
+        )
+        return {"type": "EMIT_RESULT", "out": args.out, "stream": args.stream,
+                "records": df.count(), **{"table_version": state["table_version"]}}
 
     if args.cmd == "export-shards":
         from airbyte_spark.destinations import export_shards

@@ -100,3 +100,26 @@ def test_registry_source_with_cursor_state(spark, sf_dir, tmp_path):
     incr = read(spark, {"cursor_value": mid})
     assert incr.count() == src.filter(F.col("ts").cast("timestamp_ntz") > mid).count()
     assert full.count() == 300
+
+
+def test_cli_emit_messages_roundtrip(spark, sf_dir, tmp_path):
+    """CLI: lake table → message stream; the state line carries the
+    table's resume position."""
+    from argparse import Namespace
+
+    from airbyte_spark.cli import run
+    from airbyte_spark.lake.format import LakeTable, PartitionSpec
+
+    src = _src(spark, sf_dir, n=200).drop("ts")
+    t = LakeTable.create(spark, str(tmp_path / "t"), src.schema, PartitionSpec())
+    t.append(src, checkpoint_key="ck-0")
+    out = str(tmp_path / "msgs")
+    res = run(spark, Namespace(cmd="emit-messages", target=str(tmp_path / "t"),
+                               out=out, stream="events"))
+    assert res["records"] == 200
+    records, state = read_airbyte_messages(
+        spark, out, StructType.fromDDL(DDL), stream="events"
+    )
+    assert records.count() == 200
+    assert state["table_version"] == t.current_version()
+    assert "ck-0" in state["committed"]
