@@ -2054,6 +2054,17 @@ def q_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(docs)
 
 
+def q_doc_chunk_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup at content-defined chunk granularity (the
+    shift-robust sibling of doc_segment_dedup): a chunk survives only at
+    its first (doc, position) occurrence corpus-wide and documents are
+    reassembled from survivors (operators/corpus.py chunk_dedup)."""
+    from airbyte_spark.operators.corpus import chunk_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_dedup(docs)
+
+
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word 5-gram
     with the held-out eval slice (doc_id % 97 == 0) are flagged. Eval
@@ -2664,8 +2675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a driver row are the four that slipped this round's window —
     doc_corpus_stats, doc_sample_mix, cdc_url_domains, cdc_url_canonical
     (all simple scan-shaped aggregations, self-check + pytest green) —
-    plus doc_chunk_dedup, cdc_schema_normalize, and src_airbyte_messages
-    (added after the round-3 window was fixed). Rotate them into the first
+    plus the late-round-3 additions doc_chunk_dedup, doc_chunk_trim,
+    cdc_schema_normalize, and src_airbyte_messages. Rotate them into the first
     50 next round, plus any query whose implementation changes after its
     last green row.
     """
@@ -2787,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dedup": q_doc_chunk_dedup,  # added late r3 → r4 rotation
         "cdc_schema_normalize": q_cdc_schema_normalize,  # added late r3 → r4
         "src_airbyte_messages": q_src_airbyte_messages,  # added late r3 → r4
+        "doc_chunk_trim": q_doc_chunk_trim,  # added late r3 → r4 rotation
     }
 
 
@@ -4152,6 +4164,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_chunks
             FROM agg a JOIN cnt c USING (chunk_hash)
             GROUP BY a.doc_id
+        """,
+        "doc_chunk_trim": """
+            WITH sp AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS pos
+              FROM sp),
+            fl AS (
+              SELECT doc_id, pos, w,
+                     CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS flag
+              FROM tok),
+            ch AS (
+              SELECT doc_id, pos, w,
+                     sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+              FROM fl),
+            agg AS (
+              SELECT doc_id, chunk_id,
+                     string_agg(w, ' ' ORDER BY pos) AS chunk_text
+              FROM ch GROUP BY doc_id, chunk_id),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+              FROM agg)
+            SELECT doc_id,
+                   coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                            FILTER (WHERE rn = 1), '') AS dedup_text,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+            FROM ranked GROUP BY doc_id
         """,
         "doc_segment_dedup": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

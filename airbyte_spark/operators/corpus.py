@@ -549,3 +549,46 @@ def chunk_dedup_stats(
             F.count_if(F.col("n_docs") >= 2).cast("bigint").alias("n_dup_chunks"),
         )
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide keep-first dedup at content-defined chunk granularity —
+    segment_dedup's rule (a chunk survives only at its first (id, position)
+    occurrence; documents reassemble from survivors) over SHIFT-ROBUST
+    boundaries: quoting a passage mid-document still dedups it, where the
+    fixed-width segmentation would see entirely different windows.
+    Output: (id, dedup_text, n_chunks, n_kept).
+
+    Scale shape ≡ segment_dedup: keep-first is one aggregate keyed on the
+    32-byte chunk digest (min-struct, map-side combinable — no window over
+    duplicate-heavy keys), reassembly one shuffle on the doc id, plus
+    content_defined_chunks' own per-doc window."""
+    ch = content_defined_chunks(df, id_col, text_col)
+    firsts = ch.groupBy("chunk_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("first")
+    )
+    marked = ch.join(firsts, "chunk_hash").withColumn(
+        "kept",
+        (F.col("first")[id_col] == F.col(id_col))
+        & (F.col("first.chunk_id") == F.col("chunk_id")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text", "kept"))
+                    ),
+                    lambda s: s["kept"],
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+    )

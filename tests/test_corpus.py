@@ -517,3 +517,26 @@ def test_content_defined_chunks_reassemble_exactly(spark):
     )
     assert " ".join(r["chunk_text"] for r in rows) == text.strip()
     assert sum(r["n_words"] for r in rows) == len(text.strip().split(" "))
+
+
+def test_chunk_dedup_keep_first_and_shift_robust(spark):
+    from airbyte_spark.operators.corpus import chunk_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest tonight while owls watch silently from "
+        "tall trees nearby under a pale cold moon as wind moves the branches"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "prefix insertion here " + base)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df).collect()}
+    # exact dup: doc 1 keeps everything, doc 2 keeps nothing
+    assert out[1]["dedup_text"] == base and out[1]["n_kept"] == out[1]["n_chunks"]
+    assert out[2]["dedup_text"] == "" and out[2]["n_kept"] == 0
+    # shifted copy: only the reshaped first chunk survives — the shared
+    # tail chunks dedup against doc 1 despite the offset
+    assert 0 < out[3]["n_kept"] < out[3]["n_chunks"]
+    assert out[3]["dedup_text"].startswith("prefix insertion here")
+    assert not out[3]["dedup_text"].endswith("branches")
