@@ -283,13 +283,35 @@ def ingest_emb_dedup(
     keys = srp_band_keys(batch, dim, bits, bands, id_col, vec_col).localCheckpoint(
         eager=True
     )
+    return _ingest_sig_banded(registry, batch, keys, checkpoint_key, id_col, max_hamming)
+
+
+def _ingest_sig_banded(
+    registry: LakeTable,
+    batch: DataFrame,
+    keys: DataFrame,
+    checkpoint_key: str,
+    id_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """Shared admission core for signature-banded registries (SRP
+    embedding sketches, image pHashes): intra-batch cluster via band
+    collisions verified by popcount ≤ max_hamming, reject whole clusters
+    colliding with a registered signature, admit canonicals, register
+    every surviving member's (band, key, sig) under the canonical id.
+    `keys` must carry (vec_id, band, key, sig)."""
+    from airbyte_spark.operators.dedup_text import (
+        band_collision_pairs,
+        near_dup_clusters,
+    )
+
     pairs = (
         band_collision_pairs(keys, id_col="vec_id", carry=("sig",))
         .filter(F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= max_hamming)
         .select("a_id", "b_id")
         .distinct()
     )
-    ident = batch.select(F.col(id_col).alias("doc_id"))
+    ident = keys.select(F.col("vec_id").alias("doc_id")).distinct()
     clusters = near_dup_clusters(ident, id_col="doc_id", pairs=pairs)
     reg = registry.read().select("band", "key", F.col("sig").alias("reg_sig"))
     hit_docs = (
@@ -325,6 +347,65 @@ def ingest_emb_dedup(
     )
     registry.append(member_keys, checkpoint_key=checkpoint_key)
     return admitted
+
+
+def create_image_registry(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
+    """pHash band-key registry (same row shape as the embedding registry:
+    band, key, doc_id, sig) for ingest-time image near-dup admission."""
+    return _open_or_create(spark, path, EMB_REGISTRY_SCHEMA, "key", n_buckets)
+
+
+def ingest_image_dedup(
+    registry: LakeTable,
+    batch: DataFrame,
+    checkpoint_key: str,
+    max_hamming: int = 7,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Incremental IMAGE near-dup admission — the multimodal leg of the
+    dedup-at-ingest family: each batch's images are pHashed once (one
+    Arrow-batched decode pass over the real raster path), banded into
+    8-bit slices (recall 1.0 for hamming ≤ bands-1 by pigeonhole, same
+    guarantee as the text SimHash pairs), clustered intra-batch, and any
+    cluster colliding within max_hamming of a REGISTERED hash is rejected
+    whole. Cost ∝ batch (plus one band-keyed registry join) — never a
+    rescan of admitted images. Rows whose bytes don't decode carry no
+    fingerprint and are dropped from admission (route them to the
+    codec-equipped path in deployment)."""
+    from airbyte_spark.functions.extract import image_phash_udf
+
+    if checkpoint_key in registry.committed():
+        return batch.join(
+            _ids_admitted_under(registry, checkpoint_key, id_col), id_col, "left_semi"
+        )
+    fps = (
+        batch.select(
+            F.col(id_col).alias("vec_id"),
+            image_phash_udf(F.col(data_col)).alias("sig"),
+        )
+        .filter(F.col("sig").isNotNull())
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keys = (
+        fps.select("vec_id", "sig", F.explode(slices).alias("bk"))
+        .select("vec_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .localCheckpoint(eager=True)
+    )
+    return _ingest_sig_banded(registry, batch, keys, checkpoint_key, id_col, max_hamming)
 
 
 def stream_ingest_dedup(

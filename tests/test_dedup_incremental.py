@@ -397,3 +397,53 @@ def test_srp_near_dups_null_and_empty_inputs(spark):
     assert srp_near_dups(mixed).count() == 0  # no crash, singleton corpus
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert srp_near_dups(empty).count() == 0
+
+
+def _img_rows(specs):
+    """(id, seed, noise) → (id, ppm bytes); seed controls content."""
+    import numpy as np
+
+    def pattern(seed, noise):
+        rng = np.random.RandomState(100 + noise)
+        y, x = np.mgrid[0:48, 0:64]
+        base = (
+            np.sin(x / (5.0 + seed)) * 80 + np.cos(y / (9.0 + 2 * seed)) * 60 + 120
+        ).clip(0, 255)
+        img = np.stack([base, base * 0.8, base * 0.5], axis=-1)
+        if noise:
+            img = img + rng.randint(-noise, noise + 1, size=img.shape)
+        return img.clip(0, 255).astype("uint8")
+
+    out = []
+    for i, seed, noise in specs:
+        arr = pattern(seed, noise)
+        out.append((i, bytearray(b"P6\n64 48\n255\n" + arr.tobytes())))
+    return out
+
+
+def test_image_registry_cross_batch_rejection(spark, tmp_path):
+    from airbyte_spark.operators.dedup_incremental import (
+        create_image_registry,
+        ingest_image_dedup,
+    )
+
+    reg = create_image_registry(spark, str(tmp_path / "ireg"), n_buckets=4)
+    # batch 1: two distinct images + an intra-batch noisy near-dup of the first
+    b1 = spark.createDataFrame(
+        _img_rows([(1, 0, 0), (2, 0, 2), (3, 5, 0)]), "doc_id long, data binary"
+    )
+    got1 = sorted(r["doc_id"] for r in ingest_image_dedup(reg, b1, "i1").collect())
+    assert got1 == [1, 3]  # 2 is a near-dup cluster member of 1
+    # batch 2: near-dup of an ADMITTED image + undecodable bytes + fresh one
+    b2 = spark.createDataFrame(
+        _img_rows([(10, 0, 1), (11, 9, 0)]) + [(12, bytearray(b"junk"))],
+        "doc_id long, data binary",
+    )
+    got2 = sorted(r["doc_id"] for r in ingest_image_dedup(reg, b2, "i2").collect())
+    assert 10 not in got2          # rejected against the registry
+    assert 11 in got2              # fresh content admitted
+    assert 12 not in got2          # no fingerprint → not admitted
+    # redelivery is exactly-once: same admitted set, no registry growth
+    v = reg.current_version()
+    again = sorted(r["doc_id"] for r in ingest_image_dedup(reg, b2, "i2").collect())
+    assert again == got2 and reg.current_version() == v
