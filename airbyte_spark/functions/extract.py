@@ -261,7 +261,11 @@ def _phash_one(b: "bytes | None"):
     packed = np.uint64(0)
     for bit in bits:
         packed = np.uint64(packed << np.uint64(1)) | np.uint64(bit)
-    return int(np.int64(packed))  # bit pattern as Spark LongType
+    # two's-complement fold to Spark LongType: explicit, not via the NumPy
+    # scalar constructor (int64(uint64) wraps on numpy 1.x but raises
+    # OverflowError on numpy>=2 when the top bit is set)
+    p = int(packed)
+    return p - (1 << 64) if p >= (1 << 63) else p
 
 
 @pandas_udf(LongType())

@@ -183,12 +183,19 @@ def check_config_against_spec(config: dict, spec: dict) -> list[str]:
         types = sub.get("type")
         types = [types] if isinstance(types, str) else (types or [])
         if types:
+            # membership test FIRST: a spec declaring an unknown type name
+            # must report, not KeyError mid-comprehension
+            for name_t in types:
+                if name_t not in _PY_TYPES:
+                    errs.append(f"unknown type: {name}: {name_t}")
             expected = tuple(
-                t for name_t in types for t in (
+                t for name_t in types if name_t in _PY_TYPES for t in (
                     _PY_TYPES[name_t] if isinstance(_PY_TYPES[name_t], tuple)
                     else (_PY_TYPES[name_t],)
-                ) if name_t in _PY_TYPES
+                )
             )
+            if not expected:
+                continue  # nothing checkable; unknown-type already reported
             # bool is an int subclass in python — don't let True pass as integer
             if isinstance(val, bool) and bool not in expected:
                 errs.append(f"type: {name}")

@@ -34,9 +34,21 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from airbyte_spark.lake import format as _fmt
 from airbyte_spark.lake.format import LakeTable
 
 CHANGE_TYPE_COL = "_change_type"
+
+
+def _gated_broadcast(df: DataFrame, rows: int) -> DataFrame:
+    """Broadcast only when the sidecars' manifest-recorded row counts say
+    the frame is small (metadata-only decision — no job). A bulk GDPR
+    purge or bad-batch delete writes sidecars with millions of rows; a
+    forced broadcast of those OOMs the driver at 100 TB. Past the gate the
+    frame is left un-hinted so AQE picks a size-based join — the same
+    policy as format.py's read path (BROADCAST_DELETE_ROWS_MAX; the
+    constant is read through the module so one monkeypatch covers both)."""
+    return F.broadcast(df) if rows <= _fmt.BROADCAST_DELETE_ROWS_MAX else df
 
 
 def row_changes(
@@ -111,7 +123,11 @@ def row_changes(
         cond = (_F.col("_dv_file") == _F.col("__dv_anti_file")) & (
             _F.col("_dv_pos") == _F.col("__dv_anti_pos")
         )
-        rows = pre.join(_F.broadcast(dmap), cond, "left_semi")
+        rows = pre.join(
+            _gated_broadcast(dmap, sum((d.get("rows") or 0) for d in dvs)),
+            cond,
+            "left_semi",
+        )
         return rows.select(
             *[
                 (
@@ -181,7 +197,9 @@ def row_changes(
             pre = table.read(at_version, files=files, with_positions=anti is not None)
             if anti is not None:
                 pre = pre.join(
-                    _F.broadcast(anti),
+                    _gated_broadcast(
+                        anti, sum((x.get("rows") or 0) for x in dv_overlap)
+                    ),
                     (_F.col("_dv_file") == _F.col("__dv_anti_file"))
                     & (_F.col("_dv_pos") == _F.col("__dv_anti_pos")),
                     "left_anti",
@@ -196,7 +214,9 @@ def row_changes(
             for cur in names:
                 e_ = _F.col(cur).eqNullSafe(_F.col(f"__eq_{cur}"))
                 cond = e_ if cond is None else cond & e_
-            rows = pre.join(_F.broadcast(kdf), cond, "left_semi").select(
+            rows = pre.join(
+                _gated_broadcast(kdf, d.get("rows") or 0), cond, "left_semi"
+            ).select(
                 *[
                     (
                         _F.col(c)

@@ -258,7 +258,14 @@ def ingest_emb_dedup(
     of the admitted corpus. With 60-bit sketches, hamming ≈
     bits·angle/π ± √(bits)/2, so max_hamming=20 treats ≈ cos ≥ 0.5
     content as duplicate with ~2% false-match per compared pair — a
-    sketch-level filter; tighten with more bits."""
+    sketch-level filter; tighten with more bits.
+
+    Unfingerprintable rows are DROPPED, not admitted: a batch row with a
+    NULL embedding (filtered here) or one yielding no SRP signature
+    (e.g. an empty array — nothing to band) has no identity to dedup on
+    and is excluded from the admitted output, mirroring
+    ingest_image_dedup's undecodable-bytes policy. Pre-filter such rows
+    if they should pass through unconditionally."""
     from airbyte_spark.operators.dedup_text import (
         band_collision_pairs,
         near_dup_clusters,

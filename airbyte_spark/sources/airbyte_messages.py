@@ -104,7 +104,16 @@ def read_airbyte_messages(
     the reference types incoming data); rows of other streams and
     non-RECORD lines drop out. Malformed data yields NULL-field rows
     rather than killing the sync (dead-letter them downstream with the
-    jsonschema validator). State: last (file, line) position wins."""
+    jsonschema validator). State: last (file, line) position wins.
+
+    STATE-ordering contract: "last" is decided by DESCENDING LEXICOGRAPHIC
+    file name, then line order within the file. That is correct for this
+    engine's own capture layout (a single capture file, or the writer's
+    zz- prefixed state file sorting last) and for any single-file JSONL
+    capture. A multi-file EXTERNAL capture whose chronological order
+    disagrees with file-name order (e.g. part-10 written before part-9)
+    recovers the wrong checkpoint — name files so lexicographic order is
+    chronological, or concatenate before reading."""
     raw = spark.read.text(path).select(
         F.col("value"),
         F.input_file_name().alias("_f"),

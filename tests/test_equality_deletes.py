@@ -347,3 +347,32 @@ def test_delete_broadcast_gate_fallback(spark, sf_dir, table, monkeypatch):
     assert "strategy=broadcast" not in plan
     got = sorted(r["event_id"] for r in df.collect())
     assert got == want and want
+
+
+def test_change_feed_broadcast_gate_fallback(spark, sf_dir, table, monkeypatch):
+    """row_changes materializes dual-sidecar deletes via three joins
+    against sidecar frames (position map, dv-overlap anti, equality keys).
+    Forcing the manifest-row-count gate to overflow must drop every forced
+    broadcast hint from the plan (AQE decides) while the emitted change
+    set stays identical — the mega-delete failure mode at 100x."""
+    import airbyte_spark.lake.format as FMT
+    from airbyte_spark.lake.changes import row_changes
+    from airbyte_spark.lake.dml import delete_positions
+
+    t, src = table
+    t._update_properties({"bloom.key": "event_id"}, set(), "key-prop")
+    v0 = t.current_version()
+    delete_positions(t, "event_type = 'error'")
+    delete_equality(
+        t, src.filter("user_id % 10 = 3").select("event_id"), cols=["event_id"]
+    )
+    v2 = t.current_version()
+    want = sorted(
+        (r["event_id"], r["_change_type"]) for r in row_changes(t, v0, v2).collect()
+    )
+    monkeypatch.setattr(FMT, "BROADCAST_DELETE_ROWS_MAX", 0)
+    df = row_changes(t, v0, v2)
+    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "strategy=broadcast" not in plan
+    got = sorted((r["event_id"], r["_change_type"]) for r in df.collect())
+    assert got == want and want

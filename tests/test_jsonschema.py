@@ -145,6 +145,14 @@ def test_check_config_against_spec():
         "enum: write_mode", "missing required: target", "type: from_checkpoint",
         "type: n_buckets",
     ]
+    # a user-supplied spec with an unknown type name reports, never crashes
+    odd = {"type": "object", "properties": {"x": {"type": "unknowntype"}}}
+    assert check_config_against_spec({"x": 1}, odd) == ["unknown type: x: unknowntype"]
+    mixed = {"type": "object",
+             "properties": {"x": {"type": ["unknowntype", "integer"]}}}
+    assert check_config_against_spec({"x": "s"}, mixed) == [
+        "type: x", "unknown type: x: unknowntype",
+    ]
     filled = apply_config_defaults({"source": "/s", "target": "/t"}, spec)
     assert filled["n_buckets"] == 16 and filled["write_mode"] == "cow"
     # unknown keys tolerated; explicit values never overwritten
