@@ -14,6 +14,8 @@ from __future__ import annotations
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints of the
+# fixture-generator UDFs below (PEP 563 hints resolve in module globals)
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -2226,15 +2228,189 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize every doc with an Arrow-batched pandas UDF (ranks broadcast in
     the closure, per-word memoization per batch; fuses into the scan).
 
-    Not SQL-expressible (iterative global-argmax loop) → no DuckDB oracle;
-    the rows-only driver check still pins count/schema, and
-    tests/test_bpe.py pins exact equivalence to naive corpus-level BPE."""
+    Value-hash oracle: the iterative trainer IS DuckDB-expressible once
+    unrolled — _bpe_merge_ctes() emits one materialized CTE pair per merge
+    (pair count+argmax, then greedy left-to-right application via
+    delimiter-doubled string replace), and encoding is a recursive CTE
+    applying the lowest-(rank, position) merge one step at a time over the
+    DISTINCT word set (the GPT-2 min-rank loop, verbatim). tests/
+    test_bpe.py additionally pins exact equivalence to naive corpus-level
+    BPE."""
     from airbyte_spark.operators.bpe import train_bpe, with_bpe_tokens
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges = train_bpe(docs, num_merges=128, max_word_types=50_000)
+    merges = train_bpe(docs, num_merges=_BPE_MERGES, max_word_types=_BPE_MAX_TYPES)
     return with_bpe_tokens(docs, merges).select(
         "doc_id", "n_bpe_tokens"
+    )
+
+
+def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table itself as a gated artifact (rank →
+    symbol pair): pins the TRAINER — word-type counting (distributed),
+    argmax-by-(count, pair) with lexicographic tie-break, greedy merge
+    application — independently of the encoder that q_doc_bpe_tokens
+    exercises on top of it. Fewer than _BPE_MERGES rows means the corpus
+    ran dry (no adjacent pair repeats), mirroring the trainer's early
+    stop."""
+    from airbyte_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, num_merges=_BPE_MERGES, max_word_types=_BPE_MAX_TYPES)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+def _ppm_fixture_udf():
+    """Deterministic P6-PPM generator for the multimodal dedup gate: class
+    → seeded low-frequency random field (rich spectrum — pHash's DCT
+    median-threshold needs one; pure gratings leave 63 near-zero
+    coefficients and the hash degenerates to noise), variant 2 → one
+    coarse cell nudged (+80, clipped). Measured over all 15 classes:
+    in-class base↔perturbed hamming ≤ 6, cross-class ≥ 24 (any variant
+    pair) — so with max_hamming=7 the near-dup components are EXACTLY the
+    classes, which is what lets a pure-SQL oracle predict admission."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(cls: pd.Series, v: pd.Series) -> pd.Series:
+        def one(c, vv):
+            rng = np.random.default_rng(977 + int(c))
+            coarse = rng.integers(0, 256, (8, 8)).astype(np.float64)
+            if int(vv) == 2:
+                coarse[3, 3] = min(255.0, coarse[3, 3] + 80.0)
+            img = np.kron(coarse, np.ones((8, 8))).astype(np.uint8)
+            rgb = np.repeat(img[:, :, None], 3, axis=2)
+            return b"P6\n64 64\n255\n" + rgb.tobytes()
+
+        return pd.Series([one(c, vv) for c, vv in zip(cls, v)])
+
+    return gen
+
+
+def q_img_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated query for the multimodal dedup leg: ingest-time incremental
+    IMAGE near-dup admission (operators/dedup_incremental.py
+    ingest_image_dedup — real pHash over real P6 decode, banded registry,
+    cost ∝ batch). Two batches arrive against one registry: batch 'a'
+    admits one canonical (min doc_id) per image class; batch 'b' re-sends
+    every class (all its members within hamming ≤ 6 of registered sigs →
+    clusters rejected whole) plus three classes only it carries (cross ≥
+    24 from everything registered → admitted). The fixture's distance
+    structure (see _ppm_fixture_udf) makes admission a pure function of
+    the class arithmetic, which the DuckDB oracle replays exactly."""
+    from airbyte_spark.operators.dedup_incremental import (
+        create_image_registry,
+        ingest_image_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    h = (hi + 1) // 2
+    imgs = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") >= h) & (F.col("doc_id") % 5 == 0),
+            12 + F.col("doc_id") % 3,
+        )
+        .otherwise(F.col("doc_id") % 12)
+        .cast("int")
+        .alias("cls"),
+        F.expr("CAST((doc_id DIV 12) % 3 AS INT)").alias("v"),
+    ).select("doc_id", _ppm_fixture_udf()(F.col("cls"), F.col("v")).alias("data"))
+    base = tempfile.mkdtemp(prefix="airbyte_spark_imgreg_")
+    reg = create_image_registry(spark, base + "/registry", n_buckets=8)
+    a = ingest_image_dedup(reg, imgs.filter(F.col("doc_id") < h), "img-a")
+    b = ingest_image_dedup(reg, imgs.filter(F.col("doc_id") >= h), "img-b")
+    return a.select("doc_id", F.lit("a").alias("batch")).unionByName(
+        b.select("doc_id", F.lit("b").alias("batch"))
+    )
+
+
+# Expected log-mel rows per audio class: computed once from the
+# deterministic fixture through the exact make_audio_mel_udf math (numpy
+# FFT + HTK filterbank) and quantized to integer millibels-of-log10 via
+# floor(x*1000 + 0.5). The oracle carries them as stored expected values —
+# it pins determinism and regression (the absolute math is pinned by
+# tests/test_multimodal.py); both engines compare the identical doubles so
+# the quantization is exact.
+_AUDIO_MEL_EXPECTED = {
+    0: [-4036, -1648, 3377, 2956, -3338, -4942, -5883, -6440,
+        -6726, -6631, -6936, -6641, -6673, -6172, -6102, -6696],
+    1: [-6311, -5672, -4560, -1770, 3409, 2860, -3930, -5419,
+        -6183, -6435, -6634, -6476, -6990, -6111, -6535, -6941],
+    2: [-7767, -7306, -6642, -5773, -4207, 2772, 3431, -1564,
+        -5013, -6213, -7026, -7690, -5437, -5833, -9127, -9506],
+    3: [-8215, -7815, -7060, -6781, -6438, -5272, -1945, 3437,
+        2746, -4611, -6002, -6368, -6412, -6180, -6330, -6124],
+    4: [-7500, -7999, -6896, -7253, -7337, -6973, -5838, -3472,
+        3315, 3087, -4335, -5837, -6722, -6641, -6266, -6626],
+    5: [-7916, -7062, -6358, -7263, -7344, -7243, -7182, -6020,
+        -4094, 3278, 3144, -4537, -5935, -6689, -6608, -6536],
+}
+
+
+def _wav_fixture_udf():
+    """Deterministic PCM16 WAV generator: class → 4096-sample sine at
+    300 + 250·cls Hz, 8 kHz mono, amplitude 12000 (samples rounded the
+    numpy way so regeneration is bit-identical). doc_id % 97 == 0 rows get
+    non-WAV bytes to exercise the undecodable → no-feature-row path."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(cls: pd.Series, bad: pd.Series) -> pd.Series:
+        def one(c, is_bad):
+            if bool(is_bad):
+                return b"not audio"
+            rate, n = 8000, 4096
+            f = 300.0 + 250.0 * int(c)
+            i = np.arange(n)
+            s = np.round(12000.0 * np.sin(2 * np.pi * f * i / rate)).astype("<i2")
+            pcm = s.tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            chunks = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm
+            )
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        return pd.Series([one(c, b_) for c, b_ in zip(cls, bad)])
+
+    return gen
+
+
+def q_audio_mel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated query for the multimodal audio leg: REAL log-mel features
+    (functions/extract.py make_audio_mel_udf — numpy FFT + HTK mel
+    filterbank, Arrow-batched inside the scan) over deterministic WAV
+    fixtures, exploded to (doc_id, mel_idx, mel_q) with the integer
+    quantization documented at _AUDIO_MEL_EXPECTED. Undecodable rows
+    (doc_id % 97 == 0) produce no feature rows."""
+    from airbyte_spark.functions.extract import make_audio_mel_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    wavs = docs.select(
+        "doc_id",
+        _wav_fixture_udf()(
+            (F.col("doc_id") % 6).cast("int"), (F.col("doc_id") % 97 == 0)
+        ).alias("data"),
+    )
+    mel = wavs.select(
+        "doc_id", make_audio_mel_udf()(F.col("data")).alias("mel")
+    ).filter(F.col("mel").isNotNull())
+    ex = mel.select("doc_id", F.posexplode("mel").alias("mel_idx", "mel_v"))
+    return ex.select(
+        "doc_id",
+        "mel_idx",
+        F.floor(F.col("mel_v") * 1000.0 + 0.5).cast("int").alias("mel_q"),
     )
 
 
@@ -2691,6 +2867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_vocab_topk": q_doc_vocab_topk,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_bpe_merges": q_doc_bpe_merges,
+        "img_phash_dedup": q_img_phash_dedup,
+        "audio_mel_features": q_audio_mel_features,
         "doc_lm_surprisal": q_doc_lm_surprisal,
         "doc_passages": q_doc_passages,
         "cdc_url_quality": q_cdc_url_quality,
@@ -2822,6 +3001,118 @@ shd AS (
 
 _TOKEN_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 _STOP_PAT = r"\b(the|a|an|of|and|to|in|is|that|it)\b"
+
+# BPE gate parameters — shared by q_doc_bpe_tokens/q_doc_bpe_merges and
+# their generated oracles so both sides train the identical tokenizer.
+_BPE_MERGES = 128
+_BPE_MAX_TYPES = 50_000
+
+
+def _bpe_merge_ctes(k: int = _BPE_MERGES, max_types: int = _BPE_MAX_TYPES):
+    """DuckDB CTE chain deriving the BPE merge table by unrolling the
+    trainer k levels (≡ operators/bpe.py learn_merges, full-recount form —
+    the incremental bookkeeping there is bit-identical by construction).
+
+    Word types are represented as delimiter-doubled strings (' a  b  ▁ '):
+    each symbol wrapped in single spaces, so plain left-to-right
+    non-overlapping replace(' a  b ' → ' ab ') IS the greedy merge
+    application — consecutive occurrences don't share a delimiter, and a
+    symbol-suffix can never false-match because every real boundary
+    carries two spaces. MATERIALIZED is load-bearing: each level
+    references the previous twice, and un-materialized CTE inlining would
+    re-plan the chain 2^k times. Returns (cte_sql, merge_union_sql)."""
+    parts = [
+        f"""
+    wt AS MATERIALIZED (
+      SELECT word, COUNT(*)::BIGINT AS n FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_PAT}')) AS word
+        FROM documents
+      ) GROUP BY word ORDER BY n DESC, word ASC LIMIT {max_types}
+    ),
+    t0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(
+               list_append(regexp_extract_all(word, '.'), '▁'), '  ') || ' ' AS s,
+             n
+      FROM wt
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+    b{i} AS MATERIALIZED (
+      SELECT ws[j] AS a, ws[j+1] AS b
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS ws, n
+            FROM t{i - 1}),
+           UNNEST(range(1, len(ws))) u(j)
+      GROUP BY 1, 2 HAVING SUM(n) >= 2
+      ORDER BY SUM(n) DESC, a DESC, b DESC LIMIT 1
+    ),
+    t{i} AS MATERIALIZED (
+      SELECT CASE WHEN b.a IS NOT NULL
+                  THEN replace(t.s, ' ' || b.a || '  ' || b.b || ' ',
+                               ' ' || b.a || b.b || ' ')
+                  ELSE t.s END AS s, t.n
+      FROM t{i - 1} t LEFT JOIN b{i} b ON TRUE
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS lhs, b AS rhs FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return ",".join(parts), union
+
+
+def _bpe_merges_oracle() -> str:
+    ctes, union = _bpe_merge_ctes()
+    return f"WITH {ctes} SELECT merge_rank, lhs, rhs FROM ({union}) ORDER BY 1"
+
+
+def _bpe_tokens_oracle() -> str:
+    """Per-doc BPE token counts: the merge CTEs above, then a recursive
+    CTE encoding each DISTINCT word by repeatedly applying the
+    lowest-(rank, position) applicable merge — exactly encode_word's
+    GPT-2 min-rank loop, one merge per recursion step. The merge-rank map
+    rides each state row (map_from_entries over the learned table) so the
+    lambda can rank pairs without a correlated lookup; the terminal state
+    per word is the max-iteration row of its linear chain."""
+    ctes, union = _bpe_merge_ctes()
+    return f"""
+    WITH RECURSIVE {ctes},
+    mmap AS MATERIALIZED (
+      SELECT map_from_entries(list((lhs || ' ' || rhs, merge_rank))) AS mm
+      FROM ({union})
+    ),
+    docw AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_PAT}')) AS word
+      FROM documents
+    ),
+    enc AS (
+      SELECT word, list_append(regexp_extract_all(word, '.'), '▁') AS ws, 0 AS it
+      FROM (SELECT DISTINCT word FROM docw)
+      UNION ALL
+      SELECT word,
+             list_concat(list_concat(ws[1:best.j-1],
+                                     [ws[best.j] || ws[best.j+1]]),
+                         ws[best.j+2:len(ws)]) AS ws,
+             it + 1
+      FROM (
+        SELECT word, ws, it,
+               list_sort(list_filter(list_transform(range(1, len(ws)),
+                 j -> {{'r': mm[ws[j] || ' ' || ws[j+1]][1], 'j': j}}),
+                 x -> x.r IS NOT NULL))[1] AS best
+        FROM enc, mmap
+      ) WHERE best IS NOT NULL
+    ),
+    wlen AS MATERIALIZED (
+      SELECT word, len(ws) AS wn FROM enc
+      QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC) = 1
+    )
+    SELECT d.doc_id, COALESCE(SUM(w.wn), 0)::INT AS n_bpe_tokens
+    FROM documents d
+    LEFT JOIN docw dw ON d.doc_id = dw.doc_id
+    LEFT JOIN wlen w ON dw.word = w.word
+    GROUP BY d.doc_id
+    """
 
 
 def _pii_pats() -> tuple[str, str, str]:
@@ -3902,6 +4193,42 @@ def oracle_sql() -> dict[str, str]:
             FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
         """.format(words=_WORDS_CTE),
+        "doc_bpe_merges": _bpe_merges_oracle(),
+        "doc_bpe_tokens": _bpe_tokens_oracle(),
+        # The image fixture's measured distance structure (in-class ≤ 6,
+        # cross-class ≥ 24; see _ppm_fixture_udf) reduces pHash-banded
+        # admission to class arithmetic: batch a admits min(doc_id) per
+        # class, batch b's repeated classes are rejected whole and only
+        # its three exclusive classes (12-14) admit.
+        "img_phash_dedup": """
+            WITH bound AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents),
+            p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id >= h AND doc_id % 5 = 0
+                          THEN 12 + doc_id % 3
+                          ELSE doc_id % 12 END AS cls,
+                     CASE WHEN doc_id < h THEN 'a' ELSE 'b' END AS batch
+              FROM documents, bound
+            )
+            SELECT MIN(doc_id) AS doc_id, 'a' AS batch
+            FROM p WHERE batch = 'a' GROUP BY cls
+            UNION ALL
+            SELECT MIN(doc_id) AS doc_id, 'b' AS batch
+            FROM p WHERE batch = 'b' AND cls >= 12 GROUP BY cls
+        """,
+        "audio_mel_features": (
+            "WITH expected(cls, mel_idx, mel_q) AS (VALUES "
+            + ", ".join(
+                f"({c}, {i}, {q})"
+                for c, qs in _AUDIO_MEL_EXPECTED.items()
+                for i, q in enumerate(qs)
+            )
+            + """)
+            SELECT d.doc_id, e.mel_idx, e.mel_q
+            FROM documents d JOIN expected e ON e.cls = d.doc_id % 6
+            WHERE d.doc_id % 97 <> 0
+        """
+        ),
         "doc_vocab_topk": """
             WITH {words},
             wx AS (SELECT doc_id, unnest(ws) AS word FROM w),

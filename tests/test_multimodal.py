@@ -303,3 +303,38 @@ def test_audio_mel_feeds_ann_topk(spark):
     q = queries.select("doc_id", udf("data").alias("embedding"))
     top = cosine_topk(q, emb, k=1, id_col="doc_id").collect()
     assert len(top) == 1 and top[0]["n_id"] == 2
+
+
+def test_img_dedup_fixture_distance_margins():
+    """The img_phash_dedup gate's oracle is pure class arithmetic ONLY
+    because the fixture guarantees in-class hamming ≤ max_hamming(7) and
+    cross-class > 7 with wide margin. Pin those margins so a pHash or
+    generator change that silently erodes them fails here, not in the
+    driver gate."""
+    import numpy as np
+
+    from airbyte_spark.functions.extract import _phash_one
+
+    def ppm(cls, v):
+        rng = np.random.default_rng(977 + cls)
+        coarse = rng.integers(0, 256, (8, 8)).astype(np.float64)
+        if v == 2:
+            coarse[3, 3] = min(255.0, coarse[3, 3] + 80.0)
+        img = np.kron(coarse, np.ones((8, 8))).astype(np.uint8)
+        return b"P6\n64 64\n255\n" + np.repeat(img[:, :, None], 3, axis=2).tobytes()
+
+    sig = {(c, v): _phash_one(ppm(c, v)) for c in range(15) for v in (0, 2)}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    in_class = max(ham(sig[(c, 0)], sig[(c, 2)]) for c in range(15))
+    cross = min(
+        ham(sig[(c1, v1)], sig[(c2, v2)])
+        for c1 in range(15)
+        for c2 in range(c1 + 1, 15)
+        for v1 in (0, 2)
+        for v2 in (0, 2)
+    )
+    assert in_class <= 7, in_class  # same cluster under max_hamming=7
+    assert cross > 7 + 8, cross  # different cluster, with ≥8 bits of margin
