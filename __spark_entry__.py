@@ -84,6 +84,42 @@ def q_cdc_mor_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
 
 
+def q_src_debezium_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External CDC tail e2e (sources/debezium_tail.py ≡
+    AirbyteDebeziumHandler.java:45-112 bounded-drain semantics): the
+    change stream is serialized as Debezium-envelope JSONL segment files,
+    the stop position is captured FIRST (max source.lsn via a
+    metadata-light scan), then a "concurrent writer" appends higher-lsn
+    poison updates that would win LWW for their keys if the bound leaked —
+    and the streaming drain (parse_debezium → CdcPipeline.apply_batch,
+    exactly-once per segment) must reproduce exactly the changelog
+    replay's final state, poison excluded. Oracle: the same final-state
+    SQL as cdc_replay_final_state (the tail IS the changelog, modulo the
+    wire round trip)."""
+    from airbyte_spark.sources.debezium_tail import (
+        capture_target_position,
+        run_debezium_tail,
+        write_debezium_tail,
+    )
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    ch = read_changelog(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="airbyte_spark_dbztail_")
+    tail_dir = base + "/tail"
+    write_debezium_tail(ch, tail_dir)
+    target = capture_target_position(spark, tail_dir)
+    post = (
+        ch.filter(F.col("_ab_cdc_lsn") % 7 == 0)
+        .withColumn("_ab_cdc_lsn", F.col("_ab_cdc_lsn") + 100_000_000)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 400 DAYS"))
+        .withColumn("checkpoint_id", F.col("checkpoint_id") + 100_000)
+    )
+    write_debezium_tail(post, tail_dir)
+    pipe = CdcPipeline.create_target(spark, base + "/pages", n_buckets=8)
+    run_debezium_tail(pipe, tail_dir, base + "/ck", target_lsn=target)
+    return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
+
+
 def q_src_airbyte_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AirbyteMessage wire-protocol round-trip (the reference's stdout
     contract, airbyte_protocol.yaml): events → RECORD JSONL envelopes +
@@ -2977,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dedup": q_doc_chunk_dedup,  # added late r3 → r4 rotation
         "cdc_schema_normalize": q_cdc_schema_normalize,  # added late r3 → r4
         "src_airbyte_messages": q_src_airbyte_messages,  # added late r3 → r4
+        "src_debezium_tail": q_src_debezium_tail,  # added r4 → in r4 window
         "doc_chunk_trim": q_doc_chunk_trim,  # added late r3 → r4 rotation
     }
 
@@ -3356,6 +3393,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": final_state,
         "cdc_mor_replay_final_state": final_state,
         "cdc_mor_resolve_read": final_state,
+        "src_debezium_tail": final_state,
         "src_airbyte_messages": """
             SELECT event_id, event_type, value FROM events
         """,

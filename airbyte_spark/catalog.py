@@ -129,6 +129,7 @@ def sync_stream(
         "mode": "append_dedup",
         "applied": sum(1 for r in results if not r.skipped),
         "skipped": sum(1 for r in results if r.skipped),
+        "rows": sum(r.rows_in or 0 for r in results if not r.skipped),
         "committed": pipe.committed_checkpoints(),
     }
 

@@ -32,10 +32,15 @@ Commands:
                                  vs the log's expected winners (typed
                                  missing/extra/stale/zombie verdicts)
   sync     --catalog FILE [--atomic [--txn-log D]]
+           [--attempts-log F [--max-attempts N] [--backoff S]]
+           [--loop N [--interval S]]
                                  multi-stream catalog sync (per-stream
                                  modes/PKs/state — ≡ ConfiguredAirbyteCatalog);
                                  --atomic publishes every stream in ONE
-                                 catalog transaction (no half-synced reads)
+                                 catalog transaction (no half-synced reads);
+                                 --attempts-log/--loop run through the
+                                 scheduler: per-attempt rows + retry with
+                                 backoff (≡ SyncWorkflowImpl attempt loop)
   discover-catalog --catalog FILE
                                  print the configured catalog (≡ discover)
   compact  --target T [--target-file-mb N]
@@ -142,6 +147,17 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--atomic", action="store_true",
                     help="stage all streams on txn branches, publish all-or-nothing")
     sp.add_argument("--txn-log", default=None, help="transaction log dir (atomic)")
+    sp.add_argument("--attempts-log", default=None,
+                    help="JSONL jobs/attempts log; enables the scheduler "
+                         "(retry-with-backoff, per-attempt bookkeeping)")
+    sp.add_argument("--max-attempts", type=int, default=3)
+    sp.add_argument("--backoff", type=float, default=2.0,
+                    help="seconds before the first retry (doubles per attempt)")
+    sp.add_argument("--loop", type=int, default=None, metavar="N",
+                    help="run N scheduled syncs back-to-back (each its own "
+                         "job id + retry budget)")
+    sp.add_argument("--interval", type=float, default=0.0,
+                    help="seconds between --loop runs")
     sp = sub.add_parser("discover-catalog")
     sp.add_argument("--catalog", required=True)
     sp = add("compact", "--target")
@@ -345,6 +361,28 @@ def run(spark, args) -> dict:
             cat = catalog_from_json(json.load(fh))
         if args.cmd == "discover-catalog":
             return {"type": "CATALOG", **cat.discover()}
+        if getattr(args, "attempts_log", None) or getattr(args, "loop", None):
+            from airbyte_spark.scheduler import run_sync_loop, run_sync_with_retries
+
+            attempts = args.attempts_log or (args.catalog + ".attempts.jsonl")
+            kw = dict(
+                max_attempts=args.max_attempts,
+                backoff_s=args.backoff,
+                atomic=getattr(args, "atomic", False),
+                txn_log_dir=getattr(args, "txn_log", None),
+            )
+            if args.loop:
+                return {
+                    "type": "SYNC_JOBS",
+                    "jobs": run_sync_loop(
+                        spark, cat, attempts, args.loop,
+                        interval_s=args.interval, **kw,
+                    ),
+                }
+            return {
+                "type": "SYNC_JOB",
+                **run_sync_with_retries(spark, cat, attempts, **kw),
+            }
         return {
             "type": "SYNC_RESULT",
             "streams": sync(

@@ -1,0 +1,99 @@
+"""External Debezium-tail source seam: a directory of envelope JSONL
+drained through parse_debezium → CdcPipeline with a pre-captured stop
+position (≡ AirbyteDebeziumHandler target-position semantics)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airbyte_spark.sources.changelog import read_changelog
+from airbyte_spark.sources.debezium_tail import (
+    capture_target_position,
+    read_debezium_tail,
+    run_debezium_tail,
+    write_debezium_tail,
+)
+from airbyte_spark.streaming.pipeline import CdcPipeline
+
+
+@pytest.fixture()
+def tail(spark, sf_dir, tmp_path):
+    ch = read_changelog(spark, sf_dir)
+    d = str(tmp_path / "tail")
+    write_debezium_tail(ch, d)
+    return ch, d
+
+
+def _final(pipe):
+    return {
+        r["url"]: (r["warc_ts"], r["text"], r["_ab_cdc_lsn"])
+        for r in pipe.final_state().collect()
+    }
+
+
+def test_tail_replay_equals_changelog_replay(spark, sf_dir, tmp_path, tail):
+    ch, d = tail
+    target = capture_target_position(spark, d)
+    assert target == ch.agg(F.max("_ab_cdc_lsn")).first()[0]
+
+    ref = CdcPipeline.create_target(spark, str(tmp_path / "ref") + "/pages", n_buckets=4)
+    ref.replay(ch)
+
+    pipe = CdcPipeline.create_target(spark, str(tmp_path / "t") + "/pages", n_buckets=4)
+    run_debezium_tail(
+        pipe, d, str(tmp_path / "ck"), target_lsn=target
+    )
+    assert _final(pipe) == _final(ref)
+
+
+def test_bounded_drain_excludes_post_target_events(spark, sf_dir, tmp_path, tail):
+    """Envelopes that land in the tail AFTER the position capture (higher
+    lsn) must not apply this sync — and must apply on the NEXT sync."""
+    ch, d = tail
+    target = capture_target_position(spark, d)
+    # "concurrent writer": higher-lsn updates that would win LWW for their keys
+    post = (
+        ch.filter(F.col("_ab_cdc_lsn") % 7 == 0)
+        .withColumn("_ab_cdc_lsn", F.col("_ab_cdc_lsn") + 100_000_000)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 400 DAYS"))
+        .withColumn("checkpoint_id", F.col("checkpoint_id") + 100_000)
+    )
+    write_debezium_tail(post, d)
+
+    pipe = CdcPipeline.create_target(spark, str(tmp_path / "t") + "/pages", n_buckets=4)
+    run_debezium_tail(pipe, d, str(tmp_path / "ck"), target_lsn=target)
+    got = _final(pipe)
+    assert got and max(l for _, _, l in got.values()) <= target
+
+    # next sync: fresh position sees the backlog, drains exactly it
+    target2 = capture_target_position(spark, d)
+    assert target2 > target
+    run_debezium_tail(pipe, d, str(tmp_path / "ck2"), target_lsn=target2)
+    got2 = _final(pipe)
+    assert max(l for _, _, l in got2.values()) > 100_000_000
+    ref = CdcPipeline.create_target(spark, str(tmp_path / "r") + "/pages", n_buckets=4)
+    ref.replay(ch.unionByName(post))
+    assert got2 == _final(ref)
+
+
+def test_tail_redelivery_is_noop_and_dead_letters_split(spark, sf_dir, tmp_path, tail):
+    ch, d = tail
+    # malformed lines in the tail must route to dead letters, not crash
+    spark.createDataFrame(
+        [("{not json",), ('{"op":null}',)], "value string"
+    ).write.mode("append").text(d)
+    target = capture_target_position(spark, d)
+
+    good, dead = read_debezium_tail(spark, d, target_lsn=target)
+    assert dead.count() == 2 and good.count() == ch.count()
+
+    pipe = CdcPipeline.create_target(spark, str(tmp_path / "t") + "/pages", n_buckets=4)
+    run_debezium_tail(pipe, d, str(tmp_path / "ck"), target_lsn=target)
+    v = pipe.table.current_version()
+    want = _final(pipe)
+    # full redelivery (fresh streaming checkpoint, same table): every
+    # segment already committed → no new version, same state
+    run_debezium_tail(pipe, d, str(tmp_path / "ck2"), target_lsn=target)
+    assert pipe.table.current_version() == v
+    assert _final(pipe) == want
