@@ -2875,43 +2875,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
     Ordering matters: the driver's correctness gate samples the FIRST 50
-    entries in registry order per round.  Rounds 1-2 gated the CDC/sync core
-    (all green in CORRECTNESS_r01/r02); round 3 rotates the previously
-    driver-unchecked doc_/emb_/web_/src_ families plus the two queries whose
-    implementations changed since their last green row (doc_jaccard_pairs now
-    runs LSH->verify, emb_near_dups runs the IVF-bucketed form) into the
-    window, cheapest first.  Queries past position 50 all hold a green driver
-    row from a prior round or are covered by scripts/check_oracle.py + pytest.
-
-    Round-4 rotation plan: the only registered queries that have NEVER held
-    a driver row are the four that slipped this round's window —
-    doc_corpus_stats, doc_sample_mix, cdc_url_domains, cdc_url_canonical
-    (all simple scan-shaped aggregations, self-check + pytest green) —
-    plus the late-round-3 additions doc_chunk_dedup, doc_chunk_trim,
-    cdc_schema_normalize, and src_airbyte_messages. Rotate them into the first
-    50 next round, plus any query whose implementation changes after its
-    last green row.
+    entries in registry order per round.  Rounds 1-2 gated the CDC/sync
+    core; round 3 rotated the doc_/emb_/web_/src_ families in (all green,
+    CORRECTNESS_r03).  Round 4 rotates in, per the round-3 plan:
+      1-8   the eight queries that had never held a driver row
+            (doc_corpus_stats, doc_sample_mix, cdc_url_domains,
+            cdc_url_canonical, doc_chunk_dedup, doc_chunk_trim,
+            cdc_schema_normalize, src_airbyte_messages) — after this round,
+            rotation debt is zero: every registered query has been
+            driver-checked;
+      9-12  the four round-4 additions (doc_bpe_merges, img_phash_dedup,
+            audio_mel_features, src_debezium_tail);
+      13-14 the two whose implementation changed since their last green
+            row (doc_bpe_tokens: gained a value oracle + shared params;
+            cdc_matview_incremental: row_changes broadcast gating).
+    Fourteen stable green-r3 lines (doc_train_split … sync_sql_over_lake)
+    moved below the window to make room; everything past position 50 holds
+    a green driver row from r1-r3 and stays covered by
+    scripts/check_oracle.py + pytest.
     """
     return {
-        # --- driver window (positions 1-50): never-driver-checked + re-checks
-        "doc_train_split": q_doc_train_split,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_mix_plan": q_doc_mix_plan,
-        "doc_quota_by_lang": q_doc_quota_by_lang,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_repetition": q_doc_repetition,
-        "doc_vocab_topk": q_doc_vocab_topk,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
+        # --- driver window (positions 1-50) -------------------------------
+        # rotation debt (never driver-checked before this round)
+        "doc_corpus_stats": q_doc_corpus_stats,
+        "doc_sample_mix": q_doc_sample_mix,
+        "cdc_url_domains": q_cdc_url_domains,
+        "cdc_url_canonical": q_cdc_url_canonical,
+        "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_chunk_trim": q_doc_chunk_trim,
+        "cdc_schema_normalize": q_cdc_schema_normalize,
+        "src_airbyte_messages": q_src_airbyte_messages,
+        # round-4 additions
         "doc_bpe_merges": q_doc_bpe_merges,
         "img_phash_dedup": q_img_phash_dedup,
         "audio_mel_features": q_audio_mel_features,
-        "doc_lm_surprisal": q_doc_lm_surprisal,
-        "doc_passages": q_doc_passages,
-        "cdc_url_quality": q_cdc_url_quality,
-        "cdc_segment_quantiles": q_cdc_segment_quantiles,
-        "cdc_postings_incremental": q_cdc_postings_incremental,
-        "sync_sql_over_lake": q_sync_sql_over_lake,
+        "src_debezium_tail": q_src_debezium_tail,
+        # implementation changed since last green row
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "cdc_matview_incremental": q_cdc_matview_incremental,
         "sync_constraint_gate": q_sync_constraint_gate,
         "sync_delete_positions": q_sync_delete_positions,
         "sync_metadata_stats": q_sync_metadata_stats,
@@ -2951,7 +2952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the window: green in CORRECTNESS_r01/r02, pytest-pinned
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
-        "cdc_matview_incremental": q_cdc_matview_incremental,
         "cdc_final_state_window": q_cdc_final_state_window,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_tx_boundaries": q_cdc_tx_boundaries,
@@ -3006,15 +3006,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
-        "doc_corpus_stats": q_doc_corpus_stats,
-        "doc_sample_mix": q_doc_sample_mix,
-        "cdc_url_domains": q_cdc_url_domains,
-        "cdc_url_canonical": q_cdc_url_canonical,
-        "doc_chunk_dedup": q_doc_chunk_dedup,  # added late r3 → r4 rotation
-        "cdc_schema_normalize": q_cdc_schema_normalize,  # added late r3 → r4
-        "src_airbyte_messages": q_src_airbyte_messages,  # added late r3 → r4
-        "src_debezium_tail": q_src_debezium_tail,  # added r4 → in r4 window
-        "doc_chunk_trim": q_doc_chunk_trim,  # added late r3 → r4 rotation
+        # moved below the window in r4 to make room (green r3, unchanged)
+        "doc_train_split": q_doc_train_split,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_mix_plan": q_doc_mix_plan,
+        "doc_quota_by_lang": q_doc_quota_by_lang,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_repetition": q_doc_repetition,
+        "doc_vocab_topk": q_doc_vocab_topk,
+        "doc_lm_surprisal": q_doc_lm_surprisal,
+        "doc_passages": q_doc_passages,
+        "cdc_url_quality": q_cdc_url_quality,
+        "cdc_segment_quantiles": q_cdc_segment_quantiles,
+        "cdc_postings_incremental": q_cdc_postings_incremental,
+        "sync_sql_over_lake": q_sync_sql_over_lake,
     }
 
 
