@@ -1,0 +1,237 @@
+"""Warehouse-destination SQL seam: render the JDBC sync protocol as
+per-dialect SQL scripts over exported stage files.
+
+Parity: the reference's warehouse destinations are SqlOperations
+implementations (destination-jdbc/.../SqlOperations.java:23-94 +
+JdbcSqlOperations.java:30-105) that (1) create the schema and a RAW table
+of exactly three columns (_airbyte_ab_id VARCHAR PK, _airbyte_data as the
+dialect's JSON type, _airbyte_emitted_at TIMESTAMP), (2) stage records
+into a tmp table, (3) promote with a transactional
+truncate/insert-select, and the copy-family destinations load the staged
+files with the dialect's bulk COPY instead of row INSERTs
+(CopyConsumerFactory / StreamCopier).
+
+No warehouse exists in this sandbox, so the seam keeps the two halves a
+deployment needs and nothing fake: the STAGE (a distributed Spark write
+of csv shards — the expensive part, and the part that must scale) and the
+SCRIPT (deterministic per-dialect SQL rendering of the protocol). A
+deployment pipes the script to its warehouse client; tests EXECUTE the
+postgres-flavored script on DuckDB against the real staged shards and
+compare the loaded table to the source frame, so the protocol itself is
+value-checked, not just string-pinned.
+
+Scale shape: the only data-sized work is the shard write (one shuffle to
+n_shards files); script rendering is O(columns). The raw-table shape
+means warehouse load cost is independent of schema width — exactly why
+the reference stages raw JSON.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from airbyte_spark.functions.names import DIALECT_MAX_LEN, normalize_identifier
+
+# dialect → (identifier quote, JSON column type, timestamp type)
+_DIALECT = {
+    "postgres": ('"', "JSONB", "TIMESTAMP WITH TIME ZONE"),
+    "redshift": ('"', "SUPER", "TIMESTAMPTZ"),
+    "mysql": ("`", "JSON", "TIMESTAMP(6)"),
+    "snowflake": ('"', "VARIANT", "TIMESTAMP_TZ"),
+    "bigquery": ("`", "JSON", "TIMESTAMP"),
+    "mssql": ('"', "NVARCHAR(MAX)", "DATETIMEOFFSET"),
+    "oracle": ('"', "CLOB", "TIMESTAMP WITH TIME ZONE"),
+}
+
+AB_ID = "_airbyte_ab_id"
+AB_DATA = "_airbyte_data"
+AB_EMITTED = "_airbyte_emitted_at"
+
+
+def quote_ident(name: str, dialect: str) -> str:
+    q = _DIALECT[dialect][0]
+    return f"{q}{normalize_identifier(name, dialect=dialect)}{q}"
+
+
+def create_schema_sql(schema_name: str, dialect: str) -> str:
+    """≡ JdbcSqlOperations.createSchemaQuery."""
+    return f"CREATE SCHEMA IF NOT EXISTS {quote_ident(schema_name, dialect)};"
+
+
+def create_raw_table_sql(schema_name: str, table: str, dialect: str) -> str:
+    """≡ JdbcSqlOperations.createTableQuery — the three-column raw table
+    every JDBC destination writes before normalization."""
+    _, json_t, ts_t = _DIALECT[dialect]
+    s, t = quote_ident(schema_name, dialect), quote_ident(table, dialect)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {s}.{t} (\n"
+        f"  {AB_ID} VARCHAR(36) PRIMARY KEY,\n"
+        f"  {AB_DATA} {json_t},\n"
+        f"  {AB_EMITTED} {ts_t}\n"
+        f");"
+    )
+
+
+def drop_table_sql(schema_name: str, table: str, dialect: str) -> str:
+    return (
+        f"DROP TABLE IF EXISTS "
+        f"{quote_ident(schema_name, dialect)}.{quote_ident(table, dialect)};"
+    )
+
+
+def truncate_table_sql(schema_name: str, table: str, dialect: str) -> str:
+    return (
+        f"TRUNCATE TABLE "
+        f"{quote_ident(schema_name, dialect)}.{quote_ident(table, dialect)};"
+    )
+
+
+def copy_table_sql(
+    schema_name: str, src_table: str, dst_table: str, dialect: str
+) -> str:
+    """≡ JdbcSqlOperations.copyTableQuery (the tmp → final promotion) —
+    hardened to an anti-join insert: ab_ids here are DETERMINISTIC content
+    hashes (not the reference's random UUIDs), so re-running a sync script
+    after a half-failure re-promotes only the missing rows instead of
+    violating the PK / double-loading. The engine's exactly-once idiom,
+    carried to the warehouse."""
+    s = quote_ident(schema_name, dialect)
+    src, dst = quote_ident(src_table, dialect), quote_ident(dst_table, dialect)
+    return (
+        f"INSERT INTO {s}.{dst} SELECT * FROM {s}.{src} t "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {s}.{dst} d "
+        f"WHERE d.{AB_ID} = t.{AB_ID});"
+    )
+
+
+def copy_from_stage_sql(
+    schema_name: str, table: str, stage_files: list[str], dialect: str
+) -> list[str]:
+    """Bulk-load statements for the staged csv shards, one per file
+    (≡ the StreamCopier copy step; each dialect's native bulk path)."""
+    s, t = quote_ident(schema_name, dialect), quote_ident(table, dialect)
+    out = []
+    for f in stage_files:
+        if dialect == "postgres":
+            out.append(f"COPY {s}.{t} FROM '{f}' (FORMAT csv, HEADER);")
+        elif dialect == "redshift":
+            out.append(f"COPY {s}.{t} FROM '{f}' CSV IGNOREHEADER 1;")
+        elif dialect == "snowflake":
+            out.append(
+                f"COPY INTO {s}.{t} FROM '{f}' "
+                f"FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1);"
+            )
+        elif dialect == "bigquery":
+            out.append(
+                f"LOAD DATA INTO {s}.{t} FROM FILES "
+                f"(format = 'CSV', skip_leading_rows = 1, uris = ['{f}']);"
+            )
+        elif dialect == "mysql":
+            out.append(
+                f"LOAD DATA INFILE '{f}' INTO TABLE {s}.{t} "
+                f"FIELDS TERMINATED BY ',' ENCLOSED BY '\"' "
+                f"IGNORE 1 LINES;"
+            )
+        else:  # mssql / oracle: generic bulk-insert placeholder statement
+            out.append(f"BULK INSERT {s}.{t} FROM '{f}' WITH (FIRSTROW = 2);")
+    return out
+
+
+def stage_raw_shards(
+    df: DataFrame, stage_dir: str, n_shards: int = 16
+) -> list[str]:
+    """The distributed half: serialize records to the raw-table triplet
+    (deterministic md5 ab_id over the full row json — replay-stable, like
+    every id in this engine) and write csv shards. One narrow map + one
+    round-robin shuffle to bound file count; this is the only data-sized
+    cost of a warehouse sync and it scales with executors, not the
+    warehouse."""
+    raw = df.select(
+        F.md5(F.to_json(F.struct(*df.columns))).alias(AB_ID),
+        F.to_json(F.struct(*df.columns)).alias(AB_DATA),
+        F.date_format(
+            F.current_timestamp(), "yyyy-MM-dd HH:mm:ss.SSSXXX"
+        ).alias(AB_EMITTED),
+    )
+    (
+        raw.repartition(n_shards)
+        .write.mode("overwrite")
+        .option("header", True)
+        # RFC4180 quote doubling (escape = quote) — what warehouse COPY
+        # loaders parse; Spark's default backslash escaping is not CSV
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(stage_dir)
+    )
+    return sorted(
+        os.path.join(stage_dir, f)
+        for f in os.listdir(stage_dir)
+        if f.endswith(".csv")
+    )
+
+
+def render_sync_script(
+    schema_name: str,
+    stream: str,
+    stage_files: list[str],
+    dialect: str,
+    mode: str = "append",
+) -> str:
+    """The whole per-stream sync as ONE transactional script (≡ the
+    buffered consumer's onClose: create → load tmp → promote → drop tmp,
+    JdbcBufferedConsumerFactory). mode='overwrite' truncates the final
+    table inside the same transaction (the reference's
+    TRUNCATE+INSERT swap); 'append' just promotes."""
+    if dialect not in _DIALECT:
+        raise ValueError(f"unknown dialect {dialect!r}; one of {sorted(_DIALECT)}")
+    if dialect not in DIALECT_MAX_LEN:
+        raise ValueError(f"dialect {dialect!r} missing identifier rules")
+    raw = f"_airbyte_raw_{stream}"
+    tmp = f"_airbyte_tmp_{stream}"
+    # overwrite resets via DROP+CREATE rather than TRUNCATE: same
+    # transactional swap, but portable to engines whose indexes can't
+    # truncate-then-reinsert identical keys inside one transaction
+    # (truncate_table_sql stays exported for the SqlOperations parity
+    # surface)
+    reset = (
+        [drop_table_sql(schema_name, raw, dialect),
+         create_raw_table_sql(schema_name, raw, dialect)]
+        if mode == "overwrite"
+        else []
+    )
+    stmts = [
+        "BEGIN;",
+        create_schema_sql(schema_name, dialect),
+        create_raw_table_sql(schema_name, raw, dialect),
+        drop_table_sql(schema_name, tmp, dialect),
+        create_raw_table_sql(schema_name, tmp, dialect),
+        *copy_from_stage_sql(schema_name, tmp, stage_files, dialect),
+        *reset,
+        copy_table_sql(schema_name, tmp, raw, dialect),
+        drop_table_sql(schema_name, tmp, dialect),
+        "COMMIT;",
+    ]
+    return "\n".join(stmts) + "\n"
+
+
+def write_warehouse_sync(
+    df: DataFrame,
+    dest_dir: str,
+    schema_name: str,
+    stream: str,
+    dialect: str = "postgres",
+    mode: str = "append",
+    n_shards: int = 16,
+) -> str:
+    """Stage + render: csv shards under dest_dir/stage, the script at
+    dest_dir/sync.sql. Returns the script path."""
+    files = stage_raw_shards(df, os.path.join(dest_dir, "stage"), n_shards)
+    script = render_sync_script(schema_name, stream, files, dialect, mode)
+    os.makedirs(dest_dir, exist_ok=True)
+    path = os.path.join(dest_dir, "sync.sql")
+    with open(path, "w") as fh:
+        fh.write(script)
+    return path
