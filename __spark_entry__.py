@@ -2358,6 +2358,12 @@ def q_img_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cls"),
         F.expr("CAST((doc_id DIV 12) % 3 AS INT)").alias("v"),
     ).select("doc_id", _ppm_fixture_udf()(F.col("cls"), F.col("v")).alias("data"))
+    # materialize the synthetic rasters once: the admission flow references
+    # its batch several times (fingerprint pass, admitted semi-join, final
+    # read) and would re-run the generator UDF on each — a real ingest
+    # reads bytes from storage, so pinning them models that and keeps the
+    # UDF out of the re-evaluation path
+    imgs = imgs.localCheckpoint(eager=True)
     base = tempfile.mkdtemp(prefix="airbyte_spark_imgreg_")
     reg = create_image_registry(spark, base + "/registry", n_buckets=8)
     a = ingest_image_dedup(reg, imgs.filter(F.col("doc_id") < h), "img-a")
