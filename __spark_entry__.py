@@ -2899,6 +2899,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     moved below the window to make room; everything past position 50 holds
     a green driver row from r1-r3 and stays covered by
     scripts/check_oracle.py + pytest.
+
+    Round-5 rotation rule (rotation debt is zero, so this is the steady
+    state): the window only needs (a) queries whose implementation changed
+    since their last green row and (b) any new queries; fill the rest with
+    whichever green lines have gone longest without a driver re-check.
+    Keep tests/test_registry_guard.py's window assertion in sync.
     """
     return {
         # --- driver window (positions 1-50) -------------------------------

@@ -149,9 +149,16 @@ def stage_raw_shards(
     round-robin shuffle to bound file count; this is the only data-sized
     cost of a warehouse sync and it scales with executors, not the
     warehouse."""
+    # micro-precision temporal serialization: the typed-normalization
+    # round trip must not truncate the engine's TimestampNTZ cursors to
+    # Spark's millisecond JSON default
+    _json_opts = {
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    }
     raw = df.select(
-        F.md5(F.to_json(F.struct(*df.columns))).alias(AB_ID),
-        F.to_json(F.struct(*df.columns)).alias(AB_DATA),
+        F.md5(F.to_json(F.struct(*df.columns), _json_opts)).alias(AB_ID),
+        F.to_json(F.struct(*df.columns), _json_opts).alias(AB_DATA),
         F.date_format(
             F.current_timestamp(), "yyyy-MM-dd HH:mm:ss.SSSXXX"
         ).alias(AB_EMITTED),
@@ -171,6 +178,125 @@ def stage_raw_shards(
         for f in os.listdir(stage_dir)
         if f.endswith(".csv")
     )
+
+
+# Spark type simpleString → per-dialect SQL type for the typed
+# (normalized) table. Narrow map on purpose: the raw table is the durable
+# contract; normalization covers the scalar types the reference's basic
+# normalization casts (boolean < integer < number < string + temporal).
+_SQL_TYPES = {
+    "bigint": {"bigquery": "INT64", "default": "BIGINT"},
+    "int": {"bigquery": "INT64", "default": "BIGINT"},
+    "double": {
+        "mysql": "DOUBLE", "snowflake": "FLOAT", "bigquery": "FLOAT64",
+        "mssql": "FLOAT", "oracle": "BINARY_DOUBLE",
+        "default": "DOUBLE PRECISION",
+    },
+    "float": {"default": "DOUBLE PRECISION"},
+    "string": {
+        "bigquery": "STRING", "oracle": "VARCHAR2(4000)",
+        "default": "VARCHAR",
+    },
+    "boolean": {"mssql": "BIT", "oracle": "NUMBER(1)", "default": "BOOLEAN"},
+    "timestamp": {"mssql": "DATETIME2", "default": "TIMESTAMP"},
+    "timestamp_ntz": {"mssql": "DATETIME2", "default": "TIMESTAMP"},
+    "date": {"default": "DATE"},
+}
+
+
+def _sql_type(spark_type: str, dialect: str) -> str:
+    m = _SQL_TYPES.get(spark_type, _SQL_TYPES["string"])
+    return m.get(dialect, m["default"])
+
+
+def _json_get(col: str, dialect: str) -> str:
+    """Per-dialect scalar extraction from the raw JSON column
+    (≡ the dbt json_extract_scalar macro family the reference renders,
+    stream_processor.py:439-448)."""
+    if dialect == "postgres":
+        return f"({AB_DATA}->>'{col}')"
+    if dialect == "redshift":
+        return f'{AB_DATA}."{col}"::VARCHAR'
+    if dialect == "mysql":
+        return f"JSON_UNQUOTE(JSON_EXTRACT({AB_DATA}, '$.{col}'))"
+    if dialect == "snowflake":
+        return f'{AB_DATA}:"{col}"::VARCHAR'
+    return f"JSON_VALUE({AB_DATA}, '$.{col}')"  # bigquery / mssql / oracle
+
+
+def create_typed_table_sql(
+    schema_name: str, stream: str, spark_schema, dialect: str
+) -> str:
+    """DDL for the normalized (typed) table: one column per stream field
+    plus the reference's normalization metadata — _airbyte_ab_id,
+    _airbyte_emitted_at, _airbyte_<stream>_hashid."""
+    _, _, ts_t = _DIALECT[dialect]
+    cols = [
+        f"  {quote_ident(f.name, dialect)} "
+        f"{_sql_type(f.dataType.simpleString(), dialect)}"
+        for f in spark_schema.fields
+    ]
+    cols += [
+        f"  {AB_ID} VARCHAR(36)",
+        f"  {AB_EMITTED} {ts_t}",
+        f"  {quote_ident(f'_airbyte_{stream}_hashid', dialect)} VARCHAR(32)",
+    ]
+    s, t = quote_ident(schema_name, dialect), quote_ident(stream, dialect)
+    return f"CREATE TABLE IF NOT EXISTS {s}.{t} (\n" + ",\n".join(cols) + "\n);"
+
+
+def normalize_sql(
+    schema_name: str, stream: str, spark_schema, dialect: str
+) -> str:
+    """The basic-normalization SELECT (≡ base-normalization's generated
+    dbt model, stream_processor.py:480-532 cast semantics): extract each
+    scalar from the raw JSON, empty-string→NULL before temporal casts,
+    cast to the dialect type, stamp the dbt_utils-style md5 hashid over
+    the stringified fields, and insert idempotently (anti-join on ab_id —
+    re-running normalization after a partial failure re-types only the
+    missing rows)."""
+    sel, hash_parts = [], []
+    for f in spark_schema.fields:
+        ex = _json_get(f.name, dialect)
+        st = f.dataType.simpleString()
+        if st in ("timestamp", "timestamp_ntz", "date"):
+            ex = f"NULLIF({ex}, '')"  # ≡ empty_string_to_null before cast
+        sel.append(
+            f"CAST({ex} AS {_sql_type(st, dialect)}) AS "
+            f"{quote_ident(f.name, dialect)}"
+        )
+        hash_parts.append(f"COALESCE({_json_get(f.name, dialect)}, '')")
+    hashid = "MD5(" + " || '-' || ".join(hash_parts) + ")"
+    s = quote_ident(schema_name, dialect)
+    raw = quote_ident(f"_airbyte_raw_{stream}", dialect)
+    typed = quote_ident(stream, dialect)
+    cols = ",\n  ".join(sel)
+    return (
+        f"INSERT INTO {s}.{typed}\n"
+        f"SELECT\n  {cols},\n"
+        f"  {AB_ID},\n  CAST({AB_EMITTED} AS "
+        f"{_DIALECT[dialect][2]}),\n"
+        f"  {hashid} AS {quote_ident(f'_airbyte_{stream}_hashid', dialect)}\n"
+        f"FROM {s}.{raw} r\n"
+        f"WHERE NOT EXISTS (SELECT 1 FROM {s}.{typed} t "
+        f"WHERE t.{AB_ID} = r.{AB_ID});"
+    )
+
+
+def render_normalization_script(
+    schema_name: str, stream: str, spark_schema, dialect: str
+) -> str:
+    """Typed-table creation + idempotent normalization insert as one
+    transaction — the post-sync step SyncWorkflowImpl runs after the raw
+    load (SyncWorkflowImpl.java:77-82 normalization activity)."""
+    return "\n".join(
+        [
+            "BEGIN;",
+            create_typed_table_sql(schema_name, stream, spark_schema, dialect),
+            normalize_sql(schema_name, stream, spark_schema, dialect),
+            "COMMIT;",
+        ]
+    ) + "\n"
 
 
 def render_sync_script(

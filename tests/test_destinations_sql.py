@@ -106,3 +106,68 @@ def test_identifier_caps_apply_to_rendered_names():
     assert len(ident) == 63  # postgres cap from DIALECT_MAX_LEN
     with pytest.raises(ValueError):
         render_sync_script("public", "s", [], "nosuchdb")
+
+
+def test_normalization_types_raw_json_back_to_source(spark, sf_dir, tmp_path):
+    """Basic normalization (≡ base-normalization's generated model): the
+    typed table built by the rendered SQL from the raw JSON must equal
+    the source frame value-for-value, including micro-precision
+    timestamps, with the hashid stamped per row. Executed on DuckDB."""
+    from airbyte_spark.destinations_sql import render_normalization_script
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "value", "ts")
+        .limit(200)
+    )
+    path = write_warehouse_sync(
+        src, str(tmp_path / "wh"), "public", "events", dialect="postgres",
+        n_shards=2,
+    )
+    con = duckdb.connect()
+    con.execute(open(path).read().replace(" JSONB", " JSON"))
+    norm = render_normalization_script("public", "events", src.schema, "postgres")
+    con.execute(norm.replace(" JSONB", " JSON"))
+    got = sorted(
+        con.sql(
+            'SELECT event_id, event_type, value, ts FROM "public"."events"'
+        ).fetchall()
+    )
+    want = sorted(map(tuple, src.collect()))
+    assert got == want and len(got) == 200
+    # hashid present and unique per distinct payload
+    n_hash = con.sql(
+        'SELECT count(DISTINCT _airbyte_events_hashid) FROM "public"."events"'
+    ).fetchone()[0]
+    assert n_hash == 200
+    # idempotent re-normalization (anti-join on ab_id): no duplicates
+    con.execute(norm.replace(" JSONB", " JSON"))
+    assert con.sql('SELECT count(*) FROM "public"."events"').fetchone()[0] == 200
+
+
+def test_normalization_dialect_rendering():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from airbyte_spark.destinations_sql import normalize_sql
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    pg = normalize_sql("public", "s", schema, "postgres")
+    assert "(_airbyte_data->>'id')" in pg and "AS BIGINT" in pg
+    sf = normalize_sql("public", "s", schema, "snowflake")
+    assert '_airbyte_data:"name"::VARCHAR' in sf
+    bq = normalize_sql("public", "s", schema, "bigquery")
+    assert "JSON_VALUE(_airbyte_data, '$.score')" in bq and "FLOAT64" in bq
+    my = normalize_sql("public", "s", schema, "mysql")
+    assert "JSON_UNQUOTE(JSON_EXTRACT(_airbyte_data, '$.name'))" in my
