@@ -44,6 +44,7 @@ from pyspark.sql.types import (
 )
 
 from airbyte_spark.sources.debezium import parse_debezium, split_dead_letters
+from airbyte_spark.sources.registry import register_source
 
 __all__ = [
     "PAGE_WIRE_SCHEMA",
@@ -52,6 +53,7 @@ __all__ = [
     "page_record_mapper",
     "run_debezium_tail",
     "write_debezium_tail",
+    "debezium_jsonl_source",
 ]
 
 # Page record as it travels inside a Debezium envelope: html as utf-8 text
@@ -222,3 +224,29 @@ def run_debezium_tail(
         q.awaitTermination()
         return q, dead_dir
     return writer.start(), dead_dir
+
+
+@register_source("debezium_jsonl")
+def debezium_jsonl_source(
+    tail_dir: str,
+    batch_span: int = 1_000,
+    target_lsn: int | None = None,
+):
+    """Registry plug-in: a Debezium-envelope JSONL tail as a (spark,
+    state) source — the batch face of the bounded drain (the streaming
+    face is run_debezium_tail). state['from_checkpoint'] resumes by
+    segment like every built-in; target_lsn=None captures the position at
+    read time (the handler's snapshot-then-drain rule applied per sync)."""
+
+    def read(spark: SparkSession, state: dict) -> DataFrame:
+        from airbyte_spark.sources.registry import _apply_state
+
+        bound = (
+            target_lsn
+            if target_lsn is not None
+            else capture_target_position(spark, tail_dir)
+        )
+        good, _dead = read_debezium_tail(spark, tail_dir, target_lsn=bound)
+        return _apply_state(page_record_mapper(good, batch_span), state)
+
+    return read
