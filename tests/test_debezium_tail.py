@@ -97,3 +97,43 @@ def test_tail_redelivery_is_noop_and_dead_letters_split(spark, sf_dir, tmp_path,
     run_debezium_tail(pipe, d, str(tmp_path / "ck2"), target_lsn=target)
     assert pipe.table.current_version() == v
     assert _final(pipe) == want
+
+
+def test_wire_roundtrip_hostile_content(spark, tmp_path):
+    """The envelope wire must survive hostile page content byte-exactly:
+    newlines/quotes/backslashes in html (JSONL escaping), unicode urls,
+    NULL lang, micro-precision cursors, and delete before-images."""
+    import datetime as dt
+
+    rows = [
+        ("https://ex.com/ünïcode/ページ", dt.datetime(2024, 1, 1, 0, 0, 0, 123457),
+         '<p>line1\nline2\t"quoted" \\back\\slash</p>', "en", None, 1),
+        ("https://ex.com/a", dt.datetime(2024, 1, 2, 3, 4, 5, 999999),
+         "<html>{}[]&amp;</html>", None, None, 2),
+        ("https://ex.com/del", dt.datetime(2024, 1, 3, 0, 0, 1, 1),
+         "<p>tombstone body</p>", "de",
+         dt.datetime(2024, 1, 3, 0, 0, 1), 3),
+    ]
+    ch = spark.createDataFrame(
+        [
+            (u, ts, h.encode(), None, lang, ts, d, lsn, ts, lsn // 1000)
+            for (u, ts, h, lang, d, lsn) in rows
+        ],
+        "url string, warc_ts timestamp_ntz, html binary, text string, "
+        "lang string, _ab_cdc_updated_at timestamp_ntz, "
+        "_ab_cdc_deleted_at timestamp_ntz, _ab_cdc_lsn long, "
+        "_emitted_at timestamp_ntz, checkpoint_id long",
+    )
+    d = str(tmp_path / "tail")
+    write_debezium_tail(ch, d)
+    from airbyte_spark.sources.debezium_tail import page_record_mapper
+
+    good, dead = read_debezium_tail(spark, d)
+    assert dead.count() == 0
+    back = {r["url"]: r for r in page_record_mapper(good).collect()}
+    for (u, ts, h, lang, deleted, lsn) in rows:
+        r = back[u]
+        assert bytes(r["html"]) == h.encode(), u
+        assert r["warc_ts"] == ts, u  # micro-exact through warc_ts_us
+        assert r["lang"] == lang and r["_ab_cdc_lsn"] == lsn
+        assert (r["_ab_cdc_deleted_at"] is not None) == (deleted is not None)
