@@ -73,12 +73,17 @@ def capture_target_position(spark: SparkSession, tail_dir: str) -> int | None:
     empty) — the bounded-drain stop position, captured BEFORE consuming
     (≡ PostgresCdcTargetPosition.targetPosition). Reads only the lsn path
     out of each line; no envelope parse, no payload schema needed."""
-    raw = spark.read.text(tail_dir)
-    row = raw.agg(
-        F.max(
-            F.get_json_object(F.col("value"), "$.source.lsn").cast("long")
-        ).alias("lsn")
-    ).first()
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = spark.read.text(tail_dir)
+        row = raw.agg(
+            F.max(
+                F.get_json_object(F.col("value"), "$.source.lsn").cast("long")
+            ).alias("lsn")
+        ).first()
+    except AnalysisException:
+        return None  # tail dir absent/empty — nothing to drain yet
     return row["lsn"] if row else None
 
 

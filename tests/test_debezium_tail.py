@@ -137,3 +137,11 @@ def test_wire_roundtrip_hostile_content(spark, tmp_path):
         assert r["warc_ts"] == ts, u  # micro-exact through warc_ts_us
         assert r["lang"] == lang and r["_ab_cdc_lsn"] == lsn
         assert (r["_ab_cdc_deleted_at"] is not None) == (deleted is not None)
+
+
+def test_capture_position_on_missing_or_empty_tail(spark, tmp_path):
+    """An absent or empty tail dir yields position None (the handler's
+    empty-log case), not an AnalysisException."""
+    assert capture_target_position(spark, str(tmp_path / "nope")) is None
+    (tmp_path / "empty").mkdir()
+    assert capture_target_position(spark, str(tmp_path / "empty")) is None
