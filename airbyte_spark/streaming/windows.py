@@ -76,3 +76,43 @@ def windowed_event_metrics(
             "max_lsn",
         )
     )
+
+
+def streaming_session_stats(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Gap sessionization as a STREAMING aggregate: Spark's built-in
+    `session_window` (dynamic-gap merge inside the state store) keyed on
+    `key`, closed and emitted once the watermark passes session_end + gap
+    — the streaming sibling of operators/temporal.session_stats, which is
+    the batch oracle for it (same key/ts/gap → same (start, end, count)
+    rollups for every session the watermark has closed).
+
+    Spark-first on purpose: no custom applyInPandasWithState loop — the
+    built-in operator gives merge-on-overlap semantics, bounded state
+    (watermark GC), and append-mode emission for free. State per open
+    session is O(aggregates), not O(events), so 10^9 concurrent sessions
+    are executor-memory-shaped. Late rows inside the watermark merge into
+    (or bridge) their session; later ones are dropped, bounded — the
+    exact late-data contract windowed_event_metrics documents."""
+    if df.isStreaming:
+        if isinstance(df.schema[ts].dataType, TimestampNTZType):
+            df = df.withColumn(ts, F.col(ts).cast(TimestampType()))
+        df = df.withWatermark(ts, watermark_delay)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts), f"{gap_seconds} seconds").alias("sw"),
+            F.col(key),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -96,3 +96,77 @@ def test_tx_assembler_streaming_atomicity(spark, changelog_dir, tmp_path_factory
         assert len(epochs) == 1, f"tx {tx} torn across epochs {epochs}"
         # a tx must not appear before the file containing its LAST event
         assert min(epochs) >= max(tx_lsns) // 200, tx
+
+
+def test_streaming_session_window_matches_batch_and_withholds_open(
+    spark, sf_dir, tmp_path_factory
+):
+    """streaming_session_stats (built-in session_window + watermark) in
+    append mode: sessions the advancing watermark has closed are emitted
+    exactly once and match the batch sessionizer's rollups (end differs by
+    exactly the gap, by definition of session_window); sessions still open
+    against the final watermark are withheld."""
+    import datetime as dt
+
+    from airbyte_spark.operators.temporal import session_stats
+    from airbyte_spark.streaming.windows import streaming_session_stats
+
+    gap = 1800
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(uid, minute, eid):
+        return (eid, base + dt.timedelta(minutes=minute), uid)
+
+    # user 1: two sessions (gap > 30 min between them); user 2: one session
+    # far in the past (closes) and one at the stream head (stays open)
+    early = [
+        ev(1, 0, 0), ev(1, 10, 1), ev(1, 20, 2),   # session A
+        ev(1, 100, 3), ev(1, 115, 4),              # session B
+        ev(2, 5, 5), ev(2, 25, 6),                 # session C
+    ]
+    late = [ev(2, 3000, 7), ev(2, 3010, 8)]        # session D: at the head
+    d = str(tmp_path_factory.mktemp("sess") / "in")
+    schema = "event_id long, ts timestamp_ntz, user_id long"
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = streaming_session_stats(stream, "user_id", "ts", gap,
+                                  watermark_delay="1 minute")
+    rows = []
+
+    def capture(df, epoch_id):
+        rows.extend(df.collect())
+
+    ckpt = str(tmp_path_factory.mktemp("sess") / "ckpt")
+    q = (
+        out.writeStream.outputMode("append").foreachBatch(capture)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in rows
+    )
+    # batch oracle over the CLOSED sessions (watermark at head - 1 min
+    # closes A, B, C; D is open: last event + gap > watermark)
+    batch = session_stats(
+        spark.createDataFrame(early, schema), "user_id", "ts", gap,
+        order_tiebreak="event_id",
+    ).collect()
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch
+    )
+    assert got == want and len(got) == 3, (got, want)
+    # and every emitted end = its batch session_end + gap (session_window
+    # semantics), so the two definitions reconcile exactly
+    ends = {(r["user_id"], r["session_start"]): r["session_end"] for r in rows}
+    for r in batch:
+        k = (r["user_id"], r["session_start"])
+        assert ends[k] == r["session_end"] + dt.timedelta(seconds=gap), k
