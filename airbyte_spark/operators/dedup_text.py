@@ -223,9 +223,12 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    # per-doc size tables grow with the corpus (one row per doc) — left
+    # un-hinted so AQE broadcasts them only while they measure small, the
+    # same policy as every other data-dependent side in this package
     return (
-        common.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
         .withColumn(
             "jaccard",
             F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")),
