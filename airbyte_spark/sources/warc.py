@@ -513,9 +513,12 @@ def read_warc_indexed(
     """
     idx = spark.read.parquet(f"{segment_dir}/*.cdx.parquet")
     if urls is not None:
+        # caller-supplied lookup set: un-hinted so AQE broadcasts it only
+        # while it measures small (a "point lookup" of a billion urls
+        # must degrade to a shuffle join, not a driver OOM)
         ucol = urls.columns[0]
         idx = idx.join(
-            F.broadcast(urls.select(F.col(ucol).alias("url")).distinct()),
+            urls.select(F.col(ucol).alias("url")).distinct(),
             on="url",
             how="left_semi",
         )
@@ -632,8 +635,10 @@ def stream_warc_ingest(
         rev = F.col("is_revisit") & F.col("html").isNull()
         rev_urls = pages.filter(rev).select("url").distinct()
         stored = (
+            # batch-bounded (revisit urls of ONE micro-batch) but still
+            # data-dependent — un-hinted, AQE decides from measured size
             table.read()
-            .join(F.broadcast(rev_urls), "url", "left_semi")
+            .join(rev_urls, "url", "left_semi")
             .select(payload_digest_expr(F.col("html")).alias("payload_digest"), "html")
         )
         bodies = pages.select("payload_digest", "html").unionByName(stored)
