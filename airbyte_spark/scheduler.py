@@ -36,6 +36,9 @@ def _append_attempt(log_path: str, row: dict) -> None:
     os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
     with open(log_path, "a") as fh:
         fh.write(json.dumps(row) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())  # a crash right after a sync must not lose
+        # or tear the attempt row the next scheduler run reasons from
 
 
 def _records_of(results: list[dict]) -> int:
