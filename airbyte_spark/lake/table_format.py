@@ -136,5 +136,8 @@ class TableFormatFactory(Protocol):
 
 # Default binding: the from-scratch JSON-manifest lake. A deployment with
 # Iceberg jars replaces this (or passes its adapter class to
-# CdcPipeline.create_target / load) — nothing else changes.
+# CdcPipeline.create_target / load) — nothing else changes. The claim is
+# proven by a second, independently-implemented binding:
+# lake/delta_log.py (Delta-style action log) runs the unchanged
+# merge/pipeline to the identical final state (tests/test_delta_log.py).
 DEFAULT_FORMAT: "type[LakeTable]" = LakeTable
