@@ -84,6 +84,25 @@ def q_cdc_mor_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
 
 
+def q_sync_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format seam, driver-gated: the full changelog replay through
+    the SECOND TableFormat binding (lake/delta_log.py — Delta-style
+    action-log metadata, nothing shared with the default JSON-manifest
+    lake beyond the seam's interchange records) must reach the exact
+    final state the oracle derives — the unchanged merge/pipeline code
+    over a different table format (tests/test_delta_log.py holds the
+    restart/evolution/maintenance legs)."""
+    from airbyte_spark.lake.delta_log import DeltaLogTable
+    from airbyte_spark.streaming.pipeline import CdcPipeline
+
+    path = tempfile.mkdtemp(prefix="airbyte_spark_dlog_") + "/pages"
+    pipe = CdcPipeline.create_target(
+        spark, path, n_buckets=8, table_format=DeltaLogTable
+    )
+    pipe.replay(read_changelog(spark, sf_dir))
+    return pipe.final_state().select("url", "warc_ts", "text", "lang", "_ab_cdc_lsn")
+
+
 def q_src_debezium_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External CDC tail e2e (sources/debezium_tail.py ≡
     AirbyteDebeziumHandler.java:45-112 bounded-drain semantics): the
@@ -2890,12 +2909,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cdc_schema_normalize, src_airbyte_messages) — after this round,
             rotation debt is zero: every registered query has been
             driver-checked;
-      9-12  the four round-4 additions (doc_bpe_merges, img_phash_dedup,
-            audio_mel_features, src_debezium_tail);
-      13-14 the two whose implementation changed since their last green
+      9-13  the five round-4 additions (doc_bpe_merges, img_phash_dedup,
+            audio_mel_features, src_debezium_tail, sync_delta_log_replay —
+            the table-format seam proof);
+      14-15 the two whose implementation changed since their last green
             row (doc_bpe_tokens: gained a value oracle + shared params;
             cdc_matview_incremental: row_changes broadcast gating).
-    Fourteen stable green-r3 lines (doc_train_split … sync_sql_over_lake)
+    Fifteen stable green-r3 lines (web_sitemap_frontier, doc_train_split …
+    sync_sql_over_lake)
     moved below the window to make room; everything past position 50 holds
     a green driver row from r1-r3 and stays covered by
     scripts/check_oracle.py + pytest.
@@ -2922,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_phash_dedup": q_img_phash_dedup,
         "audio_mel_features": q_audio_mel_features,
         "src_debezium_tail": q_src_debezium_tail,
+        "sync_delta_log_replay": q_sync_delta_log_replay,  # added r4 (seam proof)
         # implementation changed since last green row
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "cdc_matview_incremental": q_cdc_matview_incremental,
@@ -2957,7 +2979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_text": q_web_anchor_text,
         "web_recrawl_schedule": q_web_recrawl_schedule,
         "web_fetch_budget": q_web_fetch_budget,
-        "web_sitemap_frontier": q_web_sitemap_frontier,
         # (round-3 additions)
         "cdc_unnest_nested": q_cdc_unnest_nested,
         "cdc_mor_resolve_read": q_cdc_mor_resolve_read,
@@ -3019,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         # moved below the window in r4 to make room (green r3, unchanged)
+        "web_sitemap_frontier": q_web_sitemap_frontier,
         "doc_train_split": q_doc_train_split,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_decontaminate": q_doc_decontaminate,
@@ -3412,6 +3434,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mor_replay_final_state": final_state,
         "cdc_mor_resolve_read": final_state,
         "src_debezium_tail": final_state,
+        "sync_delta_log_replay": final_state,
         "src_airbyte_messages": """
             SELECT event_id, event_type, value FROM events
         """,

@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as E
 
-EXPECTED_QUERIES = 119
+EXPECTED_QUERIES = 120
 
 
 def test_counts_agree_and_every_query_has_a_value_oracle():
@@ -47,7 +47,8 @@ def test_driver_window_holds_the_round4_rotation():
         "cdc_url_canonical", "doc_chunk_dedup", "doc_chunk_trim",
         "cdc_schema_normalize", "src_airbyte_messages",
         "doc_bpe_merges", "img_phash_dedup", "audio_mel_features",
-        "src_debezium_tail", "doc_bpe_tokens", "cdc_matview_incremental",
+        "src_debezium_tail", "sync_delta_log_replay", "doc_bpe_tokens",
+        "cdc_matview_incremental",
     ]
     missing = [n for n in rotation if n not in window]
     assert not missing, missing
