@@ -115,11 +115,18 @@ def sync_stream(
 
     if dmode == DestinationSyncMode.APPEND:
         pipe = _pipeline_for(spark, s, table)
+        # manifest row totals before/after (parquet-footer metadata, no
+        # data read) give the appended count — 0 on an already-committed
+        # checkpoint replay, so attempt records stay truthful
+        before = sum(f.rows for f in pipe.table.files())
         v = pipe.table.append(
             _align_append(df, pipe.table),
             checkpoint_key=f"append-{state.get('from_checkpoint', 0)}",
         )
-        return {"stream": s.cfg.name, "mode": "append", "version": v}
+        rows = sum(f.rows for f in pipe.table.files()) - before
+        return {
+            "stream": s.cfg.name, "mode": "append", "version": v, "rows": rows,
+        }
 
     # incremental + append_dedup: checkpointed CDC replay
     pipe = _pipeline_for(spark, s, table)

@@ -144,11 +144,18 @@ def stage_raw_shards(
     df: DataFrame, stage_dir: str, n_shards: int = 16
 ) -> list[str]:
     """The distributed half: serialize records to the raw-table triplet
-    (deterministic md5 ab_id over the full row json — replay-stable, like
-    every id in this engine) and write csv shards. One narrow map + one
-    round-robin shuffle to bound file count; this is the only data-sized
-    cost of a warehouse sync and it scales with executors, not the
-    warehouse."""
+    (deterministic md5 ab_id over the full row json, salted with the
+    row's occurrence number among identical rows — replay-stable, like
+    every id in this engine, yet unique when a legal sync carries
+    duplicate records, so the PK'd tmp table loads them instead of
+    failing; the reference gets the same property from random UUIDs at
+    the cost of replayability) and write csv shards. One narrow map, one
+    shuffle keyed on the content hash for the occurrence numbering, and
+    one round-robin shuffle to bound file count; this is the only
+    data-sized cost of a warehouse sync and it scales with executors,
+    not the warehouse."""
+    from pyspark.sql.window import Window
+
     # micro-precision temporal serialization: the typed-normalization
     # round trip must not truncate the engine's TimestampNTZ cursors to
     # Spark's millisecond JSON default
@@ -156,9 +163,17 @@ def stage_raw_shards(
         "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
         "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     }
+    js = F.to_json(F.struct(*df.columns), _json_opts)
+    occ = F.row_number().over(
+        Window.partitionBy(F.md5(js)).orderBy(F.lit(1))
+    )
     raw = df.select(
-        F.md5(F.to_json(F.struct(*df.columns), _json_opts)).alias(AB_ID),
-        F.to_json(F.struct(*df.columns), _json_opts).alias(AB_DATA),
+        js.alias(AB_DATA), occ.alias("_occ")
+    ).select(
+        F.md5(
+            F.concat(F.col(AB_DATA), F.lit("#"), F.col("_occ"))
+        ).alias(AB_ID),
+        AB_DATA,
         F.date_format(
             F.current_timestamp(), "yyyy-MM-dd HH:mm:ss.SSSXXX"
         ).alias(AB_EMITTED),

@@ -363,21 +363,39 @@ class DeltaLogTable:
 
     def vacuum(self, retain_last: int = 1, grace_s: float = 0.0) -> int:
         """Remove data files referenced by NO retained log version (orphans
-        from failed stages or expired history)."""
+        from failed stages or expired history).
+
+        `grace_s` skips unreferenced files younger than this many seconds
+        (same contract as LakeTable.vacuum): a writer stages data files
+        BEFORE its O_EXCL log publish, so a vacuum racing an in-flight
+        commit would otherwise delete the winner's staged files and
+        corrupt the new snapshot. Any scheduled vacuum that can overlap a
+        writer must set grace_s above the longest commit duration; the 0
+        default is for quiesced/maintenance contexts."""
+        import time as _time
+
         vs = self._versions()
         keep_versions = vs[-max(1, retain_last):]
         referenced: set[str] = set()
         for v in keep_versions:
             referenced |= set(self._state(v)["files"].keys())
+        now = _time.time()
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_root):
             for name in names:
                 abs_path = os.path.join(root, name)
                 rel = os.path.relpath(abs_path, self.path)
-                if rel not in referenced:
-                    os.remove(abs_path)
-                    removed += 1
+                if rel in referenced:
+                    continue
+                if grace_s:
+                    try:
+                        if now - os.path.getmtime(abs_path) < grace_s:
+                            continue
+                    except OSError:
+                        continue  # concurrently published/removed: leave it
+                os.remove(abs_path)
+                removed += 1
         return removed
 
     def expire_snapshots(self, retain_last: int = 10) -> int:

@@ -42,12 +42,7 @@ def _append_attempt(log_path: str, row: dict) -> None:
 
 
 def _records_of(results: list[dict]) -> int:
-    n = 0
-    for r in results:
-        n += int(r.get("rows") or 0)
-        for b in r.get("batches") or []:
-            n += int(b.get("rows_in") or 0)
-    return n
+    return sum(int(r.get("rows") or 0) for r in results)
 
 
 def run_sync_with_retries(
@@ -143,12 +138,16 @@ def run_sync_loop(
     bounded instead of infinite so CLI/test invocations terminate); each
     job gets its own id and retry budget. Incremental streams naturally
     pick up from their last committed checkpoint, so an idle tick is a
-    cheap no-op sync."""
+    cheap no-op sync. Job ids carry a per-invocation clock prefix so two
+    loops appending to the same attempts log never collide under
+    'job-0'."""
+    clock = kw.get("clock", time.time)
+    prefix = f"job-{int(clock() * 1000)}"
     out = []
     for i in range(runs):
         out.append(
             run_sync_with_retries(
-                spark, catalog, attempts_log, job_id=f"job-{i}", **kw
+                spark, catalog, attempts_log, job_id=f"{prefix}-{i}", **kw
             )
         )
         if interval_s and i + 1 < runs:

@@ -98,11 +98,22 @@ def streaming_session_stats(
     session is O(aggregates), not O(events), so 10^9 concurrent sessions
     are executor-memory-shaped. Late rows inside the watermark merge into
     (or bridge) their session; later ones are dropped, bounded — the
-    exact late-data contract windowed_event_metrics documents."""
+    exact late-data contract windowed_event_metrics documents.
+
+    Streaming watermarks require TimestampType, so an NTZ event-time
+    column is cast in — and the emitted session bounds are cast BACK to
+    timestamp_ntz. The round trip runs in the one session timezone, so
+    batch (NTZ end-to-end) and streaming agree in ANY session timezone,
+    not just UTC; the sole caveat is wall-clock values that a DST gap
+    makes nonexistent in the session zone, which no NTZ cursor in this
+    engine produces."""
+    was_ntz = False
     if df.isStreaming:
         if isinstance(df.schema[ts].dataType, TimestampNTZType):
+            was_ntz = True
             df = df.withColumn(ts, F.col(ts).cast(TimestampType()))
         df = df.withWatermark(ts, watermark_delay)
+    bound_t = TimestampNTZType() if was_ntz else None
     return (
         df.groupBy(
             F.session_window(F.col(ts), f"{gap_seconds} seconds").alias("sw"),
@@ -111,8 +122,14 @@ def streaming_session_stats(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             key,
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
+            (
+                F.col("sw.start").cast(bound_t) if bound_t
+                else F.col("sw.start")
+            ).alias("session_start"),
+            (
+                F.col("sw.end").cast(bound_t) if bound_t
+                else F.col("sw.end")
+            ).alias("session_end"),
             "n_events",
         )
     )

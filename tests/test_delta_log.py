@@ -99,6 +99,42 @@ def test_compact_vacuum_expire_preserve_state(spark, sf_dir, tmp_path):
     assert t.committed(), "checkpoint keys must survive log compaction"
 
 
+def test_vacuum_grace_spares_inflight_staged_files(spark, sf_dir, tmp_path):
+    """grace_s must be honored (same contract as LakeTable.vacuum): a
+    writer stages data files BEFORE its O_EXCL log publish, so a vacuum
+    overlapping that window sees them as orphans. With a grace above the
+    stage→publish latency the young files survive and the racing commit
+    lands intact; with grace 0 (quiesced maintenance) they are removed."""
+    import os
+
+    ch = read_changelog(spark, sf_dir, batch_span=1_000)
+    pipe = CdcPipeline.create_target(
+        spark, str(tmp_path / "dl"), n_buckets=4, table_format=DeltaLogTable
+    )
+    pipe.apply_batch(ch.filter(F.col("checkpoint_id") == 0), "ck-0")
+    t = pipe.table
+    # simulate an in-flight commit: staged but not yet published (table-
+    # shaped rows, as a real writer stages)
+    read_v = t.current_version()
+    staged = t._stage_write(t.read().limit(50), [], one_file_per_partition=True)
+    staged_abs = [os.path.join(t.path, e.path) for e in staged]
+    assert all(os.path.exists(p) for p in staged_abs)
+    assert t.vacuum(retain_last=1, grace_s=3600.0) == 0
+    assert all(os.path.exists(p) for p in staged_abs), "young staged files"
+    # the in-flight commit now publishes cleanly — snapshot not corrupted
+    t.commit(staged, operation="append", read_version=read_v)
+    n_after = t.read().count()
+    assert n_after > 0
+    # age the files past the grace and a maintenance vacuum on a NEWLY
+    # staged (still orphan) file removes it
+    orphan = t._stage_write(t.read().limit(10), [], one_file_per_partition=True)
+    for e in orphan:
+        ap = os.path.join(t.path, e.path)
+        os.utime(ap, (1, 1))
+    assert t.vacuum(retain_last=1, grace_s=3600.0) >= len(orphan)
+    assert t.read().count() == n_after
+
+
 def test_mor_sidecars_explicitly_out_of_scope(spark, tmp_path):
     t = DeltaLogTable.create(
         spark, str(tmp_path / "t"),

@@ -64,6 +64,31 @@ def test_script_executes_on_duckdb_and_loads_exactly(spark, sf_dir, tmp_path):
     assert con.sql('SELECT count(*) FROM "public"."_airbyte_raw_events"').fetchone()[0] == 300
 
 
+def test_duplicate_rows_load_with_distinct_ab_ids(spark, sf_dir, tmp_path):
+    """A legal sync may carry identical records (the reference loads them
+    under random UUID ab_ids). The occurrence-salted content hash must
+    give each copy a distinct ab_id so the PK'd tmp table accepts the
+    batch — executed on DuckDB, not just asserted on the ids."""
+    one = _events(spark, sf_dir, n=100)
+    src = one.union(one).union(one.limit(20))  # 100 + 100 dups + 20 more
+    path = write_warehouse_sync(
+        src, str(tmp_path / "wh"), "public", "events", dialect="postgres",
+        n_shards=2,
+    )
+    con = duckdb.connect()
+    con.execute(open(path).read().replace(" JSONB", " JSON"))
+    n, n_ids = con.sql(
+        'SELECT count(*), count(DISTINCT _airbyte_ab_id) '
+        'FROM "public"."_airbyte_raw_events"'
+    ).fetchone()
+    assert n == 220 and n_ids == 220
+    # still replay-stable: re-running the script double-loads nothing
+    con.execute(open(path).read().replace(" JSONB", " JSON"))
+    assert con.sql(
+        'SELECT count(*) FROM "public"."_airbyte_raw_events"'
+    ).fetchone()[0] == 220
+
+
 def test_staged_ab_ids_are_deterministic(spark, sf_dir, tmp_path):
     src = _events(spark, sf_dir, n=50)
     f1 = stage_raw_shards(src, str(tmp_path / "s1"), n_shards=2)

@@ -108,8 +108,15 @@ def test_sync_loop_runs_n_jobs_and_second_is_incremental_noop(
     log = str(tmp_path / "attempts.jsonl")
     jobs = run_sync_loop(spark, cat, log, runs=2)
     assert [j["status"] for j in jobs] == ["succeeded", "succeeded"]
-    assert {j["job_id"] for j in jobs} == {"job-0", "job-1"}
-    # all checkpoints committed by job-0 → job-1 applies zero records
+    # per-invocation clock prefix + loop index: unique ids, shared prefix
+    ids = [j["job_id"] for j in jobs]
+    assert len(set(ids)) == 2
+    assert ids[0].endswith("-0") and ids[1].endswith("-1")
+    assert ids[0].rsplit("-", 1)[0] == ids[1].rsplit("-", 1)[0]
+    # all checkpoints committed by the first job → the second applies zero
     assert jobs[0]["records"] > 0 and jobs[1]["records"] == 0
     a = attempts_df(spark, log).orderBy("started_at").collect()
-    assert [r["job_id"] for r in a] == ["job-0", "job-1"]
+    assert [r["job_id"] for r in a] == ids
+    # a SECOND loop invocation over the same log must not collide ids
+    jobs2 = run_sync_loop(spark, cat, log, runs=1)
+    assert jobs2[0]["job_id"] not in ids

@@ -105,7 +105,11 @@ def test_streaming_session_window_matches_batch_and_withholds_open(
     append mode: sessions the advancing watermark has closed are emitted
     exactly once and match the batch sessionizer's rollups (end differs by
     exactly the gap, by definition of session_window); sessions still open
-    against the final watermark are withheld."""
+    against the final watermark are withheld.
+
+    Runs under a NON-UTC session timezone: the NTZ→timestamp watermark
+    cast plus the NTZ cast-back on the emitted bounds must round-trip, so
+    streaming equals the batch NTZ oracle in any session zone."""
     import datetime as dt
 
     from airbyte_spark.operators.temporal import session_stats
@@ -113,6 +117,8 @@ def test_streaming_session_window_matches_batch_and_withholds_open(
 
     gap = 1800
     base = dt.datetime(2024, 1, 1)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
 
     def ev(uid, minute, eid):
         return (eid, base + dt.timedelta(minutes=minute), uid)
@@ -143,14 +149,19 @@ def test_streaming_session_window_matches_batch_and_withholds_open(
         rows.extend(df.collect())
 
     ckpt = str(tmp_path_factory.mktemp("sess") / "ckpt")
-    q = (
-        out.writeStream.outputMode("append").foreachBatch(capture)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.outputMode("append").foreachBatch(capture)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
+    # emitted bounds are timestamp_ntz, matching the batch oracle schema
+    assert out.schema["session_start"].dataType.typeName() == "timestamp_ntz"
     got = sorted(
         (r["user_id"], r["session_start"], r["n_events"]) for r in rows
     )
