@@ -300,29 +300,64 @@ def _ingest_sig_banded(
     checkpoint_key: str,
     id_col: str,
     max_hamming: int,
+    probe_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Shared admission core for signature-banded registries (SRP
     embedding sketches, image pHashes): intra-batch cluster via band
     collisions verified by popcount ≤ max_hamming, reject whole clusters
     colliding with a registered signature, admit canonicals, register
     every surviving member's (band, key, sig) under the canonical id.
-    `keys` must carry (vec_id, band, key, sig)."""
+    `keys` must carry (vec_id, band, key, sig).
+
+    `probe_keys` (optional) is a SUPERSET of `keys` used on the probing
+    side only — e.g. a per-band hamming-ball expansion. Only the exact
+    `keys` are ever registered, so the registry stays |bands| rows per
+    member while probes tolerate per-band error; the candidate joins are
+    exact-key equi-joins either way, and the popcount verify keeps
+    precision exact."""
     from airbyte_spark.operators.dedup_text import (
         band_collision_pairs,
         near_dup_clusters,
     )
 
-    pairs = (
-        band_collision_pairs(keys, id_col="vec_id", carry=("sig",))
-        .filter(F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= max_hamming)
-        .select("a_id", "b_id")
-        .distinct()
-    )
+    if probe_keys is None:
+        pairs = (
+            band_collision_pairs(keys, id_col="vec_id", carry=("sig",))
+            .filter(
+                F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= max_hamming
+            )
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        probe_keys = keys
+    else:
+        # probe-side ball vs exact keys: a qualifying pair's clean band
+        # collides in BOTH directions (ball ⊇ exact), so the a<b
+        # direction alone finds every pair once
+        pairs = (
+            probe_keys.select(
+                F.col("vec_id").alias("a_id"), F.col("sig").alias("a_sig"),
+                "band", "key",
+            )
+            .join(
+                keys.select(
+                    F.col("vec_id").alias("b_id"), F.col("sig").alias("b_sig"),
+                    "band", "key",
+                ),
+                ["band", "key"],
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(
+                F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= max_hamming
+            )
+            .select("a_id", "b_id")
+            .distinct()
+        )
     ident = keys.select(F.col("vec_id").alias("doc_id")).distinct()
     clusters = near_dup_clusters(ident, id_col="doc_id", pairs=pairs)
     reg = registry.read().select("band", "key", F.col("sig").alias("reg_sig"))
     hit_docs = (
-        keys.join(reg, ["band", "key"])
+        probe_keys.join(reg, ["band", "key"])
         .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("reg_sig"))) <= max_hamming)
         .select(F.col("vec_id").alias("doc_id"))
         .distinct()
@@ -362,27 +397,77 @@ def create_image_registry(spark: SparkSession, path: str, n_buckets: int = 16) -
     return _open_or_create(spark, path, EMB_REGISTRY_SCHEMA, "key", n_buckets)
 
 
+def _phash_band_keys(
+    fps: DataFrame, bands: int, ball_radius: int = 0
+) -> DataFrame:
+    """(vec_id, sig, band, key) rows slicing a 64-bit signature into
+    `bands` disjoint (64/bands)-bit keys. `ball_radius=1` additionally
+    emits every single-bit flip of each key (the per-band hamming-1 ball,
+    1 + width keys per band) — the PROBE side of the asymmetric banding
+    scheme; the registered side always uses radius 0."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    deltas = [0] + ([1 << i for i in range(width)] if ball_radius else [])
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .bitwiseXOR(F.lit(d))
+                .alias("key"),
+            )
+            for b in range(bands)
+            for d in deltas
+        ]
+    )
+    return fps.select("vec_id", "sig", F.explode(slices).alias("bk")).select(
+        "vec_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def ingest_image_dedup(
     registry: LakeTable,
     batch: DataFrame,
     checkpoint_key: str,
     max_hamming: int = 7,
-    bands: int = 8,
+    bands: int = 4,
     id_col: str = "doc_id",
     data_col: str = "data",
 ) -> DataFrame:
     """Incremental IMAGE near-dup admission — the multimodal leg of the
     dedup-at-ingest family: each batch's images are pHashed once (one
     Arrow-batched decode pass over the real raster path), banded into
-    8-bit slices (recall 1.0 for hamming ≤ bands-1 by pigeonhole, same
-    guarantee as the text SimHash pairs), clustered intra-batch, and any
-    cluster colliding within max_hamming of a REGISTERED hash is rejected
-    whole. Cost ∝ batch (plus one band-keyed registry join) — never a
+    wide 16-bit slices, clustered intra-batch, and any cluster colliding
+    within max_hamming of a REGISTERED hash is rejected whole.
+
+    Banding is ASYMMETRIC: the registry stores only the 4 exact 16-bit
+    band keys per admitted member, while probes expand each of their band
+    keys into its hamming-1 ball (1 + 16 keys per band, 68 total). By
+    pigeonhole, hamming ≤ 2·bands−1 = 7 total leaves some band with ≤1
+    flipped bit, so the ball probe hits that band's registered exact key —
+    recall 1.0 at max_hamming=7, identical to the former 8×8-bit scheme.
+    What changes is the keyspace: 2^16 per band instead of 2^8, so
+    expected candidates per probe are |registry|·68/(bands·2^16) ≈
+    |registry|/3855 rather than |registry|/32 — the registry must reach
+    ~quarter-billion images before a probe averages even ONE candidate
+    row per ball key, and the popcount verify stays exact either way.
+    (Both sides ball-expanded would cut probe keys to 4 but square the
+    per-band tolerance the OTHER way — registering the ball instead
+    would 17× the registry. Probe-side-only is the right asymmetry for a
+    write-once read-many registry.)
+
+    Cost ∝ batch (plus the band-keyed registry join above) — never a
     rescan of admitted images. Rows whose bytes don't decode carry no
     fingerprint and are dropped from admission (route them to the
     codec-equipped path in deployment)."""
     from airbyte_spark.functions.extract import image_phash_udf
 
+    if max_hamming > 2 * bands - 1:
+        raise ValueError(
+            f"recall guarantee needs max_hamming <= 2*bands-1 "
+            f"({max_hamming} > {2 * bands - 1})"
+        )
     if checkpoint_key in registry.committed():
         return batch.join(
             _ids_admitted_under(registry, checkpoint_key, id_col), id_col, "left_semi"
@@ -393,26 +478,14 @@ def ingest_image_dedup(
             image_phash_udf(F.col(data_col)).alias("sig"),
         )
         .filter(F.col("sig").isNotNull())
-    )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("sig"), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    keys = (
-        fps.select("vec_id", "sig", F.explode(slices).alias("bk"))
-        .select("vec_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         .localCheckpoint(eager=True)
     )
-    return _ingest_sig_banded(registry, batch, keys, checkpoint_key, id_col, max_hamming)
+    keys = _phash_band_keys(fps, bands)
+    probe = _phash_band_keys(fps, bands, ball_radius=1)
+    return _ingest_sig_banded(
+        registry, batch, keys, checkpoint_key, id_col, max_hamming,
+        probe_keys=probe,
+    )
 
 
 def stream_ingest_dedup(

@@ -447,3 +447,66 @@ def test_image_registry_cross_batch_rejection(spark, tmp_path):
     v = reg.current_version()
     again = sorted(r["doc_id"] for r in ingest_image_dedup(reg, b2, "i2").collect())
     assert again == got2 and reg.current_version() == v
+
+
+def test_image_probe_fanout_stays_o_batch_vs_grown_registry(spark, tmp_path):
+    """The 100×-scale contract of the asymmetric 16-bit banding: probe
+    candidate rows stay O(batch) against a registry 100× the batch size.
+    With 4×16-bit band keys + probe-side hamming-1 balls, a probe image
+    expects |registry|·68/(4·2^16) candidates ≈ 0.05·|reg_images|/1000 —
+    the old 8×8-bit keys gave |reg_images|/32 per probe (156 here), which
+    is what made admission cost creep toward O(registry). Registry sigs
+    are synthetic uniform hashes (the adversarial-free average case the
+    bound is about); recall at exactly max_hamming=7 is pinned too."""
+    import numpy as np
+
+    from airbyte_spark.operators.dedup_incremental import (
+        _phash_band_keys,
+        create_image_registry,
+    )
+
+    rng = np.random.default_rng(7)
+    n_reg, n_probe = 5_000, 50
+    reg_sigs = rng.integers(-(2**63), 2**63, size=n_reg, dtype=np.int64)
+    reg = create_image_registry(spark, str(tmp_path / "reg"), n_buckets=4)
+    reg_fps = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(reg_sigs)], "vec_id long, sig long"
+    )
+    reg.append(
+        _phash_band_keys(reg_fps, bands=4).select(
+            "band", "key", F.col("vec_id").alias("doc_id"), "sig",
+            F.lit("grown").alias("checkpoint_key"),
+        ),
+        checkpoint_key="grown",
+    )
+    probe_sigs = rng.integers(-(2**63), 2**63, size=n_probe, dtype=np.int64)
+    probe_fps = spark.createDataFrame(
+        [(int(1_000_000 + i), int(s)) for i, s in enumerate(probe_sigs)],
+        "vec_id long, sig long",
+    )
+    probe = _phash_band_keys(probe_fps, bands=4, ball_radius=1)
+    # probe emits exactly 4·(1+16) = 68 keys per image
+    assert probe.count() == n_probe * 68
+    candidates = probe.join(
+        reg.read().select("band", "key"), ["band", "key"]
+    ).count()
+    # expectation ≈ 50·68·5000/(4·65536) ≈ 65 rows TOTAL; bound with slack
+    # at 30/probe — the old 8-bit scheme averages 156/probe (7800 total)
+    assert candidates <= n_probe * 30, candidates
+    # recall pinned at the guarantee boundary: 7 flipped bits spread
+    # worst-case (2+2+2+1) still collides via the ≤1-error band's ball
+    base = int(reg_sigs[0])
+    flipped = base
+    for bit in (0, 1, 16, 17, 32, 33, 48):  # bands 0-2: 2 errors; band 3: 1
+        flipped ^= 1 << bit
+    assert bin((base ^ flipped) & ((1 << 64) - 1)).count("1") == 7
+    one = spark.createDataFrame([(1, flipped)], "vec_id long, sig long")
+    hits = (
+        _phash_band_keys(one, bands=4, ball_radius=1)
+        .join(reg.read().select("band", "key", F.col("sig").alias("r")), ["band", "key"])
+        .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("r"))) <= 7)
+        .select("r")
+        .distinct()
+        .collect()
+    )
+    assert base in {int(h["r"]) for h in hits}
