@@ -1601,6 +1601,96 @@ def q_src_http_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_http_stream(spark, cfg, events_rest_transport(sf_dir))
 
 
+def q_src_http_substream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child substream (≡ airbyte-cdk HttpSubStream, http.py:363-386:
+    read the parent stream, spawn one child read per parent record): the
+    parents here are a user_id slice, each fanning out to its
+    users/{parent}/events child endpoint — parents are the unit of
+    parallelism, pagination stays sequential per parent (token chains are
+    per-parent). Every child row is stamped with its parent key; the
+    result must equal the parent⋈child join DuckDB computes directly,
+    which is exactly what a substream IS relationally."""
+    from airbyte_spark.sources.http import (
+        HttpStreamConfig,
+        events_rest_transport,
+        read_http_substream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parents = ev.select("user_id").distinct().filter(F.col("user_id") % 5 == 2)
+    cfg = HttpStreamConfig(
+        name="user_events",
+        path="users/{parent}/events",
+        schema=ev.schema,
+        page_size=500,
+    )
+    return read_http_substream(
+        spark, parents, "user_id", cfg, events_rest_transport(sf_dir),
+        child_parent_col="parent_user_id",
+    )
+
+
+def q_src_sql_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-database source over a live DuckDB file (sources/sql.py ≡
+    AbstractJdbcSource.java:215-245 + AbstractDbSource.java:78-125):
+    discover from information_schema, partition-parallel reads with one
+    read-only connection per executor task, and the cursor predicate
+    COMPILED INTO the database query. Two-phase sync: phase 1 full-syncs
+    the table as initially loaded (event_id ≤ mid); new rows then land
+    in the database and phase 2 resumes with `cursor > ?` pushed down,
+    so only post-cursor rows ever leave the database. The tagged union
+    of both phases must equal DuckDB's direct read of the same rows."""
+    import duckdb
+
+    import airbyte_spark.sources.sql  # noqa: F401 — registers "sql"
+    from airbyte_spark.sources.registry import source_factory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    db = tempfile.mkdtemp(prefix="airbyte_spark_sqlsrc_") + "/src.duckdb"
+    con = duckdb.connect(db)
+    con.execute(
+        f"CREATE TABLE events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet') WHERE event_id <= {mid}"
+    )
+    con.close()
+    src = source_factory("sql")(
+        db,
+        "events",
+        column_map={
+            "url": "concat('https://e/', cast(event_id as string))",
+            "warc_ts": "ts",
+            "_ab_cdc_lsn": "event_id",
+        },
+        cursor_field="event_id",
+        lsn_field="event_id",
+        partition_column="event_id",
+        num_partitions=8,
+        batch_span=1_000,
+    )
+    cols = ["url", "warc_ts", F.col("_ab_cdc_lsn").alias("lsn")]
+    # materialize phase 1 BEFORE the database grows: the partitioned read
+    # is lazy (each task queries the db at execution time), and a sync's
+    # output is its read-time snapshot
+    p1 = (
+        src(spark, {}).select(*cols).withColumn("phase", F.lit("p1"))
+        .localCheckpoint(eager=True)
+    )
+    con = duckdb.connect(db)
+    con.execute(
+        f"INSERT INTO events SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet') WHERE event_id > {mid}"
+    )
+    con.close()
+    p2 = (
+        src(spark, {"cursor_value": int(mid)})
+        .select(*cols)
+        .withColumn("phase", F.lit("p2"))
+    )
+    return p1.unionByName(p2)
+
+
 def q_src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round-trip (ISO 28500, Common Crawl's page format):
     serialize documents as member-per-record gzip WARC shards with
@@ -2900,36 +2990,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
     Ordering matters: the driver's correctness gate samples the FIRST 50
-    entries in registry order per round.  Rounds 1-2 gated the CDC/sync
-    core; round 3 rotated the doc_/emb_/web_/src_ families in (all green,
-    CORRECTNESS_r03).  Round 4 rotates in, per the round-3 plan:
-      1-8   the eight queries that had never held a driver row
-            (doc_corpus_stats, doc_sample_mix, cdc_url_domains,
-            cdc_url_canonical, doc_chunk_dedup, doc_chunk_trim,
-            cdc_schema_normalize, src_airbyte_messages) — after this round,
-            rotation debt is zero: every registered query has been
-            driver-checked;
-      9-13  the five round-4 additions (doc_bpe_merges, img_phash_dedup,
-            audio_mel_features, src_debezium_tail, sync_delta_log_replay —
-            the table-format seam proof);
-      14-15 the two whose implementation changed since their last green
-            row (doc_bpe_tokens: gained a value oracle + shared params;
-            cdc_matview_incremental: row_changes broadcast gating).
-    Fifteen stable green-r3 lines (web_sitemap_frontier, doc_train_split …
-    sync_sql_over_lake)
-    moved below the window to make room; everything past position 50 holds
-    a green driver row from r1-r3 and stays covered by
-    scripts/check_oracle.py + pytest.
+    entries in registry order per round. Rounds 1-2 gated the CDC/sync
+    core; round 3 rotated the doc_/emb_/web_/src_ families in; round 4
+    cleared the last rotation debt (CORRECTNESS_r01-r04: all 120 then-
+    registered queries hold a green driver row; 50/50 in the r4 window).
 
-    Round-5 rotation rule (rotation debt is zero, so this is the steady
-    state): the window only needs (a) queries whose implementation changed
-    since their last green row and (b) any new queries; fill the rest with
-    whichever green lines have gone longest without a driver re-check.
-    Keep tests/test_registry_guard.py's window assertion in sync.
+    Round 5 runs the steady-state rotation rule for the first time:
+      1-2   the two round-5 additions (src_sql_incremental — the
+            DuckDB-backed SQL source, ≡ AbstractJdbcSource;
+            src_http_substream — parent-child fan-out);
+      3-4   the two whose implementation changed since their last green
+            row (img_phash_dedup: 16-bit band keys + probe-side
+            hamming-balls; src_debezium_tail: single-parse micro-batch);
+      5-11  the seven queries whose last green row is ROUND 1 — the
+            stalest lines in the registry (doc_exact_dedup … emb_ivf_topk);
+      12-50 thirty-nine of the forty-eight whose last green row is round
+            2 (the cdc_/sync_ core). The nine r2 lines deferred to the
+            next window each share their implementation path with a line
+            that IS in the window: cdc_dedup_salted (≡ cdc_dedup_batch's
+            operator), cdc_mor_replay_final_state (MoR leg re-checked r4
+            via cdc_mor_resolve_read), sync_multistream_atomic
+            (≡ sync_multistream + the WAP path sync_wap_branch covers),
+            sync_clustered_prune / sync_zorder_prune (≡ sync_pruned_read
+            stats pruning), sync_compact_roundtrip / sync_time_travel
+            (manifest maintenance ≡ sync_segmented_manifest +
+            sync_rollback), sync_respec_roundtrip (spec evolution ≡ the
+            add/rename-column lines), sync_catalog_txn (catalog two-phase
+            ≡ sync_wap_branch + sync_catalog_diff).
+    Everything past position 50 holds a green driver row from r3/r4 (or
+    is one of those nine r2 deferrals) and stays covered by
+    scripts/check_oracle.py + pytest. Next window: the nine deferrals,
+    then whatever is stalest. Keep tests/test_registry_guard.py's window
+    assertion in sync.
     """
     return {
         # --- driver window (positions 1-50) -------------------------------
-        # rotation debt (never driver-checked before this round)
+        # new this round
+        "src_sql_incremental": q_src_sql_incremental,
+        "src_http_substream": q_src_http_substream,
+        # implementation changed since last green row
+        "img_phash_dedup": q_img_phash_dedup,
+        "src_debezium_tail": q_src_debezium_tail,
+        # stalest: last green row r1
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_quality": q_doc_quality,
+        "doc_language_id": q_doc_language_id,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        # stalest: last green row r2 (39 of 48; deferrals documented above)
+        "cdc_final_state_window": q_cdc_final_state_window,
+        "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+        "cdc_tx_boundaries": q_cdc_tx_boundaries,
+        "cdc_partial_updates": q_cdc_partial_updates,
+        "cdc_audit_divergence": q_cdc_audit_divergence,
+        "cdc_dedup_batch": q_cdc_dedup_batch,
+        "cdc_extract_text": q_cdc_extract_text,
+        "cdc_scd_history": q_cdc_scd_history,
+        "cdc_incremental_cursor": q_cdc_incremental_cursor,
+        "cdc_checkpoint_metrics": q_cdc_checkpoint_metrics,
+        "cdc_stream_window_metrics": q_cdc_stream_window_metrics,
+        "cdc_composite_pk_final_state": q_cdc_composite_pk_final_state,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_type_widening": q_cdc_type_widening,
+        "cdc_unnest_children": q_cdc_unnest_children,
+        "cdc_timestamp_parse": q_cdc_timestamp_parse,
+        "cdc_debezium_parse": q_cdc_debezium_parse,
+        "cdc_json_validate": q_cdc_json_validate,
+        "cdc_asof_join": q_cdc_asof_join,
+        "evt_sessionize": q_evt_sessionize,
+        "sync_identifier_normalize": q_sync_identifier_normalize,
+        "sync_catalog_diff": q_sync_catalog_diff,
+        "sync_multistream": q_sync_multistream,
+        "sync_full_refresh_overwrite": q_sync_full_refresh_overwrite,
+        "sync_append_raw": q_sync_append_raw,
+        "sync_reset_empty": q_sync_reset_empty,
+        "sync_copy_into": q_sync_copy_into,
+        "sync_pruned_read": q_sync_pruned_read,
+        "sync_incremental_changes": q_sync_incremental_changes,
+        "sync_delete_where": q_sync_delete_where,
+        "sync_segmented_manifest": q_sync_segmented_manifest,
+        "sync_delete_equality": q_sync_delete_equality,
+        "sync_add_column_default": q_sync_add_column_default,
+        "sync_update_where": q_sync_update_where,
+        "sync_merge_into": q_sync_merge_into,
+        "sync_replace_where": q_sync_replace_where,
+        "sync_wap_branch": q_sync_wap_branch,
+        "sync_rollback": q_sync_rollback,
+        "sync_rename_column": q_sync_rename_column,
+        # --- past the window ----------------------------------------------
+        # the nine r2 deferrals (next window's head)
+        "cdc_dedup_salted": q_cdc_dedup_salted,
+        "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
+        "sync_multistream_atomic": q_sync_multistream_atomic,
+        "sync_clustered_prune": q_sync_clustered_prune,
+        "sync_zorder_prune": q_sync_zorder_prune,
+        "sync_compact_roundtrip": q_sync_compact_roundtrip,
+        "sync_time_travel": q_sync_time_travel,
+        "sync_respec_roundtrip": q_sync_respec_roundtrip,
+        "sync_catalog_txn": q_sync_catalog_txn,
+        # green r4 (the round-4 window), unchanged since
         "doc_corpus_stats": q_doc_corpus_stats,
         "doc_sample_mix": q_doc_sample_mix,
         "cdc_url_domains": q_cdc_url_domains,
@@ -2938,13 +3099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_trim": q_doc_chunk_trim,
         "cdc_schema_normalize": q_cdc_schema_normalize,
         "src_airbyte_messages": q_src_airbyte_messages,
-        # round-4 additions
         "doc_bpe_merges": q_doc_bpe_merges,
-        "img_phash_dedup": q_img_phash_dedup,
         "audio_mel_features": q_audio_mel_features,
-        "src_debezium_tail": q_src_debezium_tail,
-        "sync_delta_log_replay": q_sync_delta_log_replay,  # added r4 (seam proof)
-        # implementation changed since last green row
+        "sync_delta_log_replay": q_sync_delta_log_replay,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "cdc_matview_incremental": q_cdc_matview_incremental,
         "sync_constraint_gate": q_sync_constraint_gate,
@@ -2979,67 +3136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_text": q_web_anchor_text,
         "web_recrawl_schedule": q_web_recrawl_schedule,
         "web_fetch_budget": q_web_fetch_budget,
-        # (round-3 additions)
         "cdc_unnest_nested": q_cdc_unnest_nested,
         "cdc_mor_resolve_read": q_cdc_mor_resolve_read,
-        # --- past the window: green in CORRECTNESS_r01/r02, pytest-pinned
         "cdc_replay_final_state": q_cdc_replay_final_state,
-        "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
-        "cdc_final_state_window": q_cdc_final_state_window,
-        "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
-        "cdc_tx_boundaries": q_cdc_tx_boundaries,
-        "cdc_partial_updates": q_cdc_partial_updates,
-        "cdc_audit_divergence": q_cdc_audit_divergence,
-        "cdc_dedup_batch": q_cdc_dedup_batch,
-        "cdc_dedup_salted": q_cdc_dedup_salted,
-        "cdc_extract_text": q_cdc_extract_text,
-        "cdc_scd_history": q_cdc_scd_history,
-        "cdc_incremental_cursor": q_cdc_incremental_cursor,
-        "cdc_checkpoint_metrics": q_cdc_checkpoint_metrics,
-        "cdc_stream_window_metrics": q_cdc_stream_window_metrics,
-        "cdc_composite_pk_final_state": q_cdc_composite_pk_final_state,
-        "cdc_schema_evolution": q_cdc_schema_evolution,
-        "cdc_type_widening": q_cdc_type_widening,
-        "cdc_unnest_children": q_cdc_unnest_children,
-        "cdc_timestamp_parse": q_cdc_timestamp_parse,
-        "cdc_debezium_parse": q_cdc_debezium_parse,
-        "cdc_json_validate": q_cdc_json_validate,
-        "cdc_asof_join": q_cdc_asof_join,
-        "evt_sessionize": q_evt_sessionize,
-        "sync_identifier_normalize": q_sync_identifier_normalize,
-        "sync_catalog_diff": q_sync_catalog_diff,
-        "sync_multistream": q_sync_multistream,
-        "sync_multistream_atomic": q_sync_multistream_atomic,
-        "sync_full_refresh_overwrite": q_sync_full_refresh_overwrite,
-        "sync_append_raw": q_sync_append_raw,
-        "sync_reset_empty": q_sync_reset_empty,
-        "sync_copy_into": q_sync_copy_into,
-        "sync_compact_roundtrip": q_sync_compact_roundtrip,
-        "sync_time_travel": q_sync_time_travel,
-        "sync_pruned_read": q_sync_pruned_read,
-        "sync_clustered_prune": q_sync_clustered_prune,
-        "sync_zorder_prune": q_sync_zorder_prune,
-        "sync_incremental_changes": q_sync_incremental_changes,
-        "sync_respec_roundtrip": q_sync_respec_roundtrip,
-        "sync_delete_where": q_sync_delete_where,
-        "sync_segmented_manifest": q_sync_segmented_manifest,
-        "sync_delete_equality": q_sync_delete_equality,
-        "sync_add_column_default": q_sync_add_column_default,
-        "sync_update_where": q_sync_update_where,
-        "sync_merge_into": q_sync_merge_into,
-        "sync_replace_where": q_sync_replace_where,
-        "sync_wap_branch": q_sync_wap_branch,
-        "sync_catalog_txn": q_sync_catalog_txn,
-        "sync_rollback": q_sync_rollback,
-        "sync_rename_column": q_sync_rename_column,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_quality": q_doc_quality,
-        "doc_language_id": q_doc_language_id,
-        "doc_minhash_lsh": q_doc_minhash_lsh,
-        "doc_simhash": q_doc_simhash,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        # moved below the window in r4 to make room (green r3, unchanged)
+        # green r3, unchanged since
         "web_sitemap_frontier": q_web_sitemap_frontier,
         "doc_train_split": q_doc_train_split,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -3991,6 +4091,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "src_http_offset": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        "src_http_substream": """
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   user_id AS parent_user_id
+            FROM events WHERE user_id % 5 = 2
+        """,
+        "src_sql_incremental": """
+            WITH b AS (
+              SELECT (CAST(min(event_id) AS BIGINT)
+                      + CAST(max(event_id) AS BIGINT)) // 2 AS mid
+              FROM events
+            )
+            SELECT concat('https://e/', CAST(event_id AS VARCHAR)) AS url,
+                   ts AS warc_ts,
+                   event_id AS lsn,
+                   CASE WHEN event_id <= (SELECT mid FROM b)
+                        THEN 'p1' ELSE 'p2' END AS phase
+            FROM events
         """,
         "src_singer_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props FROM events

@@ -200,26 +200,35 @@ def run_debezium_tail(
     )
 
     def handle(df: DataFrame, epoch_id: int) -> None:
-        good, dead = split_dead_letters(
-            parse_debezium(df, payload_schema, emit_timestamps=True)
-        )
-        if dead.limit(1).count():
-            dead.write.mode("append").json(dead_dir)
-        if target_lsn is not None:
-            good = good.filter(F.col("_ab_cdc_lsn") <= target_lsn)
-        records = mapper(good)
-        cids = sorted(
-            r[0] for r in records.select("checkpoint_id").distinct().collect()
-        )
-        pending = [
-            c for c in cids if f"ckpt-{c}" not in pipeline.table.committed()
-        ]
-        if not pending:
-            return
-        pipeline.apply_batch(
-            records.filter(F.col("checkpoint_id").isin([int(c) for c in pending])),
-            checkpoint_key=[f"ckpt-{c}" for c in pending],
-        )
+        # parse ONCE per micro-batch and pin it: the dead-letter probe,
+        # the segment listing, and the merge all read the cached parse
+        # instead of re-running the text scan + from_json (at a 100 TB
+        # tail the parse is the hot loop's dominant cost — it must not
+        # run three times per batch)
+        parsed = parse_debezium(df, payload_schema, emit_timestamps=True).persist()
+        try:
+            good, dead = split_dead_letters(parsed)
+            if dead.limit(1).count():
+                dead.write.mode("append").json(dead_dir)
+            if target_lsn is not None:
+                good = good.filter(F.col("_ab_cdc_lsn") <= target_lsn)
+            records = mapper(good)
+            cids = sorted(
+                r[0] for r in records.select("checkpoint_id").distinct().collect()
+            )
+            pending = [
+                c for c in cids if f"ckpt-{c}" not in pipeline.table.committed()
+            ]
+            if not pending:
+                return
+            pipeline.apply_batch(
+                records.filter(
+                    F.col("checkpoint_id").isin([int(c) for c in pending])
+                ),
+                checkpoint_key=[f"ckpt-{c}" for c in pending],
+            )
+        finally:
+            parsed.unpersist()
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", spark_checkpoint_dir

@@ -99,6 +99,55 @@ def test_tail_redelivery_is_noop_and_dead_letters_split(spark, sf_dir, tmp_path,
     assert _final(pipe) == want
 
 
+def test_tail_parses_each_batch_exactly_once(
+    spark, sf_dir, tmp_path, tail, monkeypatch
+):
+    """The drain's hot loop must evaluate the envelope parse ONCE per
+    micro-batch: the dead-letter probe, the segment listing, and the
+    merge all read the pinned parse. Counted by routing every input line
+    through an accumulator-bumping pandas UDF injected ahead of the
+    parse — if any downstream action re-evaluated the text scan, the
+    count would land at 2-3× the line count."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    import airbyte_spark.sources.debezium_tail as dt
+
+    ch, d = tail
+    # dead letters present → the probe AND the dead write both run
+    spark.createDataFrame(
+        [("{not json",), ('{"op":null}',)], "value string"
+    ).write.mode("append").text(d)
+    n_lines = spark.read.text(d).count()
+    target = capture_target_position(spark, d)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump_fn(s):
+        acc.add(len(s))
+        return s
+
+    # module-level `from __future__ import annotations` stringifies
+    # hints, which pandas_udf can't resolve — attach real objects
+    bump_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    bump = pandas_udf(bump_fn, StringType())
+
+    orig = dt.parse_debezium
+
+    def counting_parse(df, payload_schema, **kw):
+        return orig(df.withColumn("value", bump(F.col("value"))), payload_schema, **kw)
+
+    monkeypatch.setattr(dt, "parse_debezium", counting_parse)
+    pipe = CdcPipeline.create_target(spark, str(tmp_path / "t") + "/pages", n_buckets=4)
+    run_debezium_tail(
+        pipe, d, str(tmp_path / "ck"), target_lsn=target,
+        max_files_per_trigger=10_000,  # one micro-batch
+    )
+    assert acc.value == n_lines, (acc.value, n_lines)
+    assert _final(pipe), "drain still lands records"
+
+
 def test_wire_roundtrip_hostile_content(spark, tmp_path):
     """The envelope wire must survive hostile page content byte-exactly:
     newlines/quotes/backslashes in html (JSONL escaping), unicode urls,

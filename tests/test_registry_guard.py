@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as E
 
-EXPECTED_QUERIES = 120
+EXPECTED_QUERIES = 122
 
 
 def test_counts_agree_and_every_query_has_a_value_oracle():
@@ -38,17 +38,29 @@ def test_readme_count_matches_registry():
     assert int(m.group(1)) == len(E.queries())
 
 
-def test_driver_window_holds_the_round4_rotation():
+def test_driver_window_holds_the_round5_rotation():
     """The first 50 registry entries are the driver's correctness window;
-    the round-4 rotation set must sit inside it."""
+    the round-5 steady-state rotation set (new + implementation-changed +
+    the stalest r1 greens) must sit inside it."""
     window = list(E.queries())[:50]
     rotation = [
-        "doc_corpus_stats", "doc_sample_mix", "cdc_url_domains",
-        "cdc_url_canonical", "doc_chunk_dedup", "doc_chunk_trim",
-        "cdc_schema_normalize", "src_airbyte_messages",
-        "doc_bpe_merges", "img_phash_dedup", "audio_mel_features",
-        "src_debezium_tail", "sync_delta_log_replay", "doc_bpe_tokens",
-        "cdc_matview_incremental",
+        # new this round
+        "src_sql_incremental", "src_http_substream",
+        # implementation changed since last green row
+        "img_phash_dedup", "src_debezium_tail",
+        # last green row is round 1 — the stalest lines
+        "doc_exact_dedup", "doc_quality", "doc_language_id",
+        "doc_minhash_lsh", "doc_simhash", "emb_cosine_topk", "emb_ivf_topk",
     ]
     missing = [n for n in rotation if n not in window]
     assert not missing, missing
+    # the rest of the window is r2-green core; nothing r3/r4-green may
+    # occupy a slot while older greens wait
+    deferred_r2 = {
+        "cdc_dedup_salted", "cdc_mor_replay_final_state",
+        "sync_multistream_atomic", "sync_clustered_prune",
+        "sync_zorder_prune", "sync_compact_roundtrip", "sync_time_travel",
+        "sync_respec_roundtrip", "sync_catalog_txn",
+    }
+    rest = set(window) - set(rotation)
+    assert len(rest) == 39 and not (rest & deferred_r2)

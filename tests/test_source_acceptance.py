@@ -109,7 +109,30 @@ def _mk_jsonl(spark, sf_dir, tmp):
     return src, "checkpoint_id"
 
 
+def _mk_sql(spark, sf_dir, tmp):
+    import duckdb
+
+    db = str(tmp / "src.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        f"CREATE TABLE events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    con.close()
+    src = source_factory("sql")(
+        db, "events",
+        column_map={
+            "url": "concat('https://e/', cast(event_id as string))",
+            "warc_ts": "ts",
+            "_ab_cdc_lsn": "event_id",
+        },
+        cursor_field="ts", lsn_field="event_id",
+        partition_column="event_id", num_partitions=4, batch_span=500,
+    )
+    return src, "checkpoint_id"
+
+
 CASES = {
+    "sql": _mk_sql,
     "synthetic_changelog": _mk_synthetic,
     "jsonl": _mk_jsonl,
     "mapped_parquet": _mk_mapped,
@@ -125,6 +148,7 @@ def test_every_registered_source_has_an_acceptance_case():
     import airbyte_spark.sources.airbyte_messages  # noqa: F401
     import airbyte_spark.sources.debezium_tail  # noqa: F401
     import airbyte_spark.sources.http  # noqa: F401
+    import airbyte_spark.sources.sql  # noqa: F401
     import airbyte_spark.sources.warc  # noqa: F401
 
     missing = sorted(set(_REGISTRY) - set(CASES))
