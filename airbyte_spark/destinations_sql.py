@@ -242,14 +242,18 @@ def _json_get(col: str, dialect: str) -> str:
 def create_typed_table_sql(
     schema_name: str, stream: str, spark_schema, dialect: str
 ) -> str:
-    """DDL for the normalized (typed) table: one column per stream field
-    plus the reference's normalization metadata — _airbyte_ab_id,
-    _airbyte_emitted_at, _airbyte_<stream>_hashid."""
+    """DDL for the normalized (typed) table: one column per SCALAR stream
+    field (nested object/array properties normalize into their own child
+    tables, not parent columns) plus the reference's normalization
+    metadata — _airbyte_ab_id, _airbyte_emitted_at,
+    _airbyte_<stream>_hashid."""
     _, _, ts_t = _DIALECT[dialect]
+    nested = {f.name for f in _nested_fields(spark_schema)}
     cols = [
         f"  {quote_ident(f.name, dialect)} "
         f"{_sql_type(f.dataType.simpleString(), dialect)}"
         for f in spark_schema.fields
+        if f.name not in nested
     ]
     cols += [
         f"  {AB_ID} VARCHAR(36)",
@@ -269,9 +273,14 @@ def normalize_sql(
     cast to the dialect type, stamp the dbt_utils-style md5 hashid over
     the stringified fields, and insert idempotently (anti-join on ab_id —
     re-running normalization after a partial failure re-types only the
-    missing rows)."""
-    sel, hash_parts = [], []
+    missing rows). Nested properties are omitted from the typed columns
+    (their child tables carry them) but stay in the hashid as JSON text,
+    so the parent hashid remains content-complete."""
+    nested = {f.name for f in _nested_fields(spark_schema)}
+    sel = []
     for f in spark_schema.fields:
+        if f.name in nested:
+            continue
         ex = _json_get(f.name, dialect)
         st = f.dataType.simpleString()
         if st in ("timestamp", "timestamp_ntz", "date"):
@@ -280,8 +289,7 @@ def normalize_sql(
             f"CAST({ex} AS {_sql_type(st, dialect)}) AS "
             f"{quote_ident(f.name, dialect)}"
         )
-        hash_parts.append(f"COALESCE({_json_get(f.name, dialect)}, '')")
-    hashid = "MD5(" + " || '-' || ".join(hash_parts) + ")"
+    hashid = _parent_hashid_expr(spark_schema, dialect)
     s = quote_ident(schema_name, dialect)
     raw = quote_ident(f"_airbyte_raw_{stream}", dialect)
     typed = quote_ident(stream, dialect)
@@ -298,20 +306,172 @@ def normalize_sql(
     )
 
 
+def _nested_fields(spark_schema):
+    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import StructType as _SparkStruct
+
+    return [
+        f for f in spark_schema.fields
+        if isinstance(f.dataType, (ArrayType, _SparkStruct))
+    ]
+
+
+def _child_columns(field):
+    """(name, spark simpleString, json_sub_key|None) per child data
+    column: struct (or array-of-struct) properties spread into one column
+    per subfield; scalar arrays keep one column named after the
+    property."""
+    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import StructType as _SparkStruct
+
+    inner = (
+        field.dataType.elementType
+        if isinstance(field.dataType, ArrayType)
+        else field.dataType
+    )
+    if isinstance(inner, _SparkStruct):
+        return [(sf.name, sf.dataType.simpleString(), sf.name) for sf in inner.fields]
+    return [(field.name, inner.simpleString(), None)]
+
+
+def _parent_hashid_expr(spark_schema, dialect: str) -> str:
+    parts = [f"COALESCE({_json_get(f.name, dialect)}, '')" for f in spark_schema.fields]
+    return "MD5(" + " || '-' || ".join(parts) + ")"
+
+
+def create_child_table_sql(
+    schema_name: str, stream: str, field, dialect: str
+) -> str:
+    """DDL for one nested property's child table (≡ the child
+    StreamProcessor's model, stream_processor.py:75-76,127-166): parent
+    hashid FK + (for arrays) a 1-based _airbyte_index matching
+    unnest_child's ordinality + the typed child columns + the raw ab_id
+    (the idempotence key) + the child's own hashid."""
+    from pyspark.sql.types import ArrayType
+
+    _, _, ts_t = _DIALECT[dialect]
+    child = f"{stream}_{field.name}"
+    cols = [f"  {quote_ident(f'_airbyte_{stream}_hashid', dialect)} VARCHAR(32)"]
+    if isinstance(field.dataType, ArrayType):
+        cols.append(f"  {quote_ident('_airbyte_index', dialect)} BIGINT")
+    cols += [
+        f"  {quote_ident(n, dialect)} {_sql_type(st, dialect)}"
+        for n, st, _ in _child_columns(field)
+    ]
+    cols += [
+        f"  {AB_ID} VARCHAR(36)",
+        f"  {quote_ident(f'_airbyte_{child}_hashid', dialect)} VARCHAR(32)",
+    ]
+    s, t = quote_ident(schema_name, dialect), quote_ident(child, dialect)
+    return f"CREATE TABLE IF NOT EXISTS {s}.{t} (\n" + ",\n".join(cols) + "\n);"
+
+
+def normalize_child_sql(
+    schema_name: str, stream: str, spark_schema, field, dialect: str
+) -> str:
+    """The child-table normalization insert (≡ the nested half of
+    base-normalization: stream_processor.py:127-166 spawns a child
+    StreamProcessor per nested object/array property and renders
+    `cross join unnest(...)` models; test_nested_streams fixture).
+
+    Arrays unnest WITHOUT any engine-specific lateral construct: a
+    recursive index CTE 0..max(len)-1 cross-joined and bounded per row by
+    the row's own array length — portable SQL that both PostgreSQL and
+    DuckDB execute (DuckDB's generate_series cannot take lateral or
+    subquery arguments, and jsonb_array_elements is postgres-only).
+    _airbyte_index is 1-based, matching operators/unnest.unnest_child's
+    SQL-ordinality convention, so the two halves of the engine render
+    identical child tables. Idempotence is at parent-row granularity: the
+    anti-join on the raw ab_id re-normalizes only parents whose children
+    are missing (same granularity as the parent insert's ab_id
+    anti-join). NULL / absent nested values produce no child rows (the
+    reference's null-safety filter).
+
+    Only the postgres flavor is rendered (and executed on DuckDB in
+    tests); other dialects raise rather than emit untested SQL."""
+    from pyspark.sql.types import ArrayType
+
+    if dialect != "postgres":
+        raise NotImplementedError(
+            "child-table normalization is rendered (and executed) for the "
+            "postgres dialect only; flat normalization covers the rest"
+        )
+    s = quote_ident(schema_name, dialect)
+    raw = quote_ident(f"_airbyte_raw_{stream}", dialect)
+    child = f"{stream}_{field.name}"
+    ct = quote_ident(child, dialect)
+    parent_hash = _parent_hashid_expr(spark_schema, dialect)
+    node = f"({AB_DATA}->'{field.name}')"
+    is_array = isinstance(field.dataType, ArrayType)
+
+    sel = [f"{parent_hash} AS {quote_ident(f'_airbyte_{stream}_hashid', dialect)}"]
+    hash_tail = []
+    if is_array:
+        sel.append(
+            f"CAST(g.i + 1 AS BIGINT) AS {quote_ident('_airbyte_index', dialect)}"
+        )
+        hash_tail.append("CAST(g.i + 1 AS VARCHAR)")
+        elem = f"({node}->g.i)"
+    else:
+        elem = node
+    for name, st, sub in _child_columns(field):
+        ex = f"{elem}->>'{sub}'" if sub is not None else f"{node}->>g.i"
+        if st in ("timestamp", "timestamp_ntz", "date"):
+            ex = f"NULLIF({ex}, '')"
+        sel.append(
+            f"CAST({ex} AS {_sql_type(st, dialect)}) AS {quote_ident(name, dialect)}"
+        )
+        hash_tail.append(f"COALESCE({ex}, '')")
+    sel.append(AB_ID)
+    child_hash = " || '-' || ".join([parent_hash] + hash_tail)
+    sel.append(
+        f"MD5({child_hash}) AS {quote_ident(f'_airbyte_{child}_hashid', dialect)}"
+    )
+    cols = ",\n  ".join(sel)
+    guard = (
+        f"WHERE {node} IS NOT NULL\n"
+        f"  AND NOT EXISTS (SELECT 1 FROM {s}.{ct} c "
+        f"WHERE c.{AB_ID} = r.{AB_ID})"
+    )
+    if not is_array:
+        return (
+            f"INSERT INTO {s}.{ct}\n"
+            f"SELECT\n  {cols}\nFROM {s}.{raw} r\n{guard};"
+        )
+    arr_len = f"jsonb_array_length({AB_DATA}->'{field.name}')"
+    return (
+        f"INSERT INTO {s}.{ct}\n"
+        f"WITH RECURSIVE g(i) AS (\n"
+        f"  SELECT 0\n"
+        f"  UNION ALL\n"
+        f"  SELECT i + 1 FROM g\n"
+        f"  WHERE i + 1 < (SELECT COALESCE(max({arr_len}), 0) FROM {s}.{raw})\n"
+        f")\n"
+        f"SELECT\n  {cols}\nFROM {s}.{raw} r\nCROSS JOIN g\n"
+        f"{guard}\n"
+        f"  AND g.i < {arr_len};"
+    )
+
+
 def render_normalization_script(
     schema_name: str, stream: str, spark_schema, dialect: str
 ) -> str:
     """Typed-table creation + idempotent normalization insert as one
     transaction — the post-sync step SyncWorkflowImpl runs after the raw
-    load (SyncWorkflowImpl.java:77-82 normalization activity)."""
-    return "\n".join(
-        [
-            "BEGIN;",
-            create_typed_table_sql(schema_name, stream, spark_schema, dialect),
-            normalize_sql(schema_name, stream, spark_schema, dialect),
-            "COMMIT;",
-        ]
-    ) + "\n"
+    load (SyncWorkflowImpl.java:77-82 normalization activity). Nested
+    object/array properties additionally render one child table each
+    (DDL + unnesting insert) inside the same transaction, ≡ the child
+    StreamProcessors base-normalization spawns per nested property."""
+    stmts = [
+        "BEGIN;",
+        create_typed_table_sql(schema_name, stream, spark_schema, dialect),
+        normalize_sql(schema_name, stream, spark_schema, dialect),
+    ]
+    for f in _nested_fields(spark_schema):
+        stmts.append(create_child_table_sql(schema_name, stream, f, dialect))
+        stmts.append(normalize_child_sql(schema_name, stream, spark_schema, f, dialect))
+    stmts.append("COMMIT;")
+    return "\n".join(stmts) + "\n"
 
 
 def render_sync_script(

@@ -170,6 +170,107 @@ def test_normalization_types_raw_json_back_to_source(spark, sf_dir, tmp_path):
     assert con.sql('SELECT count(*) FROM "public"."events"').fetchone()[0] == 200
 
 
+def test_normalization_nested_child_tables_match_spark_unnest(
+    spark, sf_dir, tmp_path
+):
+    """The nested half of basic normalization (≡ the child
+    StreamProcessors base-normalization spawns per nested property):
+    array-of-struct, scalar-array and object properties each render a
+    child table whose DDL+INSERT DuckDB executes, and the array child
+    rows equal operators/unnest.unnest_child's output exactly (1-based
+    index, per-element fields, null-safe). Idempotent re-run inserts
+    nothing."""
+    import pyspark.sql.functions as SF
+
+    from airbyte_spark.destinations_sql import render_normalization_script
+    from airbyte_spark.operators.unnest import unnest_child
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(120)
+    )
+    src = ev.select(
+        "event_id",
+        "value",
+        SF.when(
+            SF.col("event_id") % 7 != 0,  # % 7 == 0 → NULL array: no children
+            SF.expr(
+                "transform(sequence(1, CAST(event_id % 4 AS INT)), "
+                "i -> named_struct('sku', concat('s-', i), "
+                "'qty', CAST(event_id * 10 + i AS BIGINT)))"
+            ),
+        ).alias("items"),
+        SF.expr(
+            "transform(sequence(1, CAST(event_id % 3 AS INT)), "
+            "i -> concat('tag-', i))"
+        ).alias("tags"),
+        SF.expr(
+            "named_struct('lang', event_type, 'score', CAST(value AS DOUBLE))"
+        ).alias("meta"),
+    )
+    path = write_warehouse_sync(
+        src, str(tmp_path / "wh"), "public", "events", dialect="postgres",
+        n_shards=2,
+    )
+    con = duckdb.connect()
+    con.execute(open(path).read().replace(" JSONB", " JSON"))
+    norm = render_normalization_script("public", "events", src.schema, "postgres")
+    # DuckDB speaks the postgres script modulo the JSONB spellings
+    norm_dd = norm.replace(" JSONB", " JSON").replace(
+        "jsonb_array_length", "json_array_length"
+    )
+    con.execute(norm_dd)
+
+    # parent typed table: scalar columns only, nested ones in children
+    pcols = {
+        r[0]
+        for r in con.sql(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = 'events'"
+        ).fetchall()
+    }
+    assert {"event_id", "value"} <= pcols
+    assert not ({"items", "tags", "meta"} & pcols)
+
+    # array-of-struct child ≡ Spark unnest_child (join hashid → event_id)
+    got = sorted(
+        con.sql(
+            'SELECT p.event_id, c._airbyte_index, c.sku, c.qty '
+            'FROM "public"."events_items" c '
+            'JOIN "public"."events" p '
+            'ON c._airbyte_events_hashid = p._airbyte_events_hashid'
+        ).fetchall()
+    )
+    want = sorted(
+        (r["event_id"], r["_idx"], r["item"]["sku"], r["item"]["qty"])
+        for r in unnest_child(src, "items", ["event_id"], value_alias="item")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # scalar-array child: one row per element, property-named column
+    n_tags = con.sql('SELECT count(*) FROM "public"."events_tags"').fetchone()[0]
+    assert n_tags == src.select(SF.explode("tags")).count()
+    # object child: one row per non-null parent, typed subfields
+    meta = con.sql(
+        'SELECT count(*), count(DISTINCT lang), max(score) '
+        'FROM "public"."events_meta"'
+    ).fetchone()
+    assert meta[0] == src.count()
+    # idempotent re-run: child tables do not grow
+    con.execute(norm_dd)
+    assert (
+        con.sql('SELECT count(*) FROM "public"."events_items"').fetchone()[0]
+        == len(got)
+    )
+    assert con.sql('SELECT count(*) FROM "public"."events_tags"').fetchone()[0] == n_tags
+
+    # non-postgres dialects refuse nested rendering rather than emit
+    # untested SQL
+    with pytest.raises(NotImplementedError):
+        render_normalization_script("public", "events", src.schema, "snowflake")
+
+
 def test_normalization_dialect_rendering():
     from pyspark.sql.types import (
         DoubleType,
