@@ -15,6 +15,16 @@ append is atomic enough; the log is metadata-sized: one row per attempt,
 never per record). `attempts_df` reads it back as a DataFrame for
 inspection/monitoring queries; the CLI `sync --max-attempts/--loop` verbs
 drive it.
+
+Cron/trigger seam: the reference's schedule-driven triggering
+(airbyte-scheduler's job creation + Temporal cron workflows) maps to
+WHATEVER fires the driver in deployment — a cron entry, an Airflow/
+Dagster task, or a Temporal cron workflow invoking `spark-submit cli.py
+sync`. `run_sync_loop(runs=N, interval_s=S)` is that trigger's bounded
+in-process shape (one tick ≡ one scheduled job); nothing in the engine
+assumes an always-on scheduler process, because every piece of cross-run
+state a trigger needs (cursor checkpoints, attempt history) lives in the
+lake table and the attempts log, not in scheduler memory.
 """
 
 from __future__ import annotations

@@ -73,6 +73,23 @@ def test_predicates_are_pushed_into_every_query(db, spark):
     assert got.agg(F.min("event_id")).first()[0] > 100
 
 
+def test_discover_picks_up_added_column_between_syncs(db, spark):
+    """Schema evolution at the source database (≡ the reference's
+    per-sync discover: AbstractDbSource re-discovers the catalog each
+    sync): a column ALTERed in between syncs appears in the next read's
+    schema and rows, NULL-backfilled for pre-existing rows."""
+    before = read_sql_table(spark, db, "tiny")
+    assert "note" not in before.columns
+    con = duckdb.connect(db)
+    con.execute("ALTER TABLE tiny ADD COLUMN note VARCHAR")
+    con.execute("UPDATE tiny SET note = 'new' WHERE k = 2")
+    con.close()
+    after = read_sql_table(spark, db, "tiny")
+    assert "note" in after.columns
+    got = {r["k"]: r["note"] for r in after.collect()}
+    assert got[2] == "new" and got[1] is None
+
+
 def test_sql_source_incremental_ships_only_post_cursor_rows(db, sf_dir, spark):
     """The VERDICT criterion for the SQL source: phase 2 reads ONLY
     post-cursor rows — pinned on the actual SQL issued (the cursor
