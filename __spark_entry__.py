@@ -2565,6 +2565,97 @@ def q_audio_mel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wav_melody_fixture_udf():
+    """Deterministic 4-note square-wave melody WAV generator for the
+    audio-dedup gate: class = (base exponent 0-4) × (melody pattern
+    ascending/descending/alternating), notes at 160·1.5^(e+d) Hz, 8 kHz
+    PCM16, 8192 samples. Square waves fill every mel band with real
+    harmonic energy, so the sign-of-band-descent fingerprint
+    (extract._audio_fp_one) is measured in-class ≤ 1 (variants differ
+    only in amplitude 12000→7000 and phase 0→0.6 — volume/phase
+    invariance by construction) and cross-class ≥ 15 — margins pinned in
+    tests/test_multimodal.py so admission reduces to class arithmetic."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(cls: pd.Series, v: pd.Series) -> pd.Series:
+        rate, n = 8000, 8192
+        patterns = [[0, 1, 2, 3], [3, 2, 1, 0], [0, 3, 0, 3]]
+
+        def one(c, vv):
+            e, pat = int(c) % 5, patterns[int(c) // 5]
+            amp = 7000.0 if int(vv) == 2 else 12000.0
+            ph = 0.6 if int(vv) == 2 else 0.0
+            seg = n // 4
+            i = np.arange(seg)
+            pcm = np.concatenate(
+                [
+                    np.round(
+                        amp
+                        * np.sign(
+                            np.sin(2 * np.pi * 160.0 * (1.5 ** (e + d)) * i / rate + ph)
+                        )
+                    ).astype("<i2")
+                    for d in pat
+                ]
+            )
+            data = pcm.tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            chunks = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        return pd.Series([one(c, vv) for c, vv in zip(cls, v)])
+
+    return gen
+
+
+def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated query for the audio dedup leg — the third modality over the
+    shared banded-registry core (operators/dedup_incremental.py
+    ingest_audio_dedup: real WAV parse + FFT log-mel →
+    sign-of-band-descent 64-bit fingerprint, 4×16-bit banding with
+    probe-side hamming-1 balls). Same two-batch class arithmetic as
+    img_phash_dedup: batch 'a' admits one canonical per melody class;
+    batch 'b' re-sends every class (rejected against the registry) plus
+    three classes only it carries (admitted). The fixture's distance
+    structure (see _wav_melody_fixture_udf) makes admission a pure
+    function of the class arithmetic, which the DuckDB oracle replays."""
+    from airbyte_spark.operators.dedup_incremental import (
+        create_audio_registry,
+        ingest_audio_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    h = (hi + 1) // 2
+    clips = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") >= h) & (F.col("doc_id") % 5 == 0),
+            12 + F.col("doc_id") % 3,
+        )
+        .otherwise(F.col("doc_id") % 12)
+        .cast("int")
+        .alias("cls"),
+        F.expr("CAST((doc_id DIV 12) % 3 AS INT)").alias("v"),
+    ).select("doc_id", _wav_melody_fixture_udf()(F.col("cls"), F.col("v")).alias("data"))
+    clips = clips.localCheckpoint(eager=True)  # pin the synthetic WAVs, as imgs
+    base = tempfile.mkdtemp(prefix="airbyte_spark_audreg_")
+    reg = create_audio_registry(spark, base + "/registry", n_buckets=8)
+    a = ingest_audio_dedup(reg, clips.filter(F.col("doc_id") < h), "aud-a")
+    b = ingest_audio_dedup(reg, clips.filter(F.col("doc_id") >= h), "aud-b")
+    return a.select("doc_id", F.lit("a").alias("batch")).unionByName(
+        b.select("doc_id", F.lit("b").alias("batch"))
+    )
+
+
 def _synthetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture HTML carries no hrefs, so the link graph is synthesized
     deterministically from the url space itself: each page links to the
@@ -2996,20 +3087,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered queries hold a green driver row; 50/50 in the r4 window).
 
     Round 5 runs the steady-state rotation rule for the first time:
-      1-2   the two round-5 additions (src_sql_incremental — the
+      1-3   the three round-5 additions (src_sql_incremental — the
             DuckDB-backed SQL source, ≡ AbstractJdbcSource;
-            src_http_substream — parent-child fan-out);
-      3-4   the two whose implementation changed since their last green
+            src_http_substream — parent-child fan-out; audio_fp_dedup —
+            the audio leg of the banded-registry dedup family);
+      4-5   the two whose implementation changed since their last green
             row (img_phash_dedup: 16-bit band keys + probe-side
             hamming-balls; src_debezium_tail: single-parse micro-batch);
-      5-11  the seven queries whose last green row is ROUND 1 — the
+      6-12  the seven queries whose last green row is ROUND 1 — the
             stalest lines in the registry (doc_exact_dedup … emb_ivf_topk);
-      12-50 thirty-nine of the forty-eight whose last green row is round
-            2 (the cdc_/sync_ core). The nine r2 lines deferred to the
-            next window each share their implementation path with a line
-            that IS in the window: cdc_dedup_salted (≡ cdc_dedup_batch's
-            operator), cdc_mor_replay_final_state (MoR leg re-checked r4
-            via cdc_mor_resolve_read), sync_multistream_atomic
+      13-50 thirty-eight of the forty-eight whose last green row is
+            round 2 (the cdc_/sync_ core). The ten r2 lines deferred to
+            the next window each share their implementation path with a
+            line that IS in the window: cdc_checkpoint_metrics (rides
+            the merge bounds pass every window replay runs),
+            cdc_dedup_salted (≡ cdc_dedup_batch's operator),
+            cdc_mor_replay_final_state (MoR leg re-checked r4 via
+            cdc_mor_resolve_read), sync_multistream_atomic
             (≡ sync_multistream + the WAP path sync_wap_branch covers),
             sync_clustered_prune / sync_zorder_prune (≡ sync_pruned_read
             stats pruning), sync_compact_roundtrip / sync_time_travel
@@ -3018,8 +3112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             add/rename-column lines), sync_catalog_txn (catalog two-phase
             ≡ sync_wap_branch + sync_catalog_diff).
     Everything past position 50 holds a green driver row from r3/r4 (or
-    is one of those nine r2 deferrals) and stays covered by
-    scripts/check_oracle.py + pytest. Next window: the nine deferrals,
+    is one of those ten r2 deferrals) and stays covered by
+    scripts/check_oracle.py + pytest. Next window: the ten deferrals,
     then whatever is stalest. Keep tests/test_registry_guard.py's window
     assertion in sync.
     """
@@ -3028,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round
         "src_sql_incremental": q_src_sql_incremental,
         "src_http_substream": q_src_http_substream,
+        "audio_fp_dedup": q_audio_fp_dedup,
         # implementation changed since last green row
         "img_phash_dedup": q_img_phash_dedup,
         "src_debezium_tail": q_src_debezium_tail,
@@ -3049,7 +3144,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_extract_text": q_cdc_extract_text,
         "cdc_scd_history": q_cdc_scd_history,
         "cdc_incremental_cursor": q_cdc_incremental_cursor,
-        "cdc_checkpoint_metrics": q_cdc_checkpoint_metrics,
         "cdc_stream_window_metrics": q_cdc_stream_window_metrics,
         "cdc_composite_pk_final_state": q_cdc_composite_pk_final_state,
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -3080,7 +3174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_rollback": q_sync_rollback,
         "sync_rename_column": q_sync_rename_column,
         # --- past the window ----------------------------------------------
-        # the nine r2 deferrals (next window's head)
+        # the ten r2 deferrals (next window's head)
+        "cdc_checkpoint_metrics": q_cdc_checkpoint_metrics,
         "cdc_dedup_salted": q_cdc_dedup_salted,
         "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
         "sync_multistream_atomic": q_sync_multistream_atomic,
@@ -4398,6 +4493,22 @@ def oracle_sql() -> dict[str, str]:
         # class, batch b's repeated classes are rejected whole and only
         # its three exclusive classes (12-14) admit.
         "img_phash_dedup": """
+            WITH bound AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents),
+            p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id >= h AND doc_id % 5 = 0
+                          THEN 12 + doc_id % 3
+                          ELSE doc_id % 12 END AS cls,
+                     CASE WHEN doc_id < h THEN 'a' ELSE 'b' END AS batch
+              FROM documents, bound
+            )
+            SELECT MIN(doc_id) AS doc_id, 'a' AS batch
+            FROM p WHERE batch = 'a' GROUP BY cls
+            UNION ALL
+            SELECT MIN(doc_id) AS doc_id, 'b' AS batch
+            FROM p WHERE batch = 'b' AND cls >= 12 GROUP BY cls
+        """,
+        "audio_fp_dedup": """
             WITH bound AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents),
             p AS (
               SELECT doc_id,

@@ -487,6 +487,77 @@ def make_audio_mel_udf(n_mels: int = 16, frame: int = 512, hop: int = 256):
     return audio_mel_udf
 
 
+def _audio_fp_one(
+    b: "bytes | None",
+    n_mels: int = 9,
+    n_blocks: int = 8,
+    frame: int = 512,
+    hop: int = 256,
+):
+    """64-bit audio fingerprint: PCM16 WAV → log-mel energy matrix →
+    8 time blocks × 8 sign-of-adjacent-band-descent bits (the
+    Haitsma-Kalker sign-of-energy-difference family, reduced to one
+    clip-level signature). Sign bits are invariant to volume (log energy
+    shifts by a constant) and robust to phase/codec jitter, so
+    hamming-close fingerprints = the same audio content. Mirrors
+    make_audio_mel_udf's filterbank math but stays a separate function
+    on purpose: the mel UDF backs a stored-expected-value oracle
+    (audio_mel_features) and must not drift."""
+    import numpy as np
+
+    meta = _parse_wav(bytes(b)) if b is not None else None
+    if meta is None or meta[2] != 16 or meta[0] <= 0 or meta[1] <= 0:
+        return None
+    rate, ch, _bits, off, dlen = meta
+    samples = np.frombuffer(b, dtype="<i2", count=dlen // 2, offset=off).astype(
+        np.float64
+    )
+    n_pcm = len(samples) // ch if ch else 0
+    if n_pcm < frame * n_blocks:  # too short for a block structure
+        return None
+    mono = samples[: n_pcm * ch].reshape(n_pcm, ch).mean(axis=1) / 32768.0
+
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def inv_mel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    win = np.hanning(frame)
+    n_bins = frame // 2 + 1
+    n_hops = 1 + (len(mono) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_hops)[:, None]
+    spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1)) ** 2
+    edges = inv_mel(np.linspace(0.0, mel(rate / 2.0), n_mels + 2))
+    bins = np.floor((frame + 1) * edges / rate).astype(int)
+    fb = np.zeros((n_mels, n_bins))
+    for m_i in range(n_mels):
+        lo, cc, hi = bins[m_i], bins[m_i + 1], bins[m_i + 2]
+        if cc > lo:
+            fb[m_i, lo:cc] = (np.arange(lo, cc) - lo) / (cc - lo)
+        if hi > cc:
+            fb[m_i, cc:hi] = (hi - np.arange(cc, hi)) / (hi - cc)
+    logmel = np.log10(spec @ fb.T + 1e-10)  # (n_hops, n_mels)
+    cuts = np.linspace(0, len(logmel), n_blocks + 1).astype(int)
+    blocks = np.stack(
+        [logmel[cuts[i]:cuts[i + 1]].mean(axis=0) for i in range(n_blocks)]
+    )
+    bits = (blocks[:, :-1] > blocks[:, 1:]).ravel()  # n_blocks × (n_mels-1)
+    packed = np.uint64(0)
+    for bit in bits[:64]:
+        packed = np.uint64(packed << np.uint64(1)) | np.uint64(bit)
+    p = int(packed)  # two's-complement fold, same rule as _phash_one
+    return p - (1 << 64) if p >= (1 << 63) else p
+
+
+@pandas_udf(LongType())
+def audio_fingerprint_udf(data: pd.Series) -> pd.Series:
+    """Vectorized-batch 64-bit audio fingerprint column (NULL for
+    non-WAV/too-short bytes) — the audio sibling of image_phash_udf,
+    feeding the same banded signature registries."""
+    return data.map(_audio_fp_one).astype(object)
+
+
 def sample_frames(
     df,
     data_col: str = "data",

@@ -472,10 +472,30 @@ def ingest_image_dedup(
         return batch.join(
             _ids_admitted_under(registry, checkpoint_key, id_col), id_col, "left_semi"
         )
+    return _ingest_sig64(
+        registry, batch, checkpoint_key, image_phash_udf, max_hamming,
+        bands, id_col, data_col,
+    )
+
+
+def _ingest_sig64(
+    registry: LakeTable,
+    batch: DataFrame,
+    checkpoint_key: str,
+    fp_udf,
+    max_hamming: int,
+    bands: int,
+    id_col: str,
+    data_col: str,
+) -> DataFrame:
+    """Shared 64-bit-fingerprint admission tail (image pHash, audio
+    fingerprint): one Arrow-batched fingerprint pass pinned by
+    localCheckpoint (the admission flow references its batch several
+    times), exact 16-bit band keys registered, hamming-1 ball probe."""
     fps = (
         batch.select(
             F.col(id_col).alias("vec_id"),
-            image_phash_udf(F.col(data_col)).alias("sig"),
+            fp_udf(F.col(data_col)).alias("sig"),
         )
         .filter(F.col("sig").isNotNull())
         .localCheckpoint(eager=True)
@@ -485,6 +505,50 @@ def ingest_image_dedup(
     return _ingest_sig_banded(
         registry, batch, keys, checkpoint_key, id_col, max_hamming,
         probe_keys=probe,
+    )
+
+
+def create_audio_registry(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
+    """Audio-fingerprint band-key registry (same row shape as the image
+    and embedding registries) for ingest-time audio near-dup admission."""
+    return _open_or_create(spark, path, EMB_REGISTRY_SCHEMA, "key", n_buckets)
+
+
+def ingest_audio_dedup(
+    registry: LakeTable,
+    batch: DataFrame,
+    checkpoint_key: str,
+    max_hamming: int = 7,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Incremental AUDIO near-dup admission — the audio leg of the
+    dedup-at-ingest family, completing the multimodal trio (text /
+    image / audio over one shared banded-registry core): each batch's
+    clips are fingerprinted once (real WAV parse + FFT log-mel →
+    sign-of-band-descent 64-bit signature, extract._audio_fp_one —
+    volume-invariant by construction), then admitted through exactly the
+    image leg's asymmetric 4×16-bit banding: registry stores 4 exact
+    keys per admitted clip, probes expand each key into its hamming-1
+    ball, recall 1.0 at max_hamming ≤ 2·bands−1 by pigeonhole, expected
+    candidates per probe |registry|/3855. Cost ∝ batch; clips whose
+    bytes don't parse as PCM WAV (or are shorter than one block
+    structure) carry no fingerprint and are dropped from admission."""
+    from airbyte_spark.functions.extract import audio_fingerprint_udf
+
+    if max_hamming > 2 * bands - 1:
+        raise ValueError(
+            f"recall guarantee needs max_hamming <= 2*bands-1 "
+            f"({max_hamming} > {2 * bands - 1})"
+        )
+    if checkpoint_key in registry.committed():
+        return batch.join(
+            _ids_admitted_under(registry, checkpoint_key, id_col), id_col, "left_semi"
+        )
+    return _ingest_sig64(
+        registry, batch, checkpoint_key, audio_fingerprint_udf, max_hamming,
+        bands, id_col, data_col,
     )
 
 

@@ -449,6 +449,74 @@ def test_image_registry_cross_batch_rejection(spark, tmp_path):
     assert again == got2 and reg.current_version() == v
 
 
+def _wav_rows(specs):
+    """(id, base_exponent, pattern_idx, amp, phase) → (id, wav bytes)."""
+    import struct
+
+    import numpy as np
+
+    rate, n = 8000, 8192
+    patterns = [[0, 1, 2, 3], [3, 2, 1, 0], [0, 3, 0, 3]]
+    out = []
+    for i_, e, p, amp, ph in specs:
+        seg = n // 4
+        idx = np.arange(seg)
+        pcm = np.concatenate(
+            [
+                np.round(
+                    amp * np.sign(np.sin(2 * np.pi * 160.0 * (1.5 ** (e + d)) * idx / rate + ph))
+                ).astype("<i2")
+                for d in patterns[p]
+            ]
+        )
+        data = pcm.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        out.append(
+            (i_, bytearray(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks))
+        )
+    return out
+
+
+def test_audio_registry_cross_batch_rejection(spark, tmp_path):
+    """The audio leg of the banded-registry family: same admission
+    contract as images — intra-batch clustering, cross-batch rejection
+    within max_hamming of a registered fingerprint, unparseable bytes
+    dropped, exactly-once redelivery."""
+    from airbyte_spark.operators.dedup_incremental import (
+        create_audio_registry,
+        ingest_audio_dedup,
+    )
+
+    reg = create_audio_registry(spark, str(tmp_path / "areg"), n_buckets=4)
+    # batch 1: two distinct melodies + a volume/phase variant of the first
+    b1 = spark.createDataFrame(
+        _wav_rows([
+            (1, 0, 0, 12000.0, 0.0),
+            (2, 0, 0, 7000.0, 0.6),   # near-dup of 1 (volume+phase)
+            (3, 2, 1, 12000.0, 0.0),  # different melody
+        ]),
+        "doc_id long, data binary",
+    )
+    got1 = sorted(r["doc_id"] for r in ingest_audio_dedup(reg, b1, "a1").collect())
+    assert got1 == [1, 3]
+    # batch 2: variant of an ADMITTED clip + junk bytes + fresh melody
+    b2 = spark.createDataFrame(
+        _wav_rows([(10, 0, 0, 9000.0, 0.3), (11, 4, 2, 12000.0, 0.0)])
+        + [(12, bytearray(b"junk"))],
+        "doc_id long, data binary",
+    )
+    got2 = sorted(r["doc_id"] for r in ingest_audio_dedup(reg, b2, "a2").collect())
+    assert 10 not in got2 and 11 in got2 and 12 not in got2
+    # redelivery is exactly-once
+    v = reg.current_version()
+    again = sorted(r["doc_id"] for r in ingest_audio_dedup(reg, b2, "a2").collect())
+    assert again == got2 and reg.current_version() == v
+
+
 def test_image_probe_fanout_stays_o_batch_vs_grown_registry(spark, tmp_path):
     """The 100×-scale contract of the asymmetric 16-bit banding: probe
     candidate rows stay O(batch) against a registry 100× the batch size.

@@ -305,6 +305,83 @@ def test_audio_mel_feeds_ann_topk(spark):
     assert len(top) == 1 and top[0]["n_id"] == 2
 
 
+def test_audio_dedup_fixture_distance_margins():
+    """The audio_fp_dedup gate's oracle is pure class arithmetic ONLY
+    because the melody fixture guarantees in-class hamming ≤ max_hamming
+    (7) and cross-class > 7 with wide margin through the
+    sign-of-band-descent fingerprint. Pin those margins so a fingerprint
+    or generator change that silently erodes them fails here, not in the
+    driver gate."""
+    import struct
+
+    import numpy as np
+
+    from airbyte_spark.functions.extract import _audio_fp_one
+
+    rate, n = 8000, 8192
+    patterns = [[0, 1, 2, 3], [3, 2, 1, 0], [0, 3, 0, 3]]
+
+    def clip(c, vv):
+        e, pat = c % 5, patterns[c // 5]
+        amp = 7000.0 if vv == 2 else 12000.0
+        ph = 0.6 if vv == 2 else 0.0
+        seg = n // 4
+        i = np.arange(seg)
+        pcm = np.concatenate(
+            [
+                np.round(
+                    amp * np.sign(np.sin(2 * np.pi * 160.0 * (1.5 ** (e + d)) * i / rate + ph))
+                ).astype("<i2")
+                for d in pat
+            ]
+        )
+        data = pcm.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    sig = {(c, v): _audio_fp_one(clip(c, v)) for c in range(15) for v in (0, 2)}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    in_class = max(ham(sig[(c, 0)], sig[(c, 2)]) for c in range(15))
+    cross = min(
+        ham(sig[(c1, v1)], sig[(c2, v2)])
+        for c1 in range(15)
+        for c2 in range(c1 + 1, 15)
+        for v1 in (0, 2)
+        for v2 in (0, 2)
+    )
+    assert in_class <= 4, in_class  # same cluster under max_hamming=7
+    assert cross > 7 + 7, cross  # different cluster, ≥8 bits of margin
+    # volume invariance is exact: pure amplitude scaling flips no bit
+    half = clip(3, 0)
+    # amplitude-only variant (phase 0): rebuild with amp 6000
+    e, pat = 3 % 5, patterns[0]
+    i = np.arange(n // 4)
+    pcm = np.concatenate(
+        [
+            np.round(6000.0 * np.sign(np.sin(2 * np.pi * 160.0 * (1.5 ** (e + d)) * i / rate))).astype("<i2")
+            for d in pat
+        ]
+    )
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    quiet = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert ham(_audio_fp_one(half), _audio_fp_one(quiet)) == 0
+    # undecodable / too-short bytes carry no fingerprint
+    assert _audio_fp_one(b"not audio") is None
+    assert _audio_fp_one(None) is None
+
+
 def test_img_dedup_fixture_distance_margins():
     """The img_phash_dedup gate's oracle is pure class arithmetic ONLY
     because the fixture guarantees in-class hamming ≤ max_hamming(7) and
