@@ -2656,6 +2656,77 @@ def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppm_video_fixture_udf():
+    """Deterministic concatenated-P6 'video' generator for the video
+    dedup gate: class c → 4 frames of image classes [2c, 2c+1, 2c, 2c+1]
+    (the img_phash_dedup raster family, whose pHash margins hold over 30
+    classes: in-class ≤ 6, cross ≥ 20 — pinned in test_multimodal.py),
+    variant v=2 perturbs every frame within the in-class budget. Frame
+    containment vs a registered class video is therefore exactly 1.0
+    in-class and 0.0 cross-class, reducing admission to class
+    arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def gen(cls: pd.Series, v: pd.Series) -> pd.Series:
+        def frame(c, vv):
+            rng = np.random.default_rng(977 + c)
+            coarse = rng.integers(0, 256, (8, 8)).astype(np.float64)
+            if vv == 2:
+                coarse[3, 3] = min(255.0, coarse[3, 3] + 80.0)
+            img = np.kron(coarse, np.ones((8, 8))).astype(np.uint8)
+            return b"P6\n64 64\n255\n" + np.repeat(img[:, :, None], 3, axis=2).tobytes()
+
+        def one(c, vv):
+            c, vv = int(c), int(vv)
+            return b"".join(
+                frame(fc, vv) for fc in (2 * c, 2 * c + 1, 2 * c, 2 * c + 1)
+            )
+
+        return pd.Series([one(c, vv) for c, vv in zip(cls, v)])
+
+    return gen
+
+
+def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated query for the video dedup leg — frame-containment admission
+    over the banded registry (operators/dedup_incremental.py
+    ingest_video_dedup: real concatenated-P6 header walk + per-frame
+    pHash; a video is rejected when ≥ θ of its frames hamming-match ONE
+    registered video's frames). Same two-batch class arithmetic as the
+    image and audio gates; the mashup-below-θ and truncated-stream
+    behaviors are value-pinned in pytest."""
+    from airbyte_spark.operators.dedup_incremental import (
+        create_video_registry,
+        ingest_video_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    h = (hi + 1) // 2
+    vids = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") >= h) & (F.col("doc_id") % 5 == 0),
+            12 + F.col("doc_id") % 3,
+        )
+        .otherwise(F.col("doc_id") % 12)
+        .cast("int")
+        .alias("cls"),
+        F.expr("CAST((doc_id DIV 12) % 3 AS INT)").alias("v"),
+    ).select("doc_id", _ppm_video_fixture_udf()(F.col("cls"), F.col("v")).alias("data"))
+    vids = vids.localCheckpoint(eager=True)  # pin the synthetic streams
+    base = tempfile.mkdtemp(prefix="airbyte_spark_vidreg_")
+    reg = create_video_registry(spark, base + "/registry", n_buckets=8)
+    a = ingest_video_dedup(reg, vids.filter(F.col("doc_id") < h), "vid-a")
+    b = ingest_video_dedup(reg, vids.filter(F.col("doc_id") >= h), "vid-b")
+    return a.select("doc_id", F.lit("a").alias("batch")).unionByName(
+        b.select("doc_id", F.lit("b").alias("batch"))
+    )
+
+
 def _synthetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture HTML carries no hrefs, so the link graph is synthesized
     deterministically from the url space itself: each page links to the
@@ -3087,33 +3158,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered queries hold a green driver row; 50/50 in the r4 window).
 
     Round 5 runs the steady-state rotation rule for the first time:
-      1-3   the three round-5 additions (src_sql_incremental — the
+      1-4   the four round-5 additions (src_sql_incremental — the
             DuckDB-backed SQL source, ≡ AbstractJdbcSource;
-            src_http_substream — parent-child fan-out; audio_fp_dedup —
-            the audio leg of the banded-registry dedup family);
-      4-5   the two whose implementation changed since their last green
+            src_http_substream — parent-child fan-out; audio_fp_dedup
+            and video_frame_dedup — the audio and video legs completing
+            the banded-registry dedup family);
+      5-6   the two whose implementation changed since their last green
             row (img_phash_dedup: 16-bit band keys + probe-side
             hamming-balls; src_debezium_tail: single-parse micro-batch);
-      6-12  the seven queries whose last green row is ROUND 1 — the
+      7-13  the seven queries whose last green row is ROUND 1 — the
             stalest lines in the registry (doc_exact_dedup … emb_ivf_topk);
-      13-50 thirty-eight of the forty-eight whose last green row is
-            round 2 (the cdc_/sync_ core). The ten r2 lines deferred to
-            the next window each share their implementation path with a
-            line that IS in the window: cdc_checkpoint_metrics (rides
+      14-50 thirty-seven of the forty-eight whose last green row is
+            round 2 (the cdc_/sync_ core). The eleven r2 lines deferred
+            to the next window each share their implementation path with
+            a line that IS in the window: cdc_checkpoint_metrics (rides
             the merge bounds pass every window replay runs),
-            cdc_dedup_salted (≡ cdc_dedup_batch's operator),
-            cdc_mor_replay_final_state (MoR leg re-checked r4 via
-            cdc_mor_resolve_read), sync_multistream_atomic
-            (≡ sync_multistream + the WAP path sync_wap_branch covers),
-            sync_clustered_prune / sync_zorder_prune (≡ sync_pruned_read
-            stats pruning), sync_compact_roundtrip / sync_time_travel
-            (manifest maintenance ≡ sync_segmented_manifest +
-            sync_rollback), sync_respec_roundtrip (spec evolution ≡ the
-            add/rename-column lines), sync_catalog_txn (catalog two-phase
-            ≡ sync_wap_branch + sync_catalog_diff).
+            evt_sessionize (the batch sessionizer is the executed oracle
+            of the streaming-sessionization pytest), cdc_dedup_salted
+            (≡ cdc_dedup_batch's operator), cdc_mor_replay_final_state
+            (MoR leg re-checked r4 via cdc_mor_resolve_read),
+            sync_multistream_atomic (≡ sync_multistream + the WAP path
+            sync_wap_branch covers), sync_clustered_prune /
+            sync_zorder_prune (≡ sync_pruned_read stats pruning),
+            sync_compact_roundtrip / sync_time_travel (manifest
+            maintenance ≡ sync_segmented_manifest + sync_rollback),
+            sync_respec_roundtrip (spec evolution ≡ the add/rename-column
+            lines), sync_catalog_txn (catalog two-phase ≡ sync_wap_branch
+            + sync_catalog_diff).
     Everything past position 50 holds a green driver row from r3/r4 (or
-    is one of those ten r2 deferrals) and stays covered by
-    scripts/check_oracle.py + pytest. Next window: the ten deferrals,
+    is one of those eleven r2 deferrals) and stays covered by
+    scripts/check_oracle.py + pytest. Next window: the eleven deferrals,
     then whatever is stalest. Keep tests/test_registry_guard.py's window
     assertion in sync.
     """
@@ -3123,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_sql_incremental": q_src_sql_incremental,
         "src_http_substream": q_src_http_substream,
         "audio_fp_dedup": q_audio_fp_dedup,
+        "video_frame_dedup": q_video_frame_dedup,
         # implementation changed since last green row
         "img_phash_dedup": q_img_phash_dedup,
         "src_debezium_tail": q_src_debezium_tail,
@@ -3153,7 +3228,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_parse": q_cdc_debezium_parse,
         "cdc_json_validate": q_cdc_json_validate,
         "cdc_asof_join": q_cdc_asof_join,
-        "evt_sessionize": q_evt_sessionize,
         "sync_identifier_normalize": q_sync_identifier_normalize,
         "sync_catalog_diff": q_sync_catalog_diff,
         "sync_multistream": q_sync_multistream,
@@ -3174,8 +3248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_rollback": q_sync_rollback,
         "sync_rename_column": q_sync_rename_column,
         # --- past the window ----------------------------------------------
-        # the ten r2 deferrals (next window's head)
+        # the eleven r2 deferrals (next window's head)
         "cdc_checkpoint_metrics": q_cdc_checkpoint_metrics,
+        "evt_sessionize": q_evt_sessionize,
         "cdc_dedup_salted": q_cdc_dedup_salted,
         "cdc_mor_replay_final_state": q_cdc_mor_replay_final_state,
         "sync_multistream_atomic": q_sync_multistream_atomic,
@@ -4509,6 +4584,22 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE batch = 'b' AND cls >= 12 GROUP BY cls
         """,
         "audio_fp_dedup": """
+            WITH bound AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents),
+            p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id >= h AND doc_id % 5 = 0
+                          THEN 12 + doc_id % 3
+                          ELSE doc_id % 12 END AS cls,
+                     CASE WHEN doc_id < h THEN 'a' ELSE 'b' END AS batch
+              FROM documents, bound
+            )
+            SELECT MIN(doc_id) AS doc_id, 'a' AS batch
+            FROM p WHERE batch = 'a' GROUP BY cls
+            UNION ALL
+            SELECT MIN(doc_id) AS doc_id, 'b' AS batch
+            FROM p WHERE batch = 'b' AND cls >= 12 GROUP BY cls
+        """,
+        "video_frame_dedup": """
             WITH bound AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents),
             p AS (
               SELECT doc_id,

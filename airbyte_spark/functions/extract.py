@@ -558,6 +558,79 @@ def audio_fingerprint_udf(data: pd.Series) -> pd.Series:
     return data.map(_audio_fp_one).astype(object)
 
 
+def _split_ppm_frames(b: "bytes | None", max_frames: int = 64):
+    """Split a concatenated-P6 stream (the uncompressed video-ish
+    container this sandbox can actually decode — raw PPM frames back to
+    back, the moral equivalent of y4m/raw MJPEG) into frame byte slices
+    by WALKING THE HEADERS: each frame declares its own width/height, so
+    this is a real parse, not a fixed-stride slice. Returns [] for bytes
+    that don't start with a P6 header; stops at the first malformed
+    frame (prefix salvage, like a truncated stream)."""
+    if not b:
+        return []
+    frames = []
+    pos = 0
+    n = len(b)
+    while pos < n and len(frames) < max_frames:
+        if b[pos : pos + 2] != b"P6":
+            break
+        # header: "P6" ws width ws height ws maxval single-ws raster
+        j = pos + 2
+        fields = []
+        while len(fields) < 3 and j < n:
+            while j < n and b[j : j + 1].isspace():
+                j += 1
+            start = j
+            while j < n and not b[j : j + 1].isspace():
+                j += 1
+            if start == j:
+                return frames
+            try:
+                fields.append(int(b[start:j]))
+            except ValueError:
+                return frames
+        if len(fields) < 3 or j >= n:
+            return frames
+        j += 1  # the single whitespace byte before the raster
+        w, h, _maxval = fields
+        if w <= 0 or h <= 0:
+            return frames
+        end = j + w * h * 3
+        if end > n:
+            return frames  # truncated final frame: drop it
+        frames.append(b[pos:end])
+        pos = end
+    return frames
+
+
+def make_video_phash_udf(every_n: int = 1, max_frames: int = 16):
+    """Factory for a per-video frame-signature column: concatenated-P6
+    video bytes → array<long> of 64-bit pHashes over every `every_n`-th
+    frame (at most `max_frames`), one Arrow-batched parse+hash pass.
+    NULL for bytes with no parseable frame. The signature SEQUENCE is
+    what video identity needs — near-dup videos share hamming-close
+    frame hashes, and containment over the sequence tolerates cuts,
+    re-encodes and frame drops that a single whole-file hash cannot."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def video_phash_udf(data: pd.Series) -> pd.Series:
+        def one(b):
+            frames = _split_ppm_frames(
+                bytes(b) if b is not None else None,
+                max_frames=max_frames * every_n,
+            )
+            sigs = [
+                _phash_one(f)
+                for f in frames[::every_n][:max_frames]
+            ]
+            sigs = [s for s in sigs if s is not None]
+            return sigs or None
+
+        return data.map(one).astype(object)
+
+    return video_phash_udf
+
+
 def sample_frames(
     df,
     data_col: str = "data",

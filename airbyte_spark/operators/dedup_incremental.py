@@ -400,11 +400,13 @@ def create_image_registry(spark: SparkSession, path: str, n_buckets: int = 16) -
 def _phash_band_keys(
     fps: DataFrame, bands: int, ball_radius: int = 0
 ) -> DataFrame:
-    """(vec_id, sig, band, key) rows slicing a 64-bit signature into
-    `bands` disjoint (64/bands)-bit keys. `ball_radius=1` additionally
-    emits every single-bit flip of each key (the per-band hamming-1 ball,
-    1 + width keys per band) — the PROBE side of the asymmetric banding
-    scheme; the registered side always uses radius 0."""
+    """(*input columns, band, key) rows slicing a 64-bit `sig` column
+    into `bands` disjoint (64/bands)-bit keys. `ball_radius=1`
+    additionally emits every single-bit flip of each key (the per-band
+    hamming-1 ball, 1 + width keys per band) — the PROBE side of the
+    asymmetric banding scheme; the registered side always uses radius 0.
+    All other input columns (vec_id; for per-frame video signatures also
+    the frame index) pass through the explode untouched."""
     width = 64 // bands
     mask = (1 << width) - 1
     deltas = [0] + ([1 << i for i in range(width)] if ball_radius else [])
@@ -421,8 +423,9 @@ def _phash_band_keys(
             for d in deltas
         ]
     )
-    return fps.select("vec_id", "sig", F.explode(slices).alias("bk")).select(
-        "vec_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    cols = list(fps.columns)
+    return fps.select("*", F.explode(slices).alias("bk")).select(
+        *cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
 
@@ -550,6 +553,151 @@ def ingest_audio_dedup(
         registry, batch, checkpoint_key, audio_fingerprint_udf, max_hamming,
         bands, id_col, data_col,
     )
+
+
+def create_video_registry(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
+    """Video frame-signature registry (same row shape as the other
+    signature registries; multiple rows per video — one per sampled
+    frame per band, each owned by the video's canonical doc_id)."""
+    return _open_or_create(spark, path, EMB_REGISTRY_SCHEMA, "key", n_buckets)
+
+
+def ingest_video_dedup(
+    registry: LakeTable,
+    batch: DataFrame,
+    checkpoint_key: str,
+    theta: float = 0.6,
+    max_hamming: int = 7,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    every_n: int = 1,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Incremental VIDEO near-dup admission — frame-containment
+    semantics over the shared banded-registry machinery, completing the
+    image/audio/video trio: each batch's videos are parsed once
+    (concatenated-P6 stream walk + per-sampled-frame pHash, one
+    Arrow-batched pass) and a video is a duplicate of a REGISTERED one
+    when ≥ `theta` of its sampled frames hamming-match (≤ max_hamming)
+    frames of that ONE registered video — per-video containment, not
+    any-frame-anywhere, so a mashup of several known clips is new
+    content and admits, while a re-encode / re-container of a known clip
+    (frame hashes wobble within the hamming budget) is rejected.
+    Intra-batch clustering uses the same rule in either direction.
+
+    Cost ∝ batch frames: the frame keys ride the identical asymmetric
+    4×16-bit banding as the image leg (exact keys registered, hamming-1
+    ball probes), then ONE aggregation per (probe video, candidate
+    video) counts distinct matched frames against the ceil(theta·n)
+    bar — no pairwise video comparison ever materializes beyond banded
+    candidates. Videos with no parseable frame carry no signature and
+    are dropped from admission. Exactly-once per checkpoint key, like
+    every registry in this module."""
+    from airbyte_spark.functions.extract import make_video_phash_udf
+    from airbyte_spark.operators.dedup_text import near_dup_clusters
+
+    if max_hamming > 2 * bands - 1:
+        raise ValueError(
+            f"recall guarantee needs max_hamming <= 2*bands-1 "
+            f"({max_hamming} > {2 * bands - 1})"
+        )
+    if checkpoint_key in registry.committed():
+        return batch.join(
+            _ids_admitted_under(registry, checkpoint_key, id_col), id_col, "left_semi"
+        )
+    sig_udf = make_video_phash_udf(every_n=every_n, max_frames=max_frames)
+    frames = (
+        batch.select(
+            F.col(id_col).alias("vid"), sig_udf(F.col(data_col)).alias("sigs")
+        )
+        .filter(F.col("sigs").isNotNull())
+        .select("vid", F.posexplode("sigs").alias("fidx", "sig"))
+        .localCheckpoint(eager=True)  # one parse+hash pass feeds everything
+    )
+    n_frames = frames.groupBy("vid").agg(F.count(F.lit(1)).alias("n_frames"))
+    bar = F.ceil(F.lit(theta) * F.col("n_frames")).cast("long")
+    keys = _phash_band_keys(frames, bands)
+    probe = _phash_band_keys(frames, bands, ball_radius=1)
+
+    # intra-batch: directional containment a→b, then either-direction edges
+    m = (
+        probe.select(
+            F.col("vid").alias("a_vid"), F.col("fidx").alias("a_fidx"),
+            F.col("sig").alias("a_sig"), "band", "key",
+        )
+        .join(
+            keys.select(
+                F.col("vid").alias("b_vid"), F.col("sig").alias("b_sig"),
+                "band", "key",
+            ),
+            ["band", "key"],
+        )
+        .filter(F.col("a_vid") != F.col("b_vid"))
+        .filter(F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))) <= max_hamming)
+        .select("a_vid", "a_fidx", "b_vid")
+        .distinct()
+    )
+    frac = (
+        m.groupBy("a_vid", "b_vid")
+        .agg(F.count_distinct("a_fidx").alias("matched"))
+        .join(n_frames.withColumnRenamed("vid", "a_vid"), "a_vid")
+        .filter(F.col("matched") >= bar)
+    )
+    edges = (
+        frac.select(
+            F.least("a_vid", "b_vid").alias("a_id"),
+            F.greatest("a_vid", "b_vid").alias("b_id"),
+        )
+        .distinct()
+    )
+    ident = frames.select(F.col("vid").alias("doc_id")).distinct()
+    clusters = near_dup_clusters(ident, id_col="doc_id", pairs=edges)
+
+    # registry: per registered-video containment over its frame rows
+    reg = registry.read().select(
+        "band", "key", F.col("doc_id").alias("reg_vid"), F.col("sig").alias("reg_sig")
+    )
+    rmatch = (
+        probe.join(reg, ["band", "key"])
+        .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("reg_sig"))) <= max_hamming)
+        .select("vid", "fidx", "reg_vid")
+        .distinct()
+    )
+    hit_docs = (
+        rmatch.groupBy("vid", "reg_vid")
+        .agg(F.count_distinct("fidx").alias("matched"))
+        .join(n_frames, "vid")
+        .filter(F.col("matched") >= bar)
+        .select(F.col("vid").alias("doc_id"))
+        .distinct()
+    )
+    bad_clusters = clusters.join(hit_docs, "doc_id").select("cluster_id").distinct()
+    ok_clusters = (
+        clusters.join(bad_clusters, "cluster_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    admitted_ids = ok_clusters.filter(F.col("keep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    admitted = batch.join(admitted_ids, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    member_keys = (
+        keys.join(
+            ok_clusters.select(F.col("doc_id").alias("vid"), "cluster_id"), "vid"
+        )
+        .select(
+            "band",
+            "key",
+            F.col("cluster_id").alias("doc_id"),
+            "sig",
+            F.lit(checkpoint_key).alias("checkpoint_key"),
+        )
+        .distinct()
+    )
+    registry.append(member_keys, checkpoint_key=checkpoint_key)
+    return admitted
 
 
 def stream_ingest_dedup(

@@ -517,6 +517,68 @@ def test_audio_registry_cross_batch_rejection(spark, tmp_path):
     assert again == got2 and reg.current_version() == v
 
 
+def _video_rows(specs):
+    """(id, [(img_cls, img_variant), ...]) → (id, concatenated-P6 bytes)
+    reusing the image fixture's class rasters as frames."""
+    import numpy as np
+
+    def ppm(cls, v):
+        rng = np.random.default_rng(977 + cls)
+        coarse = rng.integers(0, 256, (8, 8)).astype(np.float64)
+        if v == 2:
+            coarse[3, 3] = min(255.0, coarse[3, 3] + 80.0)
+        img = np.kron(coarse, np.ones((8, 8))).astype(np.uint8)
+        return b"P6\n64 64\n255\n" + np.repeat(img[:, :, None], 3, axis=2).tobytes()
+
+    return [
+        (i, bytearray(b"".join(ppm(c, v) for c, v in fr))) for i, fr in specs
+    ]
+
+
+def test_video_registry_containment_admission(spark, tmp_path):
+    """The video leg's frame-containment semantics: a re-encode of a
+    registered clip (same frame classes, perturbed variants) is rejected;
+    a MASHUP whose frames all exist in the registry but split across two
+    different registered videos stays below the per-video theta bar and
+    admits; unparseable bytes drop; redelivery is exactly-once."""
+    from airbyte_spark.operators.dedup_incremental import (
+        create_video_registry,
+        ingest_video_dedup,
+    )
+
+    reg = create_video_registry(spark, str(tmp_path / "vreg"), n_buckets=4)
+    # batch 1: clip A (classes 0-3), clip B (classes 5-8), an intra-batch
+    # re-cut of A (same classes, perturbed frames)
+    b1 = spark.createDataFrame(
+        _video_rows([
+            (1, [(0, 0), (1, 0), (2, 0), (3, 0)]),
+            (2, [(5, 0), (6, 0), (7, 0), (8, 0)]),
+            (3, [(0, 2), (1, 2), (2, 2), (3, 2)]),  # near-dup of 1
+        ]),
+        "doc_id long, data binary",
+    )
+    got1 = sorted(r["doc_id"] for r in ingest_video_dedup(reg, b1, "v1").collect())
+    assert got1 == [1, 2]
+    # batch 2: re-encode of A + a mashup (2 frames of A, 2 of B) + junk +
+    # a fresh clip
+    b2 = spark.createDataFrame(
+        _video_rows([
+            (10, [(0, 2), (1, 0), (2, 2), (3, 0)]),   # ≥ theta vs A: reject
+            (11, [(0, 0), (1, 0), (5, 0), (6, 0)]),   # 0.5 vs A, 0.5 vs B: admit
+            (12, [(10, 0), (11, 0), (9, 0), (4, 0)]),  # fresh: admit
+        ]) + [(13, bytearray(b"junk"))],
+        "doc_id long, data binary",
+    )
+    got2 = sorted(r["doc_id"] for r in ingest_video_dedup(reg, b2, "v2").collect())
+    assert 10 not in got2, "re-encode must hit per-video containment"
+    assert 11 in got2, "mashup splits below theta per registered video"
+    assert 12 in got2 and 13 not in got2
+    # redelivery is exactly-once
+    v = reg.current_version()
+    again = sorted(r["doc_id"] for r in ingest_video_dedup(reg, b2, "v2").collect())
+    assert again == got2 and reg.current_version() == v
+
+
 def test_image_probe_fanout_stays_o_batch_vs_grown_registry(spark, tmp_path):
     """The 100×-scale contract of the asymmetric 16-bit banding: probe
     candidate rows stay O(batch) against a registry 100× the batch size.

@@ -305,6 +305,70 @@ def test_audio_mel_feeds_ann_topk(spark):
     assert len(top) == 1 and top[0]["n_id"] == 2
 
 
+def _cls_ppm(cls, v=0):
+    import numpy as np
+
+    rng = np.random.default_rng(977 + cls)
+    coarse = rng.integers(0, 256, (8, 8)).astype(np.float64)
+    if v == 2:
+        coarse[3, 3] = min(255.0, coarse[3, 3] + 80.0)
+    img = np.kron(coarse, np.ones((8, 8))).astype(np.uint8)
+    return b"P6\n64 64\n255\n" + np.repeat(img[:, :, None], 3, axis=2).tobytes()
+
+
+def test_ppm_stream_split_and_video_signatures(spark):
+    """Concatenated-P6 video parsing is a real header walk: frames of
+    declared sizes, truncated tails dropped, junk yields no frames; the
+    per-frame signatures equal the single-image pHash exactly, and the
+    UDF's sampling/cap parameters bound the work per video."""
+    from airbyte_spark.functions.extract import (
+        _phash_one,
+        _split_ppm_frames,
+        make_video_phash_udf,
+    )
+
+    vid = _cls_ppm(0) + _cls_ppm(1) + _cls_ppm(2) + _cls_ppm(3)
+    frames = _split_ppm_frames(vid)
+    assert len(frames) == 4 and frames[1] == _cls_ppm(1)
+    assert len(_split_ppm_frames(vid[:-100])) == 3  # truncated tail dropped
+    assert _split_ppm_frames(b"junk") == []
+    # mixed frame sizes parse by their own headers
+    small = b"P6\n8 8\n255\n" + bytes(8 * 8 * 3)
+    assert [len(f) for f in _split_ppm_frames(small + _cls_ppm(1))] == [
+        len(small), len(_cls_ppm(1)),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(vid)), (2, bytearray(b"junk"))], "doc_id long, data binary"
+    )
+    udf = make_video_phash_udf(every_n=2, max_frames=2)
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", udf("data").alias("s")).collect()}
+    assert got[2] is None
+    assert got[1] == [_phash_one(_cls_ppm(0)), _phash_one(_cls_ppm(2))]  # every 2nd frame
+
+
+def test_video_fixture_frame_margins_over_30_classes():
+    """video_frame_dedup's class arithmetic uses image classes 0-29
+    (2·cls and 2·cls+1 for 15 video classes): pin the pHash margins over
+    that FULL range — the 15-class image pin doesn't cover it."""
+    from airbyte_spark.functions.extract import _phash_one
+
+    sig = {(c, v): _phash_one(_cls_ppm(c, v)) for c in range(30) for v in (0, 2)}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    in_class = max(ham(sig[(c, 0)], sig[(c, 2)]) for c in range(30))
+    cross = min(
+        ham(sig[(c1, v1)], sig[(c2, v2)])
+        for c1 in range(30)
+        for c2 in range(c1 + 1, 30)
+        for v1 in (0, 2)
+        for v2 in (0, 2)
+    )
+    assert in_class <= 7, in_class
+    assert cross > 7 + 8, cross
+
+
 def test_audio_dedup_fixture_distance_margins():
     """The audio_fp_dedup gate's oracle is pure class arithmetic ONLY
     because the melody fixture guarantees in-class hamming ≤ max_hamming

@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as E
 
-EXPECTED_QUERIES = 123
+EXPECTED_QUERIES = 124
 
 
 def test_counts_agree_and_every_query_has_a_value_oracle():
@@ -46,6 +46,7 @@ def test_driver_window_holds_the_round5_rotation():
     rotation = [
         # new this round
         "src_sql_incremental", "src_http_substream", "audio_fp_dedup",
+        "video_frame_dedup",
         # implementation changed since last green row
         "img_phash_dedup", "src_debezium_tail",
         # last green row is round 1 — the stalest lines
@@ -57,11 +58,11 @@ def test_driver_window_holds_the_round5_rotation():
     # the rest of the window is r2-green core; nothing r3/r4-green may
     # occupy a slot while older greens wait
     deferred_r2 = {
-        "cdc_checkpoint_metrics", "cdc_dedup_salted",
+        "cdc_checkpoint_metrics", "evt_sessionize", "cdc_dedup_salted",
         "cdc_mor_replay_final_state", "sync_multistream_atomic",
         "sync_clustered_prune", "sync_zorder_prune",
         "sync_compact_roundtrip", "sync_time_travel",
         "sync_respec_roundtrip", "sync_catalog_txn",
     }
     rest = set(window) - set(rotation)
-    assert len(rest) == 38 and not (rest & deferred_r2)
+    assert len(rest) == 37 and not (rest & deferred_r2)
