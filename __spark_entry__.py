@@ -2635,6 +2635,10 @@ def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     hi = docs.agg(F.max("doc_id")).first()[0]
     h = (hi + 1) // 2
+    # every 7th doc: the gate needs the class arithmetic, not fixture
+    # bulk (7 is coprime with 12, so all 12 base classes and — via
+    # doc%35==0 — all 3 b-only classes still appear)
+    docs = docs.filter(F.col("doc_id") % 7 == 0)
     clips = docs.select(
         "doc_id",
         F.when(
@@ -2706,6 +2710,9 @@ def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     hi = docs.agg(F.max("doc_id")).first()[0]
     h = (hi + 1) // 2
+    # every 7th doc (coprime with 12: all classes appear) — frame volume
+    # scales 4× per doc, so the gate samples rather than bulk-decodes
+    docs = docs.filter(F.col("doc_id") % 7 == 0)
     vids = docs.select(
         "doc_id",
         F.when(
@@ -4592,6 +4599,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE doc_id % 12 END AS cls,
                      CASE WHEN doc_id < h THEN 'a' ELSE 'b' END AS batch
               FROM documents, bound
+              WHERE doc_id % 7 = 0
             )
             SELECT MIN(doc_id) AS doc_id, 'a' AS batch
             FROM p WHERE batch = 'a' GROUP BY cls
@@ -4608,6 +4616,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE doc_id % 12 END AS cls,
                      CASE WHEN doc_id < h THEN 'a' ELSE 'b' END AS batch
               FROM documents, bound
+              WHERE doc_id % 7 = 0
             )
             SELECT MIN(doc_id) AS doc_id, 'a' AS batch
             FROM p WHERE batch = 'a' GROUP BY cls
