@@ -614,15 +614,24 @@ def make_video_phash_udf(every_n: int = 1, max_frames: int = 16):
 
     @pandas_udf(ArrayType(LongType()))
     def video_phash_udf(data: pd.Series) -> pd.Series:
+        # per-Arrow-batch memo keyed by frame bytes: videos repeat frames
+        # (static scenes, loops, shared intros), and the DCT hash costs
+        # ~1000× the dict probe — identical rasters decode once per batch
+        memo: dict = {}
+
+        def hash_frame(f):
+            s = memo.get(f)
+            if s is None and f not in memo:
+                s = _phash_one(f)
+                memo[f] = s
+            return s
+
         def one(b):
             frames = _split_ppm_frames(
                 bytes(b) if b is not None else None,
                 max_frames=max_frames * every_n,
             )
-            sigs = [
-                _phash_one(f)
-                for f in frames[::every_n][:max_frames]
-            ]
+            sigs = [hash_frame(f) for f in frames[::every_n][:max_frames]]
             sigs = [s for s in sigs if s is not None]
             return sigs or None
 
